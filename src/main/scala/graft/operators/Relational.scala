@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators q01–q09.
+  *
+  * Each re-expresses one data-processing step of the reference
+  * pipeline (awnimo/seqDataPipeline) as a declarative Spark plan; see
+  * SURVEY.md §2 for the mapping. All functions are pure
+  * `DataFrame => DataFrame` so Catalyst sees the whole plan (pushdown,
+  * partial aggregation, broadcast) and specs can feed synthetic
+  * frames.
+  */
+object Relational {
+
+  /** q01_qc_summary — per-group record statistics, the fastqc-style
+    * quality summary (reference tools.py:101). Algebraic aggregates
+    * only → map-side partial aggregation at any scale.
+    * Doubles rounded to 4dp for oracle hash stability.
+    */
+  def qcSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+
+  /** q02_trim_filter — stringency filter + record cleanup, the
+    * trim_galore step (reference tools.py:145): drop short records,
+    * emit trimmed lengths. Filter + projection reach the parquet scan.
+    */
+  def trimFilter(documents: DataFrame, minChars: Long = 100L): DataFrame =
+    documents
+      .filter(col("n_chars") >= minChars)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        length(trim(col("text"))).as("trimmed_len"))
+
+  /** q03_align_join — enrichment of fact records against reference
+    * dimensions, the alignment step (reference tools.py:336). Dims are
+    * broadcast: no shuffle of the fact side.
+    */
+  def alignJoin(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+
+  /** q04_pe_pair — mate pairing by shared identifier with order
+    * normalization (reference tools.py:737 PE_check): join record 1
+    * and record 2 of each group. Shuffles both sides on the shared
+    * key; projections pruned before the exchange.
+    */
+  def pePair(lineitem: DataFrame): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+    // normalize each side to one deterministic representative record
+    // first, exactly as PE_check normalizes mate order.
+    def side(n: Int, tag: String): DataFrame = {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      lineitem.filter(col("l_linenumber") === n)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_partkey").as(s"${tag}_part"),
+          col("l_quantity").as(s"${tag}_qty"))
+    }
+    side(1, "mate1").join(side(2, "mate2"), Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("mate1_part"), col("mate2_part"),
+        (col("mate1_qty") + col("mate2_qty")).as("pair_qty"))
+  }
+
+  /** q05_anti_filter — blacklist removal, the `grep -v chrM` step
+    * (reference tools.py:243): records with no match in the exclusion
+    * set. left_anti join; only the key column of the exclusion side
+    * crosses the exchange.
+    */
+  def antiFilter(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+
+  /** q06_range_filter — numeric range predicate, the awk fragment-size
+    * filter (reference tools.py:244-245). Both bounds land in parquet
+    * PushedFilters.
+    */
+  def rangeFilter(lineitem: DataFrame, lo: Double = 10d, hi: Double = 40d)
+      : DataFrame =
+    lineitem
+      .filter(col("l_quantity") >= lo && col("l_quantity") < hi)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** q07_histogram — value histogram with frequency and density,
+    * the fragment-length distribution (reference tools.py:294-311:
+    * np.bincount → freq → density at 6dp). The window-over-() runs on
+    * post-aggregation cardinality (#distinct values), not row count,
+    * so the single-partition window is safe at any scale.
+    */
+  def histogram(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem.groupBy(col("l_quantity").as("flength"))
+      .agg(count(lit(1)).as("freq"))
+    counts.withColumn("density",
+      round(col("freq") / sum(col("freq")).over(Window.partitionBy()), 6))
+  }
+
+  /** q08_dedup_pos — exact deduplication on a position key keeping a
+    * deterministic representative, the samtools rmdup step (reference
+    * tools.py:315-317). row_number over (key → order) = 1.
+    */
+  def dedupPos(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** q09_sort_limit — global sort by composite key + limit, the
+    * sort-by-coordinate step (reference tools.py:247-248). Spark
+    * range-partitions the sort; the limit collapses to a TakeOrdered
+    * physical op (no full materialization).
+    */
+  def sortLimit(lineitem: DataFrame, n: Int = 100): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(n)
+}

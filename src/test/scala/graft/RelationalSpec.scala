@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q01_qc_summary: groups and algebraic stats") {
+    val df = SparkEntry.queries("q01_qc_summary")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 9) // 3 flags x 3 statuses max
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q02_trim_filter: no short docs pass, trimmed_len <= n_chars") {
+    val df = SparkEntry.queries("q02_trim_filter")(spark, sf)
+    assert(df.count() > 0)
+    val docs = Tables.documents(spark, sf)
+    assert(df.count() === docs.filter("n_chars >= 100").count())
+  }
+
+  test("q03_align_join: broadcast join present in plan") {
+    val df = SparkEntry.queries("q03_align_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(df.count() > 0)
+  }
+
+  test("q04_pe_pair: one pair per order having both mates") {
+    val df = SparkEntry.queries("q04_pe_pair")(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val expected = li.filter("l_linenumber = 1").select("l_orderkey")
+      .intersect(li.filter("l_linenumber = 2").select("l_orderkey")).count()
+    assert(df.count() === expected)
+  }
+
+  test("q05_anti_filter: no surviving order has a lineitem") {
+    val df = SparkEntry.queries("q05_anti_filter")(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    assert(df.count() > 0)
+    assert(df.join(li, df("o_orderkey") === li("l_orderkey")).count() === 0)
+  }
+
+  test("q06_range_filter: bounds respected and pushed down") {
+    val df = SparkEntry.queries("q06_range_filter")(spark, sf)
+    assert(df.filter("l_quantity < 10 OR l_quantity >= 40").count() === 0)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_quantity,10.0)"))
+  }
+
+  test("q07_histogram: densities sum to ~1") {
+    val df = SparkEntry.queries("q07_histogram")(spark, sf)
+    val dsum = df.collect().map(_.getAs[Double]("density")).sum
+    assert(math.abs(dsum - 1.0) < 1e-3)
+  }
+
+  test("q08_dedup_pos: unique position keys, deterministic representative") {
+    val df = SparkEntry.queries("q08_dedup_pos")(spark, sf)
+    assert(df.groupBy("l_partkey", "l_suppkey").count()
+      .filter("count > 1").count() === 0)
+  }
+
+  test("q09_sort_limit: descending order, n rows") {
+    val df = SparkEntry.queries("q09_sort_limit")(spark, sf)
+    val prices = df.collect().map(_.getAs[Double]("l_extendedprice"))
+    assert(prices.length === 100)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("entry: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

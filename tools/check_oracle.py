@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
+sfDir parquet tables, and compares: column names (sorted), row count,
+and values (rows sorted, 1e-9 float tolerance reported separately from
+hard mismatches).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files])
+        want = con.execute(oracle[name]).fetchdf()
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                af = a.astype(float).fillna(-9e99)
+                bf = b.astype(float).fillna(-9e99)
+                exact = (af == bf)
+                close = ((af - bf).abs() <= 1e-9 * (1 + bf.abs()))
+                if not exact.all():
+                    if close.all():
+                        bad.append((c, "float-close-not-exact",
+                                    int((~exact).sum())))
+                    else:
+                        i = (~close).idxmax()
+                        bad.append((c, f"value {a[i]!r} != {b[i]!r}", int((~close).sum())))
+            else:
+                if not (a.astype(str) == b.astype(str)).all():
+                    i = (a.astype(str) != b.astype(str)).idxmax()
+                    bad.append((c, f"value {a[i]!r} != {b[i]!r}",
+                                int((a.astype(str) != b.astype(str)).sum())))
+        hard = [x for x in bad if x[1] != "float-close-not-exact"]
+        if hard:
+            print(f"FAIL {name}: {hard}")
+            n_fail += 1
+        elif bad:
+            print(f"WARN {name}: float ulp diffs {bad}")
+            n_pass += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    missing = set(oracle) - set(
+        os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+        if os.path.isdir(d))
+    for name in sorted(missing):
+        print(f"NOTE rows-only (no oracle run): {name}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
