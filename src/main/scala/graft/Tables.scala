@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loaders for the driver-generated test data
   * (TESTDATA.md). Plain `spark.read.parquet` — column pruning and
@@ -22,7 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader only accepts as a raw long (spark.sql.legacy.parquet
+    * .nanosAsLong=true — set by Verify/Bench/specs). Normalize to a
+    * proper TimestampType at microsecond precision so operators stay
+    * type-uniform. Integer DIV, not double division: epoch-ns
+    * (~1.7e18) exceeds double's 2^53 exact-integer range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Epoch microseconds of any timestamp flavor (NTZ casts through the
+    * session clock — keep spark.sql.session.timeZone=UTC for oracle
+    * parity).
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

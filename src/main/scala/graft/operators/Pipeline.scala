@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline operators q10–q18: the genomics-shaped computations of the
+  * reference (binned coverage, interval counting, peak calling,
+  * metrics, progress matrix) plus the windowed/sessionized forms a
+  * timestamped event stream needs. See SURVEY.md §2/§3.
+  */
+object Pipeline {
+
+  /** q10_bin_coverage — fixed-width binning, the igvtools `count -w`
+    * step (reference tools.py:499-530): events land in width-w bins
+    * along the time axis; count + mass per (bin, type). Aggregation
+    * key cardinality is bounded by #bins × #types, not rows — the
+    * plan is a single partial-agg-friendly hash aggregate.
+    */
+  def binCoverage(events: DataFrame, binSeconds: Long = 3600L): DataFrame =
+    events
+      .select(
+        (floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L)))
+          .cast("long").as("bin_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("bin_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  /** q11_interval_count — interval/range join + count per feature, the
+    * htseq-count step (reference tools.py:625-674): each fact falls
+    * into an annotation band [lo, hi). The band table is tiny →
+    * broadcast nested-loop join; the fact side never shuffles.
+    */
+  def intervalCount(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val bands = priceBands(spark)
+    lineitem
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Annotation bands (≈ GTF features): 12 price intervals of 10k. */
+  def priceBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 12).map(i => (i, i * 10000.0, (i + 1) * 10000.0))
+      .toDF("band_id", "lo", "hi")
+  }
+  /** Same bands as SQL literals for the DuckDB oracle. */
+  val priceBandsSql: String =
+    (0 until 12).map(i => s"(${i}, ${i * 10000.0}, ${(i + 1) * 10000.0})")
+      .mkString("(VALUES ", ", ", ") AS bands(band_id, lo, hi)")
+
+  /** q12_peak_detect — enrichment peak calling, the macs2 step
+    * (reference tools.py:555-622): bin the signal, flag bins above a
+    * scale-adaptive background (mean + 2σ over bins), merge adjacent
+    * enriched bins into peaks (gaps-and-islands). The window-over-()
+    * steps run on #bins rows (post-aggregation), never on raw events.
+    */
+  def peakDetect(events: DataFrame, binSeconds: Long = 3600L): DataFrame = {
+    val bins = events
+      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+        .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val enriched = bins
+      .withColumn("thresh",
+        avg(col("n")).over(all) + lit(2) * stddev_pop(col("n")).over(all))
+      .filter(col("n") > col("thresh"))
+    // adjacent enriched bins share (bin_id - row_number) → one island
+    val byBin = Window.partitionBy().orderBy(col("bin_id"))
+    enriched
+      .withColumn("island", col("bin_id") - row_number().over(byBin))
+      .groupBy(col("island"))
+      .agg(
+        min(col("bin_id")).as("peak_start"),
+        max(col("bin_id")).as("peak_end"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n")).as("total_events"))
+      .drop("island")
+  }
+
+  /** q13_metrics — multi-statistic summary with ratio-of-total, the
+    * picard metrics step (reference tools.py:447-496). The over-()
+    * window runs on #statuses rows post-aggregation.
+    */
+  def metrics(orders: DataFrame): DataFrame = {
+    val base = orders.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+    base.withColumn("pct_orders",
+      round(col("n_orders") * 100.0 / sum(col("n_orders"))
+        .over(Window.partitionBy()), 4))
+  }
+
+  /** q14_status_pivot — status matrix, the sqlite progress log
+    * (reference tools.py:8-56): samples × steps → rows × status
+    * columns. Spark's relational pivot with an explicit column list
+    * (no extra distinct pass).
+    */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** q15_topk — top-k by aggregate (top expressed genes downstream of
+    * counting). Deterministic tiebreak on the unique key; the limit
+    * collapses to TakeOrdered — no global sort materialization.
+    */
+  def topk(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("rev").desc, col("o_custkey").asc)
+      .limit(k)
+      .select(col("o_custkey"), col("c_name"), col("n_orders"),
+        round(col("rev"), 4).as("revenue"))
+
+  /** q16_sessionize — gap-based session assembly over the event
+    * stream (the reference's read→fragment grouping, generalized).
+    * Gaps-and-islands: lag per user, flag gaps > gapSeconds,
+    * running sum of flags = session index. Partitioned by user_id
+    * (high cardinality → no skew), everything else map-side.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1)
+          .otherwise(when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
+            .otherwise(0)))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  }
+
+  /** q17_running_window — cumulative aggregate per key over an
+    * ordered axis (cumulative coverage along the coordinate).
+    * Frame order is made total with the unique key so Spark and the
+    * oracle accumulate in the same order.
+    */
+  def runningWindow(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      graft.Tables.epochUs(col("o_orderdate")).as("order_us"),
+      round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+  }
+
+  /** q18_rollup — hierarchical subtotal aggregation (per-sample →
+    * global metrics rollup). Dims broadcast; ROLLUP grouping sets in
+    * one shuffle. Subtotal NULLs are coalesced to 'ALL' so the result
+    * is null-free on both engines.
+    */
+  def rollupRegions(customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("sum_acctbal"))
+}
