@@ -1,9 +1,26 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and emits one JSON metric line.
+  *
+  * Measurement notes (VERDICT r1 harness defects #3/#4):
+  *  - the action is a noop-sink write, not count(): count() lets
+  *    Catalyst prune unreferenced projections (q02's trimmed_len was
+  *    never computed), so timings would not measure the operators;
+  *  - one untimed warmup pass first, so JVM/codegen/scan warmup does
+  *    not pollute whichever query happens to run first;
+  *  - the JSON line goes to a FILE (SPARK_GRAFT_BENCH_OUT, default
+  *    bench_out.json in cwd) as well as stdout — sbt prefixes stdout
+  *    with "[info] ", which broke the driver's parse in round 1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,16 +30,28 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS); Spark 4 only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Untimed warmup: JIT/codegen compile, parquet footer reads, JVM heap.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    // Raw line on stdout too, for any parser that strips sbt's prefix.
+    println(json)
     spark.stop()
   }
 }

@@ -110,7 +110,7 @@ object SparkEntry {
          FROM (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
                       l_quantity,
                       row_number() OVER (PARTITION BY l_partkey, l_suppkey
-                        ORDER BY l_orderkey, l_linenumber) AS rn
+                        ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
                FROM lineitem) t
          WHERE rn = 1""",
     "q09_sort_limit" ->
@@ -145,7 +145,7 @@ object SparkEntry {
                   bin_id - row_number() OVER (ORDER BY bin_id) AS island
            FROM enriched)
          SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
-                count(*) AS n_bins, sum(n) AS total_events
+                count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
          FROM islands GROUP BY island""",
     "q13_metrics" ->
       """SELECT o_orderstatus,
@@ -178,13 +178,13 @@ object SparkEntry {
                             > 1800000000 THEN 1
                        ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          sessions AS (
            SELECT user_id, event_id, value, ts_us,
-                  sum(new_session) OVER (PARTITION BY user_id
+                  CAST(sum(new_session) OVER (PARTITION BY user_id
                     ORDER BY ts_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_idx
+                    AS BIGINT) AS session_idx
            FROM marked)
          SELECT user_id, session_idx,
                 count(*) AS n_events,

@@ -47,6 +47,14 @@ def main():
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
+        # dtype parity: the driver hash-compares serialized values, so a
+        # HUGEINT-vs-BIGINT mismatch fails even when values match.
+        dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if g[c].dtype.kind != w[c].dtype.kind]
+        if dt:
+            print(f"FAIL {name}: dtype kind mismatch {dt}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
@@ -81,11 +89,11 @@ def main():
         else:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
-    missing = set(oracle) - set(
+    rows_only = set(
         os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
-        if os.path.isdir(d))
-    for name in sorted(missing):
-        print(f"NOTE rows-only (no oracle run): {name}")
+        if os.path.isdir(d)) - set(oracle)
+    for name in sorted(rows_only):
+        print(f"NOTE rows-only (no oracle SQL): {name}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
