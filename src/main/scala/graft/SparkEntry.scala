@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.streaming.StreamOps
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   * Each `queries` key has a DuckDB-runnable oracle in `oracleSql`
@@ -54,7 +55,65 @@ object SparkEntry {
     "q18_rollup" -> ((s, d) =>
       Pipeline.rollupRegions(Tables.customer(s, d), Tables.nation(s, d),
         Tables.region(s, d))),
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.dedupExact(Tables.documents(s, d))),
+    "d02_dedup_minhash" -> ((s, d) =>
+      Dedup.dedupMinhash(Tables.documents(s, d))),
+    "d03_dedup_simhash" -> ((s, d) =>
+      Dedup.dedupSimhash(Tables.documents(s, d))),
+    "d04_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d))),
+    "d05_dedup_embedding" -> ((s, d) =>
+      Dedup.dedupEmbedding(Tables.embeddings(s, d))),
+    "s01_ann_bruteforce" -> ((s, d) =>
+      Similarity.annBruteForce(Tables.embeddings(s, d))),
+    "s02_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d))),
+    "t01_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))),
+    "t02_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "t03_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "t04_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "m01_multimodal_meta" -> ((s, d) =>
+      Multimodal.multimodalMeta(Tables.documents(s, d))),
+    "m02_image_features" -> ((s, d) =>
+      Multimodal.imageFeatures(Tables.documents(s, d))),
+    "st01_stream_window" -> ((s, d) =>
+      StreamOps.streamWindow(s, d)),
+    "st02_stream_session" -> ((s, d) =>
+      StreamOps.streamSessions(s, d)),
   )
+
+  /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
+    * sessionizer must reproduce the batch gaps-and-islands result
+    * bit-for-bit, so both keys get the identical oracle.
+    */
+  private val sessionizeSql: String =
+    """WITH marked AS (
+         SELECT user_id, event_id, value,
+                epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                     WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000 THEN 1
+                     ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       sessions AS (
+         SELECT user_id, event_id, value, ts_us,
+                CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+         FROM marked)
+       SELECT user_id, session_idx,
+              count(*) AS n_events,
+              min(ts_us) AS session_start_us,
+              max(ts_us) AS session_end_us,
+              round(sum(value), 4) AS sum_value
+       FROM sessions GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_qc_summary" ->
@@ -169,29 +228,7 @@ object SparkEntry {
          GROUP BY 1, 2
          ORDER BY sum(o_totalprice) DESC, o_custkey ASC
          LIMIT 10""",
-    "q16_sessionize" ->
-      """WITH marked AS (
-           SELECT user_id, event_id, value,
-                  epoch_us(ts) AS ts_us,
-                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
-                       WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                            > 1800000000 THEN 1
-                       ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         sessions AS (
-           SELECT user_id, event_id, value, ts_us,
-                  CAST(sum(new_session) OVER (PARTITION BY user_id
-                    ORDER BY ts_us, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS session_idx
-           FROM marked)
-         SELECT user_id, session_idx,
-                count(*) AS n_events,
-                min(ts_us) AS session_start_us,
-                max(ts_us) AS session_end_us,
-                round(sum(value), 4) AS sum_value
-         FROM sessions GROUP BY 1, 2""",
+    "q16_sessionize" -> sessionizeSql,
     "q17_running_window" ->
       """SELECT o_custkey, o_orderkey,
                 epoch_us(o_orderdate) AS order_us,
@@ -209,5 +246,134 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    // d02/d03/s02/t04/m02 are non-SQL-expressible (seeded hashing /
+    // custom Expression / stub featurizer) — rows-only + ScalaTest.
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+    "d04_ngram_jaccard" ->
+      """WITH sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) AS na, len(b.sh) AS nb
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+         FROM pairs
+         WHERE inter * 1.0 / (na + nb - inter) >= 0.6""",
+    "d05_dedup_embedding" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                  sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                  AS cosine
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    "s01_ann_bruteforce" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+               FROM e WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q_id, e.vec_id AS n_id,
+                  list_inner_product(qv, e.v) / (qn * e.nrm) AS c
+           FROM q JOIN e ON e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, n_id, c,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY c DESC, n_id ASC) AS rnk
+           FROM scored)
+         SELECT q_id, n_id, rnk, round(c, 4) AS cosine
+         FROM ranked WHERE rnk <= 5""",
+    "t01_lang_id" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS hits_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['el','la','los','de','y','es','un'], x))) AS hits_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['le','la','les','de','et','est','un'], x))) AS hits_fr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['的','是','在','了','不','和'], x))) AS hits_zh
+           FROM documents)
+         SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0
+                  THEN 'und'
+                WHEN hits_de >= hits_en AND hits_de >= hits_es
+                  AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                WHEN hits_en >= hits_es AND hits_en >= hits_fr
+                  AND hits_en >= hits_zh THEN 'en'
+                WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                WHEN hits_fr >= hits_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM h""",
+    "t02_quality_score" ->
+      """WITH b AS (
+           SELECT doc_id, lower(trim(text)) AS t,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             length(t) AS n_chars_t,
+             len(toks) AS n_tokens,
+             length(regexp_replace(t, '[^a-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
+             length(t) - length(regexp_replace(t, '\s', '', 'g')) AS n_space,
+             len(list_filter(toks,
+               x -> list_contains(['the','a','of','and','to','in','is'], x)))
+               AS n_stop
+           FROM b)
+         SELECT doc_id, n_chars_t, n_tokens,
+           round(n_alpha * 1.0 / n_chars_t, 4) AS alpha_ratio,
+           round((n_chars_t - n_alpha - n_digit - n_space) * 1.0 / n_chars_t,
+                 4) AS punct_ratio,
+           round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+           round((n_alpha * 1.0 / n_chars_t) * 0.5
+                 + least(n_tokens / 100.0, 1.0) * 0.3
+                 + least(n_stop * 1.0 / n_tokens * 5.0, 1.0) * 0.2,
+                 4) AS quality_score
+         FROM c""",
+    "t03_token_count" ->
+      """SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           round(length(trim(text)) * 1.0 /
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
+             4) AS chars_per_token
+         FROM documents""",
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+           strlen(text) AS n_bytes,
+           lower(substring(hex(encode(text)), 1, 8)) AS magic,
+           16 + strlen(text) % 624 AS width,
+           16 + (strlen(text) * 7) % 464 AS height,
+           1 + strlen(text) % 9 AS n_frames
+         FROM documents""",
+    "st01_stream_window" ->
+      """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bin_id,
+                event_type,
+                count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "st02_stream_session" -> sessionizeSql,
   )
 }

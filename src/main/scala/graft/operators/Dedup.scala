@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorOps}
+
+/** Deduplication operators d01–d05 — the LLM-training-data
+  * generalization of the reference's rmdup step
+  * (/root/reference/tools.py:315-317, samtools rmdup: exact positional
+  * dedup keeping one representative). Five variants, exact → fuzzy:
+  *
+  *  - d01 exact:   hash-groupBy on normalized text
+  *  - d02 MinHash: shingle → minhash signature → LSH band buckets
+  *  - d03 SimHash: 64-bit simhash → hamming-band buckets
+  *  - d04 Jaccard: exact n-gram Jaccard over shingle-join candidates
+  *  - d05 embedding: cosine near-dup within label blocks
+  *
+  * Scale posture (100 TB): nothing here ever shuffles document text.
+  * d01 shuffles a 64-bit hash; d02/d03 shuffle (band, bucket-hash)
+  * keys; d04 shuffles 64-bit shingle hashes; d05 shuffles vectors
+  * only within label blocks. Candidate generation is always banded or
+  * blocked — no operator materializes the all-pairs cross product.
+  */
+object Dedup {
+
+  /** d01_dedup_exact — exact duplicate groups on normalized text.
+    * GroupBy on `xxhash64(normText)` so the exchange carries 8 bytes
+    * per row instead of the document; `min(doc_id)` picks the
+    * deterministic representative, `n_dups` the group size. Purely
+    * algebraic → map-side partial aggregation.
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        xxhash64(TextOps.normText(col("text"))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("n_dups"))
+
+  /** Per-doc distinct shingle sets, shared by d02/d04.
+    * (doc_id, sh: array<string>, nsh: int)
+    */
+  private def shingleSets(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+
+  /** d02_dedup_minhash — MinHash+LSH near-duplicate pairs.
+    *
+    * signature[i] = min over shingles of xxhash64(shingle, i), i.e.
+    * `numHashes` independent permutations approximated by seeded
+    * hashing; the signature is banded (`bands` bands of
+    * numHashes/bands rows) and each band is hashed into a bucket key.
+    * Candidates = pairs sharing ANY (band, bucket) — that join's
+    * shuffle key is the 12-byte (band, bucket-hash), NOT the text, and
+    * the pair blowup is bounded by bucket occupancy, not corpus².
+    * Candidates are verified with exact Jaccard ≥ tau.
+    *
+    * With 16 bands × 4 rows, P(candidate | j) = 1-(1-j⁴)¹⁶:
+    * ≈ 0.89 at j = 0.6 and ≈ 1 at j ≥ 0.8 — and fully deterministic
+    * (seeded hashes), so the driver's re-run reproduces it bit-for-bit.
+    */
+  def dedupMinhash(documents: DataFrame, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, tau: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sets = shingleSets(documents, n)
+    val sig = sets.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
+    // one row per (doc, band): bucket = hash of that band's signature slice
+    val banded = sig.select(
+      col("doc_id"), col("sh"), col("nsh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh").as("sha"), col("a.nsh").as("nsha"),
+        col("b.sh").as("shb"), col("b.nsh").as("nshb"))
+      .dropDuplicates("da", "db") // same pair can collide in several bands
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    candidates
+      .withColumn("jaccard",
+        inter.cast("double") / (col("nsha") + col("nshb") - inter).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** d03_dedup_simhash — SimHash near-duplicate pairs.
+    *
+    * 64-bit simhash over the token multiset: bit j is set when the
+    * sum over tokens of ±1 (sign of bit j of xxhash64(token)) is
+    * positive. Candidates come from hamming-band bucketing: the 64
+    * bits split into `chunks` 16-bit chunks; by pigeonhole, any pair
+    * with hamming distance < chunks shares at least one exact chunk,
+    * so the candidate join keys on (chunk_id, chunk_value) — never
+    * all-pairs. Verified with bit_count(xor) <= maxHamming.
+    */
+  def dedupSimhash(documents: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val width = 64 / chunks
+    val toks = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // per-bit signed vote over the token stream, then assemble the word
+    val sim = toks.withColumn("simhash",
+      aggregate(
+        sequence(lit(0), lit(63)),
+        lit(0L),
+        (acc, j) => acc + when(
+          aggregate(col("toks"), lit(0L),
+            (s, t) => s + when(
+              call_function("shiftright", xxhash64(t), j)
+                .bitwiseAND(lit(1L)) === 1L,
+              1L).otherwise(-1L)) > 0L,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))))
+      .select(col("doc_id"), col("simhash"))
+    val chunked = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("simhash"), c * lit(width))
+          .bitwiseAND(lit((1L << width) - 1L)))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_val")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** d04_ngram_jaccard — exact n-gram Jaccard pairs ≥ tau.
+    *
+    * Candidates via shingle equi-join: explode distinct shingles,
+    * join on `xxhash64(shingle)` (8-byte shuffle key, never the
+    * text), count shared shingles per pair, score
+    * inter / (|A| + |B| - inter). Pairs sharing no shingle can't
+    * reach tau > 0, so the join IS the candidate filter.
+    *
+    * `maxDf` caps the document frequency of join shingles — the
+    * quadratic term is Σ df², so dropping shingles present in more
+    * than maxDf docs bounds the blowup at corpus scale (boilerplate
+    * shingles are exactly the ones that explode). Default Int.MaxValue
+    * = off, which is what the oracle checks; the cap itself is
+    * spec-tested separately.
+    */
+  def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.6,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleSets(documents, n)
+    val exploded = sets
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
+    val posting =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val df = exploded.groupBy(col("gh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("gh"))
+        exploded.join(df, Seq("gh")) // inner join drops hot shingles
+      }
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** d05_dedup_embedding — embedding near-duplicates: cosine ≥ tau
+    * within label blocks. The label is the blocking key (cluster id
+    * at corpus scale), so the pair space is Σ block², not corpus²,
+    * and the join shuffles each block to one place. Dot/norms in
+    * IEEE-double left-folds (see VectorOps precision contract).
+    */
+  def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators m01–m02: image/audio/video payloads as
+  * opaque `binary` columns with typed metadata and feature extraction
+  * via per-partition batch processing (`mapPartitions`) — the shape a
+  * real decoder (PIL/ffmpeg/torchvision) plugs into. The decode step
+  * itself is a DETERMINISTIC STUB (this container ships no media
+  * libraries): it derives width/height/frames/features from the
+  * payload bytes, so the Spark-side plumbing — binary schema, batch
+  * iterator, typed output encoder, no driver collect — is fully real
+  * and oracle-checkable while the codec is fake.
+  *
+  * The test corpus has no binary table, so the payload is
+  * materialized from `documents.text` (`cast to binary` = UTF-8
+  * bytes), standing in for an image/audio blob column.
+  */
+object Multimodal {
+
+  /** Typed metadata record a real container probe would return. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, magic: String,
+      width: Long, height: Long, n_frames: Long)
+
+  /** Fixed-width feature record (16-bin nibble histogram stub). */
+  final case class MediaFeatures(doc_id: Long, features: Seq[Double])
+
+  private def payloads(documents: DataFrame) =
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** m01_multimodal_meta — per-payload typed metadata: byte size,
+    * 4-byte magic (hex), and stub-decoded dimensions. Runs as a
+    * partition-batch pass over the binary column: each executor core
+    * receives an iterator of payloads and maps them through the
+    * (stubbed) probe — exactly where a batched decoder goes. Pure
+    * map-side, no shuffle.
+    */
+  def multimodalMeta(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    payloads(documents).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          // STUB decode: a real probe parses the container header here.
+          val magic = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          MediaMeta(id, n, magic,
+            width = 16L + n % 624L,
+            height = 16L + (n * 7L) % 464L,
+            n_frames = 1L + n % 9L)
+        }
+      }
+      .toDF()
+  }
+
+  /** m02_image_features — payload → fixed-width feature vector (16
+    * doubles). Stub featurizer: normalized high-nibble histogram of
+    * the payload bytes — deterministic, byte-shape-sensitive, and the
+    * same batch-iterator signature a real embedding model (batched
+    * tensor in, vector out) requires. Map-side only.
+    */
+  def imageFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    payloads(documents).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val hist = new Array[Double](16)
+          bytes.foreach(b => hist((b >> 4) & 0xf) += 1d)
+          val n = math.max(bytes.length, 1).toDouble
+          MediaFeatures(id,
+            hist.toIndexedSeq.map(c => math.rint(c / n * 1e6) / 1e6))
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity-search operators s01–s02: approximate-nearest-neighbor
+  * over the `embeddings` table's `array<float>` column.
+  *
+  * Scale design: the QUERY side is the small side — it is broadcast,
+  * so the corpus is scanned exactly once, map-side, with no corpus
+  * shuffle (s01), or pruned to one centroid's cluster before scoring
+  * (s02). Top-k selection is two-phase (per-shard then global) so the
+  * final per-query rank never funnels the whole corpus through
+  * #queries partitions.
+  */
+object Similarity {
+
+  /** Number of local top-k shards in phase 1. Any value ≥ the
+    * cluster's parallelism works; results are identical regardless.
+    */
+  private val shards = 32
+
+  private def scored(corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+
+  /** Two-phase deterministic top-k per query: phase 1 ranks inside
+    * (q_id, shard-of-vec_id) — map-side cardinality k·shards per
+    * query — phase 2 ranks the k·shards survivors globally. Ties
+    * break on vec_id so the result is total-ordered.
+    */
+  private def topK(scoredDf: DataFrame, k: Int): DataFrame = {
+    val local = Window
+      .partitionBy(col("q_id"), pmod(xxhash64(col("vec_id")), lit(shards)))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scoredDf
+      .withColumn("r_local", row_number().over(local))
+      .filter(col("r_local") <= k)
+      .withColumn("rnk", row_number().over(global).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  private def normed(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"), col("label"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+
+  /** s01_ann_bruteforce — exact cosine top-k per query vector, the
+    * ANN correctness baseline. Queries = every `queryStride`-th
+    * vector (broadcast); corpus scanned once.
+    */
+  def annBruteForce(embeddings: DataFrame, k: Int = 5,
+      queryStride: Int = 50): DataFrame = {
+    val e = normed(embeddings)
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    topK(scored(e, q), k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Per-label mean vector — the IVF "centroid table"
+    * (#labels rows, broadcastable). Element-wise mean via
+    * posexplode → (label, pos) average → re-assemble ordered array.
+    */
+  def centroids(embeddings: DataFrame): DataFrame =
+    normed(embeddings)
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn", VectorOps.l2norm(col("cv")))
+
+  /** s02_ann_ivf — IVF-style ANN: assign each query to its nearest
+    * centroid (broadcast #labels × #queries cross — both tiny), then
+    * score ONLY the probed cluster's vectors. The corpus-side work
+    * drops from |corpus| to |cluster| per query — the 100 TB path
+    * where brute force stops being an option. Recall < 1 by design;
+    * the spec checks it against s01.
+    */
+  def annIvf(embeddings: DataFrame, k: Int = 5,
+      queryStride: Int = 50): DataFrame = {
+    val e = normed(embeddings)
+    val cent = centroids(embeddings)
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("label").asc)
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("label").as("probe_label"))
+    val inCluster = e
+      .join(broadcast(probe), col("label") === col("probe_label") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+    topK(inCluster, k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        col("probe_label"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RollingHash, TextOps}
+
+/** Text-analysis operators t01–t04 — the per-record QC pass of the
+  * reference (/root/reference/tools.py:101-144, fastqc computes
+  * per-record quality/length/composition stats) generalized to a
+  * document corpus. Every operator is a pure per-row projection: no
+  * shuffle at all, trivially linear at 100 TB, and entirely inside
+  * whole-stage codegen (t04 via a custom Expression, the rest via
+  * built-in string/array functions).
+  */
+object TextAnalysis {
+
+  /** Language → stopword list for the n-gram/stopword-hit heuristic.
+    * Deliberately tiny: the heuristic's value is its shape (argmax of
+    * per-language evidence, deterministic tiebreak), not lexicon size.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "和"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(words.map(lit): _*), t))).cast("long")
+
+  /** t01_lang_id — stopword-hit language identification: count hits
+    * of each language's stopword list over the whitespace tokens,
+    * predict the argmax (ties broken alphabetically, all-zero →
+    * 'und'). Emits the per-language evidence so downstream filters
+    * can threshold on confidence.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val withHits = documents.select(
+      col("doc_id") +: col("lang") +: stopwords.map { case (l, ws) =>
+        hits(toks, ws).as(s"hits_$l")
+      }: _*)
+    val Seq(de, en, es, fr, zh) = stopwords.map(l => col(s"hits_${l._1}"))
+    withHits.withColumn("pred_lang",
+      when(greatest(de, en, es, fr, zh) === 0, "und")
+        .when(de >= en && de >= es && de >= fr && de >= zh, "de")
+        .when(en >= es && en >= fr && en >= zh, "en")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh"))
+  }
+
+  /** t02_quality_score — composition-ratio quality scoring: alpha /
+    * digit / whitespace / other-char ratios plus token count and
+    * (English) stopword rate, combined into a [0,1] composite. The
+    * character classes are computed by arithmetic over regexp-stripped
+    * lengths so Spark and the SQL oracle share one definition.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val t = lower(trim(col("text")))
+    documents
+      .select(col("doc_id"), t.as("t"), TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("t")).cast("long").as("n_chars_t"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("t"), "[^a-z]", "")).cast("long").as("n_alpha"),
+        length(regexp_replace(col("t"), "[^0-9]", "")).cast("long").as("n_digit"),
+        (length(col("t")) - length(regexp_replace(col("t"), "\\s", "")))
+          .cast("long").as("n_space"),
+        hits(col("toks"), stopwords.toMap.apply("en")).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars_t"), col("n_tokens"),
+        round(col("n_alpha") / col("n_chars_t"), 4).as("alpha_ratio"),
+        round((col("n_chars_t") - col("n_alpha") - col("n_digit") -
+          col("n_space")) / col("n_chars_t"), 4).as("punct_ratio"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          (col("n_alpha") / col("n_chars_t")) * 0.5 +
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.3 +
+            least(col("n_stop") / col("n_tokens") * 5.0, lit(1.0)) * 0.2,
+          4).as("quality_score"))
+  }
+
+  /** t03_token_count — whitespace tokens and a BPE-ish regex token
+    * count (letter runs | digit runs | single non-alnum marks), the
+    * standard pre-tokenizer shape, plus chars-per-token.
+    */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    documents.select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      round(length(trim(col("text"))) /
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))), 4)
+        .as("chars_per_token"))
+  }
+
+  /** t04_fingerprint — rolling min-window polynomial hash per
+    * document via the native RollingMinHash Expression (codegen'd;
+    * see functions/RollingHash.scala). Window 16 bytes, B=31,
+    * M=1e9+7 — the classic Rabin–Karp / winnowing fingerprint shape.
+    */
+  def fingerprint(documents: DataFrame, window: Int = 16): DataFrame =
+    documents.select(
+      col("doc_id"),
+      RollingHash.rollingFingerprint(col("text"), window).as("fp"))
+}

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators st01–st02 over the `events` table.
+  *
+  * The reference pipeline is incremental: samples land and are
+  * processed as they arrive (/root/reference/mainScript.py:345-363
+  * fans out work per arriving sample). The Spark-native replacement
+  * is a file-source stream: new parquet files under a directory are
+  * discovered per micro-batch and flow through the same declarative
+  * aggregations as the batch operators — st01 must equal q10-shaped
+  * batch output, st02 must equal q16 exactly, which is what the
+  * driver's oracle checks.
+  *
+  * Harness note: to make a FINITE stream comparable to batch, st01
+  * runs `Trigger.AvailableNow` in complete mode (every window emitted
+  * at end-of-stream; watermark-based state eviction is what a
+  * production 24/7 job would enable in append mode), and st02 appends
+  * a far-future SENTINEL event so the watermark passes every real
+  * session and the no-data final micro-batch flushes all session
+  * state through the event-time timeout.
+  */
+object StreamOps {
+
+  /** Event after timestamp normalization (epoch micros). */
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+
+  /** Per-user session state: next session ordinal + the open session's
+    * running aggregate. Bounded: one open session per key, ever.
+    */
+  final case class OpenSession(nextIdx: Long, startUs: Long, endUs: Long,
+      n: Long, sum: Double)
+
+  final case class SessionOut(user_id: Long, session_idx: Long,
+      n_events: Long, session_start_us: Long, session_end_us: Long,
+      sum_value: Double)
+
+  /** Stage `$dir/events.parquet` (a single file) into a temp DIRECTORY
+    * and open it as a file-source stream — Spark's FileStreamSource
+    * monitors directories, not files. Staging goes through
+    * `Tables.events`, so `ts` is already normalized to TimestampType
+    * micros (the raw files carry TIMESTAMP(NANOS)). In production the
+    * source is simply the landing directory new files arrive in and no
+    * staging exists.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_st01_").toString
+    val batch = graft.Tables.events(spark, dir)
+    batch.write.mode("overwrite").parquet(stage)
+    spark.readStream.schema(batch.schema).parquet(stage)
+  }
+
+  /** st01_stream_window — tumbling-window count/sum per event type,
+    * streaming edition of q10's binned coverage. File source →
+    * event-time window agg → AvailableNow. The aggregation state is
+    * bounded by (#windows × #types); in a 24/7 deployment the same
+    * plan runs in append mode and the watermark evicts closed windows.
+    */
+  def streamWindow(spark: SparkSession, dir: String,
+      windowSeconds: Long = 21600L): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    val sink = s"st01_mem_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      expr(s"unix_micros(window.start) DIV ${windowSeconds * 1000000L}")
+        .as("bin_id"),
+      col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-session logic shared with the q16 batch oracle: fold the
+    * user's events (sorted by ts_us, event_id) into gap-delimited
+    * sessions, emitting every CLOSED session immediately and keeping
+    * the single open tail in state with an event-time timeout at
+    * (end + gap); the timeout fires once the watermark passes, which
+    * is when a session can no longer be extended.
+    */
+  private def sessionFn(gapUs: Long)(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    // HALF_UP to match Spark's round() (q16) and the DuckDB oracle.
+    def emit(s: OpenSession): SessionOut =
+      SessionOut(userId, s.nextIdx, s.n, s.startUs, s.endUs,
+        BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val closed = Vector.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.ts_us - s.endUs <= gapUs =>
+            open = Some(s.copy(endUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed += emit(s)
+            open = Some(OpenSession(s.nextIdx + 1, e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            open = Some(OpenSession(1L, e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // never earlier than the current watermark (Spark rejects that)
+        state.setTimeoutTimestamp(math.max(
+          s.endUs / 1000L + gapUs / 1000L + 1L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** st02_stream_session — stateful gap sessionization with
+    * flatMapGroupsWithState (event-time timeout), streaming edition
+    * of q16 with identical output. The sentinel event (user −1, far
+    * future) only exists to close the finite test stream: it pushes
+    * the watermark past every real session so the final no-data
+    * micro-batch fires all timeouts. State is one OpenSession per
+    * active user — O(active users), not O(events).
+    */
+  def streamSessions(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    // Stage the finite input: the real events plus one sentinel row.
+    val stage = Files.createTempDirectory("graft_st02_").toString
+    val batch = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"), col("value"))
+    batch.write.mode("overwrite").parquet(stage)
+    val horizon = batch.agg(max(col("ts_us"))).head.getLong(0)
+    Seq((-1L, -1L, horizon + 365L * 86400L * 1000000L, 0.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+      .write.mode("append").parquet(stage)
+
+    val src = spark.readStream
+      .schema(batch.schema)
+      .parquet(stage)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+    val sessions = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionFn(gapUs))
+    val sink = s"st02_mem_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start_us"), col("session_end_us"), col("sum_value"))
+  }
+}
