@@ -27,13 +27,22 @@ object TextOps {
     * stream. Empty array when the document has fewer than n tokens
     * (Spark's `sequence` would otherwise count DOWN for a negative
     * span).
+    *
+    * The token array is LET-BOUND through a single-element
+    * `transform(array(tokens), tk => …)`: lambda variables are
+    * evaluated once per row, whereas inlining `tokens(text)` directly
+    * would re-run the regex split inside every `element_at` of the
+    * shingle lambda — O(n_tokens) splits per row instead of one
+    * (measured 6× slower end-to-end on d04).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tk =>
+        when(size(tk) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(tk, i + j + 1)): _*))))
+          .otherwise(array().cast("array<string>"))),
+      1)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{HashExprs, TextOps, VectorOps}
 
 /** Deduplication operators d01–d05 — the LLM-training-data
   * generalization of the reference's rmdup step
@@ -40,11 +40,16 @@ object Dedup {
 
   /** Per-doc distinct shingle sets, shared by d02/d04.
     * (doc_id, sh: array<string>, nsh: int)
+    *
+    * The short-doc filter runs on the cheap token COUNT before the
+    * shingle projection — filtering on `size(sh) > 0` after would
+    * push the whole shingle expression into the filter and evaluate
+    * it twice per row.
     */
   private def shingleSets(documents: DataFrame, n: Int): DataFrame =
     documents
+      .filter(size(TextOps.tokens(col("text"))) >= n)
       .select(col("doc_id"), TextOps.wordShingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
 
   /** d02_dedup_minhash — MinHash+LSH near-duplicate pairs.
@@ -67,27 +72,35 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sets = shingleSets(documents, n)
-    val sig = sets.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))))
-    // one row per (doc, band): bucket = hash of that band's signature slice
+    // Signature in ONE pass over the shingles (native MinHashSigs
+    // kernel: each shingle hashed once, 64 seeded re-hashes of the
+    // 8-byte digest), then band buckets from signature slices.
+    val sig = sets.select(col("doc_id"),
+      HashExprs.minhashSigs(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
-      col("doc_id"), col("sh"), col("nsh"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+    // SLIM candidate join: only (band, bucket, doc_id) crosses the
+    // shuffle — carrying the shingle arrays through the 16×-exploded
+    // band join would move ~16 copies of every document's shingles.
+    // The arrays join back once per surviving candidate pair.
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sh").as("sha"), col("a.nsh").as("nsha"),
-        col("b.sh").as("shb"), col("b.nsh").as("nshb"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db") // same pair can collide in several bands
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"),
+        col("nsh").as("nsha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"),
+        col("nsh").as("nshb")), "db")
     val inter = size(array_intersect(col("sha"), col("shb")))
-    candidates
+    verified
       .withColumn("jaccard",
         inter.cast("double") / (col("nsha") + col("nshb") - inter).cast("double"))
       .filter(col("jaccard") >= tau)
@@ -109,22 +122,13 @@ object Dedup {
       chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
-    val toks = documents
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-    // per-bit signed vote over the token stream, then assemble the word
-    val sim = toks.withColumn("simhash",
-      aggregate(
-        sequence(lit(0), lit(63)),
-        lit(0L),
-        (acc, j) => acc + when(
-          aggregate(col("toks"), lit(0L),
-            (s, t) => s + when(
-              call_function("shiftright", xxhash64(t), j)
-                .bitwiseAND(lit(1L)) === 1L,
-              1L).otherwise(-1L)) > 0L,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))))
-      .select(col("doc_id"), col("simhash"))
+    // Per-bit signed vote over the token stream in one pass (native
+    // SimHash64 kernel: each token hashed once, 64-wide vote loop in
+    // JIT'd code — the HOF formulation re-hashed every token per bit).
+    val sim = documents
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        HashExprs.simhash64(TextOps.tokens(col("text"))).as("simhash"))
     val chunked = sim.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),

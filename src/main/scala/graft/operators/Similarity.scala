@@ -82,15 +82,16 @@ object Similarity {
         x => x.getField("c")).as("cv"))
       .withColumn("cn", VectorOps.l2norm(col("cv")))
 
-  /** s02_ann_ivf — IVF-style ANN: assign each query to its nearest
-    * centroid (broadcast #labels × #queries cross — both tiny), then
-    * score ONLY the probed cluster's vectors. The corpus-side work
-    * drops from |corpus| to |cluster| per query — the 100 TB path
-    * where brute force stops being an option. Recall < 1 by design;
-    * the spec checks it against s01.
+  /** s02_ann_ivf — IVF-style ANN: assign each query to its `nprobe`
+    * nearest centroids (broadcast #labels × #queries cross — both
+    * tiny), then score ONLY the probed clusters' vectors. The
+    * corpus-side work drops from |corpus| to nprobe·|cluster| per
+    * query — the 100 TB path where brute force stops being an option.
+    * Recall < 1 by design and rises with nprobe; the spec checks both
+    * against s01.
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
-      queryStride: Int = 50): DataFrame = {
+      queryStride: Int = 50, nprobe: Int = 1): DataFrame = {
     val e = normed(embeddings)
     val cent = centroids(embeddings)
     val q = e.filter(col("vec_id") % queryStride === 0)
@@ -102,7 +103,7 @@ object Similarity {
       .withColumn("c_cos", VectorOps.cosineFrom(
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") === 1)
+      .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"),
         col("label").as("probe_label"))
     val inCluster = e

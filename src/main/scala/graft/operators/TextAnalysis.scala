@@ -37,10 +37,15 @@ object TextAnalysis {
     * can threshold on confidence.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val withHits = documents.select(
+    // Materialize the token array once: the 5 per-language hit
+    // counters all reference `toks`, and a multiply-referenced
+    // non-trivial alias is not inlined by CollapseProject — inlining
+    // `tokens(text)` directly would run the regex split 5× per row.
+    val withToks = documents.select(
+      col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val withHits = withToks.select(
       col("doc_id") +: col("lang") +: stopwords.map { case (l, ws) =>
-        hits(toks, ws).as(s"hits_$l")
+        hits(col("toks"), ws).as(s"hits_$l")
       }: _*)
     val Seq(de, en, es, fr, zh) = stopwords.map(l => col(s"hits_${l._1}"))
     withHits.withColumn("pred_lang",
@@ -90,14 +95,19 @@ object TextAnalysis {
     */
   def tokenCount(documents: DataFrame): DataFrame = {
     val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-    documents.select(
-      col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
-      round(length(trim(col("text"))) /
-        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))), 4)
-        .as("chars_per_token"))
+    // Two projections so the BPE regex runs once per row: the count
+    // feeds both the output column and the chars-per-token divisor.
+    documents
+      .select(
+        col("doc_id"),
+        length(trim(col("text"))).as("trimmed_len"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .select(
+        col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        round(col("trimmed_len") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
   }
 
   /** t04_fingerprint — rolling min-window polynomial hash per

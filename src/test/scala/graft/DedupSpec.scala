@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Synthetic corpus with known structure: docs 1/2 are exact dups
+    * modulo case+whitespace, docs 3/4 are near-dups (1 word of 60
+    * changed), docs 5/6 are unrelated.
+    */
+  private def planted: DataFrame = {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 30).map(i => s"tok$i") ++ Seq("CHANGED") ++
+      (32 to 60).map(i => s"tok$i")).mkString(" ")
+    Seq(
+      (1L, base),
+      (2L, "  " + base.toUpperCase + " "),
+      (3L, base + " extra trailer tokens here"),
+      (4L, near + " extra trailer tokens here"),
+      (5L, (1 to 60).map(i => s"other$i").mkString(" ")),
+      (6L, (1 to 60).map(i => s"unrelated$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("d01: exact dups collapse to min doc_id with group size") {
+    val out = Dedup.dedupExact(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)          // docs 1,2 merged, min id kept
+    assert(!out.contains(2L))
+    assert(out(3L) === 1L && out(5L) === 1L)
+    assert(out.values.sum === 6L)   // every doc accounted for
+  }
+
+  test("d02: LSH finds planted near-dup pair, no all-pairs join") {
+    val df = Dedup.dedupMinhash(planted)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))       // near-dup found
+    assert(pairs.contains((1L, 2L)))       // exact dup found
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be banded, never all-pairs")
+  }
+
+  test("d02: matches d04's exact pairs on real data (recall at high j)") {
+    // Every exact-Jaccard pair at tau well above the LSH S-curve knee
+    // must be found by the banded candidate generation.
+    val exact = Dedup.ngramJaccard(Tables.documents(spark, sf), tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("d03: operator finds exactly the pairs the kernel puts under the bound") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = planted.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sim(t: String): Long = graft.functions.SimHash64.compute(
+      new GenericArrayData(t.trim.toLowerCase.split("\\s+")
+        .map(UTF8String.fromString(_): Any)))
+    val ids = texts.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sim(texts(a)) ^ sim(texts(b))) <= 3
+    } yield (a, b)).toSet
+    val out = Dedup.dedupSimhash(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(out.map(t => (t._1, t._2)).toSet === expected)
+    // docs 1,2 are token-identical after normalization: hamming 0
+    assert(expected.contains((1L, 2L)))
+    assert(out.find(t => (t._1, t._2) == ((1L, 2L))).get._3 === 0L)
+  }
+
+  test("d04: exact jaccard math on planted pair") {
+    val rows = Dedup.ngramJaccard(planted, tau = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1,2: identical after normalization -> jaccard 1.0
+    assert(rows((1L, 2L)) === 1.0)
+    // docs 3,4: 62 distinct 3-gram shingles each; changing token 31
+    // breaks shingles covering positions 29-31 -> 59 shared
+    val j34 = 59.0 / (62 + 62 - 59)
+    assert(math.abs(rows((3L, 4L)) - math.rint(j34 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("d04: maxDf cap drops boilerplate shingles from candidates") {
+    import spark.implicits._
+    // 5 docs sharing one boilerplate phrase, otherwise disjoint.
+    val docs = (1 to 5).map(i =>
+      (i.toLong, s"common boiler plate ${(1 to 30).map(j => s"w${i}_$j").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, tau = 0.0001, maxDf = 2)
+    // 'common boiler plate' (df=5) is dropped; no shared shingles remain
+    assert(capped.count() === 0)
+    val uncapped = Dedup.ngramJaccard(docs, tau = 0.0001)
+    assert(uncapped.count() === 10) // all C(5,2) pairs share the phrase
+  }
+
+  test("d05: embedding near-dups respect label blocks and threshold") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0f), 0),   // same label, cosine ~0.995
+      (3L, Seq(0f, 1f, 0f), 0),        // same label, orthogonal to 1
+      (4L, Seq(1f, 0f, 0f), 1)         // parallel to 1 but other label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.dedupEmbedding(emb, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("m01: metadata is a pure function of the payload bytes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val meta = Multimodal.multimodalMeta(docs)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val raw = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(meta.size === raw.size)
+    raw.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val (_, nBytes, magic, w, h, f) = meta(id)
+      assert(nBytes === bytes.length.toLong)
+      assert(magic ===
+        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
+      assert(w === 16L + nBytes % 624L)
+      assert(h === 16L + (nBytes * 7L) % 464L)
+      assert(f === 1L + nBytes % 9L)
+    }
+  }
+
+  test("m02: feature vectors are 16-wide normalized histograms") {
+    import spark.implicits._
+    val out = Multimodal.imageFeatures(Tables.documents(spark, sf).limit(50))
+      .as[(Long, Seq[Double])].collect()
+    assert(out.length === 50)
+    out.foreach { case (_, feats) =>
+      assert(feats.length === 16)
+      assert(feats.forall(v => v >= 0.0 && v <= 1.0))
+      // rounded to 1e-6 per bin -> sum within 16 ulps of 1
+      assert(math.abs(feats.sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("m02: features are deterministic across runs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(10)
+    val a = Multimodal.imageFeatures(docs).as[(Long, Seq[Double])]
+      .collect().toMap
+    val b = Multimodal.imageFeatures(docs).as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(a === b)
+  }
+}

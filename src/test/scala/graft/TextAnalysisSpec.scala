@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{MinHashSigs, RollingMinHash, SimHash64}
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t01: planted texts in each language are identified") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "de", "der hund und die katze ist nicht da"),
+      (2L, "en", "the cat is of the dog and a bird"),
+      (3L, "es", "el perro y la casa es un gato"),
+      (4L, "fr", "le chien et la maison est un chat"),
+      (5L, "zh", "的 是 在 了 不 和"),
+      (6L, "und", "zzz qqq www")
+    ).toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.langId(planted).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[String]("pred_lang"))
+    pred.foreach { case (want, got) => assert(got === want) }
+  }
+
+  test("t01: prediction equals a driver-side recomputation of the argmax") {
+    // The testdata text is language-agnostic gibberish, so agreement
+    // with the lang LABEL is meaningless; what must hold is that the
+    // distributed argmax matches an independent reimplementation.
+    val out = TextAnalysis.langId(Tables.documents(spark, sf)).collect()
+    assert(out.length > 0)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lists = TextAnalysis.stopwords.toMap
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("\\s+").toSeq
+      val h = Seq("de", "en", "es", "fr", "zh")
+        .map(l => l -> toks.count(lists(l).contains(_)).toLong)
+      h.foreach { case (l, n) => assert(r.getAs[Long](s"hits_$l") === n) }
+      val want =
+        if (h.forall(_._2 == 0)) "und"
+        else h.maxBy(x => (x._2, x._1))(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))._1
+      assert(r.getAs[String]("pred_lang") === want)
+    }
+  }
+
+  test("t02: ratios and composite score stay in [0, 1]") {
+    val rows = TextAnalysis.qualityScore(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("alpha_ratio", "punct_ratio", "stop_ratio", "quality_score")
+        .foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+        }
+    }
+  }
+
+  test("t03: BPE-ish tokens at least as fine as whitespace tokens") {
+    val rows = TextAnalysis.tokenCount(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_ws_tokens"))
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
+  test("t04: codegen output equals the interpreted kernel") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val viaExpr = TextAnalysis.fingerprint(docs).as[(Long, Long)]
+      .collect().toMap
+    val direct = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, text) =>
+        id -> RollingMinHash.compute(
+          text.getBytes("UTF-8"), 16, 31L, 1000000007L)
+      }.toMap
+    assert(viaExpr === direct)
+    assert(viaExpr.values.toSet.size > 1, "fingerprints must discriminate")
+  }
+
+  test("t04: rolling update equals naive window re-hash") {
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val w = 16
+    val naive = bytes.sliding(w).map { win =>
+      win.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    }.min
+    assert(RollingMinHash.compute(bytes, w, 31L, 1000000007L) === naive)
+  }
+
+  test("minhash/simhash kernels equal the HOF formulation they replaced") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    // reference: the original Column-level expressions
+    val hofSig = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => array_min(transform(toks, s => xxhash64(s, i)))).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val kernelSig = docs.select(col("doc_id"),
+      graft.functions.HashExprs.minhashSigs(toks, 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernelSig === hofSig)
+
+    val hofSim = docs.select(col("doc_id"),
+      aggregate(sequence(lit(0), lit(63)), lit(0L),
+        (acc, j) => acc + when(
+          aggregate(toks, lit(0L),
+            (s, t) => s + when(call_function("shiftright", xxhash64(t), j)
+              .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0L,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val kernelSim = docs.select(col("doc_id"),
+      graft.functions.HashExprs.simhash64(toks).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernelSim === hofSim)
+  }
+
+  test("hash expressions survive interpreted (non-codegen) eval") {
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
+    val sigs = MinHashSigs.compute(arr, 4)
+    assert(sigs.numElements() === 4)
+    val sim = SimHash64.compute(arr)
+    assert(sim !== 0L)
+    // empty input edge cases
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any]())
+    assert(SimHash64.compute(empty) === 0L)
+    assert(MinHashSigs.compute(empty, 2).toLongArray.forall(_ == Long.MaxValue))
+  }
+}
