@@ -85,6 +85,8 @@ object SparkEntry {
       StreamOps.streamWindow(s, d)),
     "st02_stream_session" -> ((s, d) =>
       StreamOps.streamSessions(s, d)),
+    "k01_partitioned_sink" -> ((s, d) =>
+      graft.sources.PartitionedSink.ordersByPriority(Tables.orders(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -375,5 +377,9 @@ object SparkEntry {
                 round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
     "st02_stream_session" -> sessionizeSql,
+    "k01_partitioned_sink" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders GROUP BY 1""",
   )
 }
