@@ -27,20 +27,40 @@ object Pipeline {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
-  /** q11_interval_count — interval/range join + count per feature, the
-    * htseq-count step (reference tools.py:625-674): each fact falls
-    * into an annotation band [lo, hi). The band table is tiny →
-    * broadcast nested-loop join; the fact side never shuffles.
+  /** General interval (range) join via a binned equi-join prefilter —
+    * the 100 TB-safe htseq-count shape. A naive `lo <= x < hi` join
+    * is a nested loop over every (fact, interval) pair: fine for a
+    * dozen bands, a scale-killer at annotation scale (10⁵–10⁶
+    * intervals). Instead each interval is exploded into the
+    * fixed-width bins it overlaps and each fact computes its single
+    * bin, so the join is an EQUI-join on bin (hash join, broadcast or
+    * shuffled) with the exact range predicate as a residual. Bin
+    * count per interval = O(interval width / binWidth), so the
+    * explode is bounded; the fact side adds one projected column and
+    * never replicates.
     */
-  def intervalCount(spark: SparkSession, lineitem: DataFrame): DataFrame = {
-    val bands = priceBands(spark)
-    lineitem
-      .join(broadcast(bands),
-        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+  def intervalJoin(facts: DataFrame, intervals: DataFrame, factCol: String,
+      binWidth: Double): DataFrame = {
+    val binned = intervals.withColumn("bin",
+      explode(sequence(
+        floor(col("lo") / binWidth).cast("long"),
+        (ceil(col("hi") / binWidth) - 1).cast("long"))))
+    facts
+      .withColumn("bin", floor(col(factCol) / binWidth).cast("long"))
+      .join(broadcast(binned), Seq("bin"), "inner")
+      .filter(col(factCol) >= col("lo") && col(factCol) < col("hi"))
+  }
+
+  /** q11_interval_count — interval join + count per feature, the
+    * htseq-count step (reference tools.py:625-674): each fact falls
+    * into an annotation band [lo, hi); counts per band. Uses the
+    * binned equi-join (hash join on bin), not a nested loop.
+    */
+  def intervalCount(spark: SparkSession, lineitem: DataFrame): DataFrame =
+    intervalJoin(lineitem, priceBands(spark), "l_extendedprice", 10000.0)
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity")).as("sum_qty"))
-  }
 
   /** Annotation bands (≈ GTF features): 12 price intervals of 10k. */
   def priceBands(spark: SparkSession): DataFrame = {

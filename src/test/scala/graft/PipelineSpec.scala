@@ -11,10 +11,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(total === Tables.events(spark, sf).count())
   }
 
-  test("q11_interval_count: broadcast band join covers all items in range") {
+  test("q11_interval_count: binned EQUI-join (hash, not nested loop)") {
     val df = SparkEntry.queries("q11_interval_count")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
     val total = df.collect().map(_.getAs[Long]("n_items")).sum
     val inRange = Tables.lineitem(spark, sf)
       .filter("l_extendedprice >= 0 AND l_extendedprice < 120000").count()
