@@ -87,6 +87,10 @@ object SparkEntry {
       StreamOps.streamSessions(s, d)),
     "k01_partitioned_sink" -> ((s, d) =>
       graft.sources.PartitionedSink.ordersByPriority(Tables.orders(s, d))),
+    "p01_corpus_clean" -> ((s, d) =>
+      Corpus.corpusClean(Tables.documents(s, d))),
+    "q19_approx_distinct" -> ((s, d) =>
+      Corpus.approxMetrics(Tables.orders(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -381,5 +385,36 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_rows,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders GROUP BY 1""",
+    // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
+    "p01_corpus_clean" ->
+      """WITH b AS (
+           SELECT doc_id, lang, source, text, lower(trim(text)) AS t,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, source, text,
+             len(toks) AS n_tokens,
+             round((length(regexp_replace(t, '[^a-z]', '', 'g')) * 1.0
+                    / length(t)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.3
+                   + least(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is'], x)))
+                     * 1.0 / len(toks) * 5.0, 1.0) * 0.2,
+                   4) AS quality_score
+           FROM b),
+         kept AS (
+           SELECT *, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+           FROM scored WHERE quality_score >= 0.5),
+         reps AS (
+           SELECT lang, source, n_tokens, quality_score
+           FROM (SELECT *, row_number() OVER (PARTITION BY k
+                   ORDER BY doc_id) AS rn
+                 FROM kept)
+           WHERE rn = 1)
+         SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                round(sum(CAST(round(quality_score * 10000, 0) AS BIGINT))
+                      * 1.0 / count(*), 0) / 10000.0 AS avg_quality
+         FROM reps GROUP BY 1, 2""",
   )
 }

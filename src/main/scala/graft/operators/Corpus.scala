@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** End-to-end corpus preparation (p01) and sketch-based metrics
+  * (q19) — the composed form of the per-step operators, mirroring how
+  * the reference chains QC → trim → dedup per sample
+  * (/root/reference/tools.py:877-909 step DAG).
+  */
+object Corpus {
+
+  /** p01_corpus_clean — quality-filter → exact-dedup → per-slice
+    * stats, the canonical LLM-corpus prep pipeline as ONE declarative
+    * plan. Everything before the final aggregate is map-side except
+    * the dedup shuffle, which carries only (hash, slice keys, two
+    * numerics) — never the text. The representative of each duplicate
+    * group is the min-doc_id survivor, chosen via `min_by` partial
+    * aggregation (no window sort).
+    */
+  def corpusClean(documents: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val kept = TextAnalysis
+      .qualityScore(documents, passthrough = Seq("lang", "source", "text"))
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("quality_score"),
+        xxhash64(TextOps.normText(col("text"))).as("text_hash"))
+    val reps = kept
+      .groupBy(col("text_hash"))
+      .agg(min_by(
+        struct(col("lang"), col("source"), col("n_tokens"),
+          col("quality_score")),
+        col("doc_id")).as("r"))
+    reps
+      .groupBy(col("r.lang").as("lang"), col("r.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r.n_tokens")).as("sum_tokens"),
+        // Average over exact integer ten-thousandths, rounding at the
+        // INTEGER level before the final /1e4: summing the rounded
+        // doubles is order-sensitive in the last ulp, and rounding
+        // S/(n·1e4) directly ties at the 5th decimal on a
+        // non-representable value where engines disagree; S/n ties
+        // on an exactly-representable x.5, which every engine rounds
+        // identically (half away from zero).
+        (round(
+          sum(round(col("r.quality_score") * 10000, 0).cast("long")) /
+            count(lit(1)), 0) / 10000.0).as("avg_quality"))
+  }
+
+  /** q19_approx_distinct — q13's metrics with the 100 TB distinct
+    * path: HyperLogLog++ (`approx_count_distinct`) instead of exact
+    * `count(DISTINCT)`. Exact distinct expands every row per distinct
+    * aggregate and shuffles twice; the sketch is a fixed-size
+    * mergeable state, so the plan is one partial+final hash
+    * aggregate. Not SQL-oracle-comparable (DuckDB's HLL differs) —
+    * the spec bounds the relative error against the exact count.
+    */
+  def approxMetrics(orders: DataFrame, rsd: Double = 0.02): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        approx_count_distinct(col("o_custkey"), rsd).as("approx_customers"))
+}

@@ -68,7 +68,8 @@ object Dedup {
     * (seeded hashes), so the driver's re-run reproduces it bit-for-bit.
     */
   def dedupMinhash(documents: DataFrame, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, tau: Double = 0.6): DataFrame = {
+      bands: Int = 16, tau: Double = 0.6,
+      maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sets = shingleSets(documents, n)
@@ -83,12 +84,27 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+    // Hot-bucket guard: a (band, bucket) shared by B docs yields
+    // B²/2 candidate pairs — a run of thousands of IDENTICAL
+    // documents (which d01 should have removed upstream, but corpora
+    // misbehave) would otherwise detonate one bucket into millions
+    // of pairs. Buckets above maxBucket are dropped; true near-dups
+    // lose nothing because they co-occur in ~all 16 bands.
+    val trimmed =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val ok = banded.groupBy(col("band_id"), col("bucket"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket)
+          .select(col("band_id"), col("bucket"))
+        banded.join(ok, Seq("band_id", "bucket"))
+      }
     // SLIM candidate join: only (band, bucket, doc_id) crosses the
     // shuffle — carrying the shingle arrays through the 16×-exploded
     // band join would move ~16 copies of every document's shingles.
     // The arrays join back once per surviving candidate pair.
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    val candidates = trimmed.as("a")
+      .join(trimmed.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -63,11 +63,14 @@ object TextAnalysis {
     * character classes are computed by arithmetic over regexp-stripped
     * lengths so Spark and the SQL oracle share one definition.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val t = lower(trim(col("text")))
+    val extra = passthrough.map(col)
     documents
-      .select(col("doc_id"), t.as("t"), TextOps.tokens(col("text")).as("toks"))
-      .select(
+      .select(Seq(col("doc_id"), t.as("t"),
+        TextOps.tokens(col("text")).as("toks")) ++ extra: _*)
+      .select(Seq(
         col("doc_id"),
         length(col("t")).cast("long").as("n_chars_t"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -76,7 +79,8 @@ object TextAnalysis {
         (length(col("t")) - length(regexp_replace(col("t"), "\\s", "")))
           .cast("long").as("n_space"),
         hits(col("toks"), stopwords.toMap.apply("en")).as("n_stop"))
-      .select(
+        ++ extra: _*)
+      .select(Seq(
         col("doc_id"), col("n_chars_t"), col("n_tokens"),
         round(col("n_alpha") / col("n_chars_t"), 4).as("alpha_ratio"),
         round((col("n_chars_t") - col("n_alpha") - col("n_digit") -
@@ -87,6 +91,7 @@ object TextAnalysis {
             least(col("n_tokens") / 100.0, lit(1.0)) * 0.3 +
             least(col("n_stop") / col("n_tokens") * 5.0, lit(1.0)) * 0.2,
           4).as("quality_score"))
+        ++ extra: _*)
   }
 
   /** t03_token_count — whitespace tokens and a BPE-ish regex token

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("p01: slices conserve the deduped survivor count") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.corpusClean(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+    // survivors across slices = distinct normalized texts among docs
+    // passing the quality gate (recomputed independently)
+    val kept = graft.operators.TextAnalysis
+      .qualityScore(docs, passthrough = Seq("text"))
+      .filter(col("quality_score") >= 0.5)
+      .select(graft.functions.TextOps.normText(col("text")).as("k"))
+      .distinct.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === kept)
+  }
+
+  test("p01: dedup is aggregation-based, no window sort") {
+    val plan = Corpus.corpusClean(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "min_by, not row_number, at scale")
+  }
+
+  test("q19: sketch distinct within rsd envelope of exact") {
+    val orders = Tables.orders(spark, sf)
+    val approx = Corpus.approxMetrics(orders).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err < 0.1, s"status $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("q19: plan is a single partial+final aggregate, no expand") {
+    val plan = Corpus.approxMetrics(Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "HLL sketch must not use the exact-distinct expand+reshuffle")
+  }
+}
