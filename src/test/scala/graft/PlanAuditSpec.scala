@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan-shape audit: every batch query's physical plan is
+  * checked for the patterns that kill a 100 TB run. Runs at plan
+  * time only (nothing executes), so it covers the whole inventory
+  * cheaply on every test run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Streaming/sink entries execute work on construction — audited in
+    * their own specs instead.
+    */
+  private val sideEffecting =
+    Set("st01_stream_window", "st02_stream_session", "k01_partitioned_sink")
+
+  /** s01/s02 score a BROADCAST handful of query vectors against the
+    * corpus with a non-equi self-exclusion — the one place a
+    * broadcast nested loop is the intended shape (corpus scanned
+    * once, map-side).
+    */
+  private val bnljByDesign = Set("s01_ann_bruteforce", "s02_ann_ivf")
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where a broadcast side is by-design tiny") {
+    SparkEntry.queries.keys.filterNot(sideEffecting)
+      .filterNot(bnljByDesign).foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+      }
+  }
+
+  test("document/embedding scans prune to the referenced columns") {
+    // Operators over wide tables must not read every column: the
+    // parquet ReadSchema should include only what the query uses.
+    val narrow = Map(
+      "d01_dedup_exact" -> Seq("doc_id", "text"),
+      "t03_token_count" -> Seq("doc_id", "text"),
+      "d05_dedup_embedding" -> Seq("vec_id", "label", "embedding"))
+    narrow.foreach { case (name, cols) =>
+      val scans = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      val widest = Seq("n_chars", "props", "o_comment")
+      widest.foreach(c => assert(!scans.contains(c),
+        s"$name reads unreferenced column $c"))
+      cols.filterNot(_ == "label").foreach(c => assert(scans.contains(c),
+        s"$name scan missing $c"))
+    }
+  }
+}
