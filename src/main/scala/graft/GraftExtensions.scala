@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, MinHashSigs, RollingMinHash, SimHash64}
+
+/** SQL surface for the engine's native expressions: registering this
+  * class via `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`) makes
+  * the kernels callable from plain SQL —
+  *
+  *   SELECT rolling_min_hash(text, 16),
+  *          simhash64(split(lower(text), '\\s+')),
+  *          minhash_sigs(shingles, 64),
+  *          vector_dot(a, b)
+  *
+  * — so SQL-only users get the same codegen'd kernels as the Scala
+  * API. This is the `SparkSessionExtensions` path of the build rules:
+  * extension registration, not a fork of the session internals.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RollingMinHash(c)
+        case Seq(c, w) => RollingMinHash(c, intArg(w, "window"))
+        case Seq(c, w, b, m) => RollingMinHash(c, intArg(w, "window"),
+          longArg(b, "base"), longArg(m, "mod"))
+        case _ => throw new IllegalArgumentException(
+          "rolling_min_hash(text[, window[, base, mod]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => throw new IllegalArgumentException("simhash64(tokens)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, k) => MinHashSigs(c, intArg(k, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sigs(shingles, numHashes)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val sqlSpark: SparkSession = {
+    // Extensions bind at session BUILD time, and getOrCreate returns
+    // any live session unchanged — clear the active/default slots so
+    // a genuinely new session (sharing the JVM's SparkContext) is
+    // built with the extensions, then restore the slots for the
+    // other suites.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    prevActive.foreach(SparkSession.setActiveSession)
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("SQL-registered kernels match the Column API") {
+    import sqlSpark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text").createOrReplaceTempView("t")
+    val viaSql = sqlSpark.sql(
+      """SELECT id,
+               rolling_min_hash(text, 16) AS fp,
+               simhash64(split(lower(text), '\\s+')) AS sh,
+               minhash_sigs(split(lower(text), '\\s+'), 8) AS ms,
+               vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+         FROM t""").collect()
+    viaSql.foreach { r =>
+      val text = if (r.getLong(0) == 1L)
+        "the quick brown fox jumps over the lazy dog"
+      else "pack my box with five dozen liquor jugs"
+      assert(r.getAs[Long]("fp") === graft.functions.RollingMinHash.compute(
+        text.getBytes("UTF-8"), 16, 31L, 1000000007L))
+      assert(r.getAs[Double]("dp") === 11.0)
+      assert(r.getAs[Seq[Long]]("ms").length === 8)
+      assert(r.getAs[Long]("sh") !== 0L)
+    }
+  }
+
+  test("arity errors are rejected with a usable message") {
+    sqlSpark.sql("SELECT 1").collect() // force init
+    val e = intercept[Exception] {
+      sqlSpark.sql("SELECT minhash_sigs(array('a'))").collect()
+    }
+    assert(e.getMessage.contains("minhash_sigs"))
+  }
+}
