@@ -87,6 +87,9 @@ object SparkEntry {
       StreamOps.streamSessions(s, d)),
     "k01_partitioned_sink" -> ((s, d) =>
       graft.sources.PartitionedSink.ordersByPriority(Tables.orders(s, d))),
+    "k02_bucketed_join" -> ((s, d) =>
+      graft.sources.Bucketed.bucketedOrderJoin(s,
+        Tables.orders(s, d), Tables.lineitem(s, d))),
     "p01_corpus_clean" -> ((s, d) =>
       Corpus.corpusClean(Tables.documents(s, d))),
     "q19_approx_distinct" -> ((s, d) =>
@@ -385,6 +388,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_rows,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders GROUP BY 1""",
+    "k02_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                sum(l_quantity) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
     // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
     "p01_corpus_clean" ->
       """WITH b AS (
