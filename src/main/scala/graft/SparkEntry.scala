@@ -13,9 +13,13 @@ import graft.streaming.StreamOps
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed corpus-prep pipeline (quality-filter →
+    * dedup → slice stats) exercises text analysis, hashing, and
+    * multi-stage aggregation in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_qc_summary")(spark, "/root/testdata/sf0.001")
+    queries("p01_corpus_clean")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_qc_summary" -> ((s, d) =>
@@ -92,6 +96,8 @@ object SparkEntry {
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "p01_corpus_clean" -> ((s, d) =>
       Corpus.corpusClean(Tables.documents(s, d))),
+    "p02_stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(Tables.documents(s, d))),
     "q19_approx_distinct" -> ((s, d) =>
       Corpus.approxMetrics(Tables.orders(s, d))),
   )
@@ -393,6 +399,9 @@ object SparkEntry {
                 sum(l_quantity) AS sum_qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    "p02_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 1000 < 200""",
     // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
     "p01_corpus_clean" ->
       """WITH b AS (

@@ -49,6 +49,20 @@ object Corpus {
             count(lit(1)), 0) / 10000.0).as("avg_quality"))
   }
 
+  /** p02_stratified_sample — reproducible per-stratum sampling: keep
+    * a deterministic ~rate fraction of every (lang) stratum by
+    * thresholding a multiplicative hash of the stable doc_id. Every
+    * engine computing (doc_id · KNUTH) mod 1000 < rate·1000 selects
+    * the SAME rows — reruns, backfills, and the SQL oracle agree —
+    * unlike `sample()`, whose output depends on partitioning. Pure
+    * map-side projection+filter; the pushed predicate reaches the
+    * scan.
+    */
+  def stratifiedSample(documents: DataFrame, permille: Int = 200): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < permille)
+
   /** q19_approx_distinct — q13's metrics with the 100 TB distinct
     * path: HyperLogLog++ (`approx_count_distinct`) instead of exact
     * `count(DISTINCT)`. Exact distinct expands every row per distinct

@@ -33,6 +33,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "min_by, not row_number, at scale")
   }
 
+  test("p02: sampling is deterministic, near-rate, and stratified") {
+    val docs = Tables.documents(spark, sf)
+    val a = Corpus.stratifiedSample(docs).collect()
+      .map(_.getLong(0)).toSet
+    val b = Corpus.stratifiedSample(docs.repartition(7)).collect()
+      .map(_.getLong(0)).toSet
+    assert(a === b, "sample must not depend on partitioning")
+    val total = docs.count().toDouble
+    assert(math.abs(a.size / total - 0.2) < 0.05)
+    // every stratum is represented
+    val langs = Corpus.stratifiedSample(docs).select("lang").distinct.count()
+    assert(langs === docs.select("lang").distinct.count())
+  }
+
   test("q19: sketch distinct within rsd envelope of exact") {
     val orders = Tables.orders(spark, sf)
     val approx = Corpus.approxMetrics(orders).collect()
