@@ -81,6 +81,12 @@ object SparkEntry {
       TextAnalysis.tokenCount(Tables.documents(s, d))),
     "t04_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "t05_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d))),
+    "t06_redact" -> ((s, d) =>
+      TextAnalysis.redact(Tables.documents(s, d))),
+    "d06_decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(Tables.documents(s, d))),
     "m01_multimodal_meta" -> ((s, d) =>
       Multimodal.multimodalMeta(Tables.documents(s, d))),
     "m02_image_features" -> ((s, d) =>
@@ -375,6 +381,52 @@ object SparkEntry {
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
              4) AS chars_per_token
          FROM documents""",
+    "t05_repetition" ->
+      """WITH gcounts AS (
+           SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest([array_to_string(t[i:i+1], ' ')
+                                for i in range(1, len(t))]) AS g
+                 FROM (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents)
+                 WHERE len(t) >= 2)
+           GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_grams,
+                count(*) AS n_distinct,
+                round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_ratio,
+                round(max(c) * 1.0 / sum(c), 4) AS top_gram_ratio
+         FROM gcounts GROUP BY 1""",
+    "t06_redact" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{6,}')) AS n_longnums,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted
+         FROM documents""",
+    "d06_decontaminate" ->
+      """WITH sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id < 25),
+         posting AS (
+           SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g
+           FROM sets WHERE doc_id >= 25),
+         hits AS (
+           SELECT doc_id, nsh, count(*) AS n_overlap
+           FROM posting JOIN bench USING (g) GROUP BY 1, 2)
+         SELECT doc_id, CAST(nsh AS BIGINT) AS n_shingles, n_overlap,
+                round(n_overlap * 1.0 / nsh, 4) AS contam_ratio
+         FROM hits WHERE n_overlap * 1.0 / nsh >= 0.5""",
     "m01_multimodal_meta" ->
       """SELECT doc_id,
            strlen(text) AS n_bytes,

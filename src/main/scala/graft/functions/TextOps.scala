@@ -23,10 +23,11 @@ object TextOps {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles ("a b c") of the normalized token
-    * stream. Empty array when the document has fewer than n tokens
-    * (Spark's `sequence` would otherwise count DOWN for a negative
-    * span).
+  /** Word n-gram MULTISET ("a b c"; duplicates kept, order
+    * preserved) — the repetition signals need occurrence counts, not
+    * set membership. Empty array when the document has fewer than n
+    * tokens (Spark's `sequence` would otherwise count DOWN for a
+    * negative span).
     *
     * The token array is LET-BOUND through a single-element
     * `transform(array(tokens), tk => …)`: lambda variables are
@@ -35,14 +36,20 @@ object TextOps {
     * shingle lambda — O(n_tokens) splits per row instead of one
     * (measured 6× slower end-to-end on d04).
     */
-  def wordShingles(text: Column, n: Int): Column =
+  def wordShingleMultiset(text: Column, n: Int): Column =
     element_at(
       transform(array(tokens(text)), tk =>
         when(size(tk) >= n,
-          array_distinct(transform(
+          transform(
             sequence(lit(0), size(tk) - n),
             i => concat_ws(" ",
-              (0 until n).map(j => element_at(tk, i + j + 1)): _*))))
+              (0 until n).map(j => element_at(tk, i + j + 1)): _*)))
           .otherwise(array().cast("array<string>"))),
       1)
+
+  /** Distinct word n-gram shingles — the set-semantics view used by
+    * the Jaccard/MinHash dedup family.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingleMultiset(text, n))
 }

@@ -206,6 +206,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d06_decontaminate — benchmark decontamination: flag corpus
+    * documents whose n-gram shingles overlap an evaluation set (here:
+    * docs below `benchmarkMaxId`, standing in for a held-out
+    * benchmark) above `minRatio`. The benchmark's DISTINCT shingle
+    * hashes form a small broadcast set; the corpus side explodes to
+    * (doc_id, 8-byte hash) and joins map-side — the corpus text
+    * never shuffles, and the work is linear in corpus shingles.
+    */
+  def decontaminate(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      n: Int = 3, minRatio: Double = 0.5): DataFrame = {
+    val sets = shingleSets(documents, n)
+    val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
+      .select(explode(col("sh")).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
+    posting
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(first(col("nsh")).cast("long").as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .withColumn("contam_ratio",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .filter(col("contam_ratio") >= minRatio)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("contam_ratio"), 4).as("contam_ratio"))
+  }
+
   /** d05_dedup_embedding — embedding near-duplicates: cosine ≥ tau
     * within label blocks. The label is the blocking key (cluster id
     * at corpus scale), so the pair space is Σ block², not corpus²,

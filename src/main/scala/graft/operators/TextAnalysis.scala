@@ -115,6 +115,51 @@ object TextAnalysis {
           .as("chars_per_token"))
   }
 
+  /** t05_repetition — repetition signals (the Gopher/C4-style
+    * duplicate-n-gram quality filters): per document, the share of
+    * duplicated word bigrams and the frequency share of the single
+    * most repeated bigram. Relational shape: explode bigrams →
+    * count per (doc, gram-hash) → per-doc max/sum/count — the
+    * shuffle carries (doc_id, 8-byte hash), cardinality ≈ corpus
+    * token count, all aggregates algebraic.
+    */
+  def repetition(documents: DataFrame, n: Int = 2): DataFrame = {
+    val grams = documents
+      .filter(size(TextOps.tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingleMultiset(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    grams
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_grams"), 4)
+          .as("dup_ratio"),
+        round(col("top_c") / col("n_grams"), 4).as("top_gram_ratio"))
+  }
+
+  /** t06_redact — pattern scrubbing (PII pass every released corpus
+    * runs): emails and long digit runs are replaced with typed
+    * placeholder tokens; emits match counts so downstream filters
+    * can threshold. Pure map-side regexp projection.
+    */
+  def redact(documents: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{6,}"
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(numRe), lit(0)))
+        .cast("long").as("n_longnums"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        numRe, "<NUM>").as("redacted"))
+  }
+
   /** t04_fingerprint — rolling min-window polynomial hash per
     * document via the native RollingMinHash Expression (codegen'd;
     * see functions/RollingHash.scala). Window 16 bytes, B=31,

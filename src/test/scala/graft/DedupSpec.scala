@@ -104,6 +104,21 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() === 10) // all C(5,2) pairs share the phrase
   }
 
+  test("d06: near-dup of a benchmark doc is flagged, others are not") {
+    import spark.implicits._
+    val bench = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, bench),                                      // the benchmark doc
+      (30L, bench + " tail"),                           // heavy overlap
+      (40L, (1 to 60).map(i => s"clean$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, benchmarkMaxId = 25L).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("contam_ratio"))).toMap
+    assert(out.contains(30L) && out(30L) > 0.9)
+    assert(!out.contains(40L), "disjoint doc must not be flagged")
+    assert(!out.contains(1L), "benchmark docs are not corpus rows")
+  }
+
   test("d05: embedding near-dups respect label blocks and threshold") {
     import spark.implicits._
     val emb = Seq(

@@ -69,6 +69,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t05: repetition math on planted repeated text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // bigrams: 3x "spam spam"
+      (2L, "all words here are different")  // 4 distinct bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") === 3L)
+    assert(out(1L).getAs[Long]("n_distinct") === 1L)
+    assert(out(1L).getAs[Double]("dup_ratio") === 0.6667)
+    assert(out(1L).getAs[Double]("top_gram_ratio") === 1.0)
+    assert(out(2L).getAs[Double]("dup_ratio") === 0.0)
+    assert(out(2L).getAs[Double]("top_gram_ratio") === 0.25)
+  }
+
+  test("t06: planted PII is scrubbed and counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.org or call 12345678 now"),
+      (2L, "clean text with short 123 number")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_longnums") === 1L)
+    assert(out(1L).getAs[String]("redacted") ===
+      "mail me at <EMAIL> or call <NUM> now")
+    assert(out(2L).getAs[Long]("n_emails") === 0L)
+    assert(out(2L).getAs[String]("redacted") ===
+      "clean text with short 123 number")
+  }
+
   test("t04: codegen output equals the interpreted kernel") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
