@@ -231,8 +231,10 @@ object SparkEntry {
       """SELECT o_orderstatus,
                 count(*) AS n_orders,
                 count(DISTINCT o_custkey) AS n_customers,
-                round(sum(o_totalprice), 4) AS sum_price,
-                round(avg(o_totalprice), 4) AS avg_price,
+                sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                  AS sum_price,
+                round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      * 100.0 / count(*), 0) / 10000.0 AS avg_price,
                 round(count(*) * 100.0 /
                       sum(count(*)) OVER (), 4) AS pct_orders
          FROM orders GROUP BY 1""",

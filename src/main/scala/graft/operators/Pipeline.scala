@@ -108,12 +108,18 @@ object Pipeline {
     * window runs on #statuses rows post-aggregation.
     */
   def metrics(orders: DataFrame): DataFrame = {
+    // Money sums/avgs accumulate in EXACT integer cents: summing the
+    // raw doubles is order-sensitive (the engines' different
+    // summation orders diverged by an ulp at sf0.1), while the cents
+    // sum is exact and the final division is one deterministic fp op.
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
     val base = orders.groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        round(sum(col("o_totalprice")), 4).as("sum_price"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        (sum(cents) / 100.0).as("sum_price"),
+        (round(sum(cents) * 100.0 / count(lit(1)), 0) / 10000.0)
+          .as("avg_price"))
     base.withColumn("pct_orders",
       round(col("n_orders") * 100.0 / sum(col("n_orders"))
         .over(Window.partitionBy()), 4))
