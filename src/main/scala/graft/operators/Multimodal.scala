@@ -27,7 +27,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, features: Seq[Double])
 
   private def payloads(documents: DataFrame) =
-    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    documents
+      .filter(col("text").isNotNull) // a null blob has no bytes to probe
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   /** m01_multimodal_meta — per-payload typed metadata: byte size,
     * 4-byte magic (hex), and stub-decoded dimensions. Runs as a
