@@ -90,7 +90,7 @@ object SparkEntry {
     "m01_multimodal_meta" -> ((s, d) =>
       Multimodal.multimodalMeta(Tables.documents(s, d))),
     "m02_image_features" -> ((s, d) =>
-      Multimodal.imageFeatures(Tables.documents(s, d))),
+      Multimodal.imageFeatureRows(Tables.documents(s, d))),
     "st01_stream_window" -> ((s, d) =>
       StreamOps.streamWindow(s, d)),
     "st02_stream_session" -> ((s, d) =>
@@ -269,8 +269,8 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
-    // d02/d03/s02/t04/m02 are non-SQL-expressible (seeded hashing /
-    // custom Expression / stub featurizer) — rows-only + ScalaTest.
+    // d02/d03/s02 are non-SQL-expressible (xxhash64 seeding / float
+    // centroid summation order) — rows-only + ScalaTest semantics.
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents
@@ -429,6 +429,57 @@ object SparkEntry {
          SELECT doc_id, CAST(nsh AS BIGINT) AS n_shingles, n_overlap,
                 round(n_overlap * 1.0 / nsh, 4) AS contam_ratio
          FROM hits WHERE n_overlap * 1.0 / nsh >= 0.5""",
+    // t04: the rolling min-hash is mod-1e9+7 integer math, so it IS
+    // SQL-expressible — the polynomial window hash is linear in the
+    // bytes, so hash(window s) = sum over offsets j of
+    // byte(s+j)·31^(15-j) mod M, a windowed dot product against a
+    // 16-row powers table. Bytes come from hex pairs (encoding-safe).
+    "t04_fingerprint" ->
+      """WITH powers(e, p) AS (VALUES
+           (0, 1), (1, 31), (2, 961), (3, 29791), (4, 923521),
+           (5, 28629151), (6, 887503681), (7, 512613922),
+           (8, 891031477), (9, 621975598), (10, 281243405),
+           (11, 718545499), (12, 274910315), (13, 522219709),
+           (14, 188810867), (15, 853136842)),
+         b AS (
+           SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+           FROM documents),
+         bv AS (
+           SELECT doc_id, n, t,
+                  strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
+                  + strpos('123456789ABCDEF', hx[CAST(2*t+2 AS INT)])
+                    AS byte
+           FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS t FROM b)),
+         wh AS (
+           SELECT doc_id, t - 15 + e AS s,
+                  CAST(sum(byte * p) % 1000000007 AS BIGINT) AS h
+           FROM bv CROSS JOIN powers
+           WHERE n >= 16 AND t - 15 + e >= 0 AND t - 15 + e <= n - 16
+           GROUP BY 1, 2)
+         SELECT doc_id, min(h) AS fp FROM wh GROUP BY 1
+         UNION ALL
+         SELECT doc_id,
+                CAST(coalesce(sum(byte * p), 0) % 1000000007 AS BIGINT)
+                  AS fp
+         FROM bv JOIN powers ON e = n - 1 - t
+         WHERE n < 16 GROUP BY 1""",
+    "m02_image_features" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+           FROM documents),
+         nib AS (
+           SELECT doc_id, n,
+                  strpos('123456789ABCDEF',
+                         hx[CAST(2*t+1 AS INT)]) AS hi
+           FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS t FROM b)),
+         counts AS (
+           SELECT doc_id, hi, count(*) AS c FROM nib GROUP BY 1, 2),
+         grid AS (
+           SELECT doc_id, n, unnest(range(0, 16)) AS pos FROM b)
+         SELECT g.doc_id, g.pos,
+                round(coalesce(c.c, 0) * 1.0 / g.n, 6) AS feature
+         FROM grid g LEFT JOIN counts c
+           ON g.doc_id = c.doc_id AND g.pos = c.hi""",
     "m01_multimodal_meta" ->
       """SELECT doc_id,
            strlen(text) AS n_bytes,

@@ -61,6 +61,9 @@ object Multimodal {
     * the payload bytes — deterministic, byte-shape-sensitive, and the
     * same batch-iterator signature a real embedding model (batched
     * tensor in, vector out) requires. Map-side only.
+    *
+    * Bins round HALF_UP in decimal (not `math.rint`'s half-even) so
+    * the values are reproducible by any engine's `round(x, 6)`.
     */
   def imageFeatures(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -71,10 +74,22 @@ object Multimodal {
           val hist = new Array[Double](16)
           bytes.foreach(b => hist((b >> 4) & 0xf) += 1d)
           val n = math.max(bytes.length, 1).toDouble
-          MediaFeatures(id,
-            hist.toIndexedSeq.map(c => math.rint(c / n * 1e6) / 1e6))
+          MediaFeatures(id, hist.toIndexedSeq.map(c =>
+            BigDecimal(c / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
         }
       }
       .toDF()
   }
+
+  /** m02's oracle projection: the feature vector exploded to one
+    * (doc_id, pos, feature) row per bin — scalar columns the driver's
+    * hash compare can check exactly (array columns can't be
+    * row-sorted by the comparator).
+    */
+  def imageFeatureRows(documents: DataFrame): DataFrame =
+    imageFeatures(documents).select(
+      col("doc_id"),
+      posexplode(col("features")).as(Seq("pos", "feature")))
+      .withColumn("pos", col("pos").cast("long"))
 }
