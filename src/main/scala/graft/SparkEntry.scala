@@ -91,10 +91,16 @@ object SparkEntry {
       Multimodal.multimodalMeta(Tables.documents(s, d))),
     "m02_image_features" -> ((s, d) =>
       Multimodal.imageFeatureRows(Tables.documents(s, d))),
+    "m03_resize" -> ((s, d) =>
+      Multimodal.resize(Tables.documents(s, d))),
+    "m04_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d))),
     "st01_stream_window" -> ((s, d) =>
       StreamOps.streamWindow(s, d)),
     "st02_stream_session" -> ((s, d) =>
       StreamOps.streamSessions(s, d)),
+    "st03_stream_dedup" -> ((s, d) =>
+      StreamOps.streamDedup(s, d)),
     "k01_partitioned_sink" -> ((s, d) =>
       graft.sources.PartitionedSink.ordersByPriority(Tables.orders(s, d))),
     "k02_bucketed_join" -> ((s, d) =>
@@ -488,6 +494,41 @@ object SparkEntry {
            16 + (strlen(text) * 7) % 464 AS height,
            1 + strlen(text) % 9 AS n_frames
          FROM documents""",
+    "m03_resize" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+           FROM documents),
+         bv AS (
+           SELECT doc_id, n, (n + 63) // 64 AS stride, t,
+                  strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
+                  + strpos('123456789ABCDEF', hx[CAST(2*t+2 AS INT)])
+                    AS byte
+           FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS t FROM b))
+         SELECT doc_id, n AS n_bytes, stride,
+                count(*) AS n_resized,
+                CAST(sum((t // stride + 1) * byte) % 1000000007 AS BIGINT)
+                  AS checksum
+         FROM bv WHERE t % stride = 0
+         GROUP BY 1, 2, 3""",
+    "m04_frame_sample" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+           FROM documents),
+         bv AS (
+           SELECT doc_id, t,
+                  strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
+                  + strpos('123456789ABCDEF', hx[CAST(2*t+2 AS INT)])
+                    AS byte
+           FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS t FROM b))
+         SELECT doc_id, t // 32 AS frame_id,
+                count(*) AS n_frame_bytes,
+                CAST(sum((t % 32 + 1) * byte) % 1000000007 AS BIGINT)
+                  AS frame_checksum
+         FROM bv WHERE (t // 32) % 4 = 0
+         GROUP BY 1, 2""",
+    "st03_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
     "st01_stream_window" ->
       """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bin_id,
                 event_type,

@@ -92,4 +92,84 @@ object Multimodal {
       col("doc_id"),
       posexplode(col("features")).as(Seq("pos", "feature")))
       .withColumn("pos", col("pos").cast("long"))
+
+  /** Resized-payload record: original size, thumbnail size, and a
+    * position-weighted checksum of the thumbnail bytes (verifies the
+    * actual resampled CONTENT, not just its length).
+    */
+  final case class ResizedMedia(doc_id: Long, n_bytes: Long,
+      stride: Long, n_resized: Long, checksum: Long)
+
+  /** m03_resize — payload → fixed-max-width thumbnail. Stub resampler:
+    * nearest-neighbor downsample to ≤ `target` bytes by taking every
+    * stride-th byte (stride = ceil(n/target)) — the 1-D analog of
+    * image nearest-neighbor resize, which is exactly the memory-shape
+    * problem at scale: the operator must bound the per-row output
+    * size before a 100 TB corpus of arbitrarily large blobs flows
+    * into downstream stages. Same partition-batch iterator a real
+    * resize kernel (libvips/PIL) plugs into; map-side only.
+    *
+    * checksum = Σ (i+1)·byte(i·stride) mod 1e9+7 over thumbnail
+    * positions i — position-weighted so byte order matters.
+    */
+  def resize(documents: DataFrame, target: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    payloads(documents).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val n = bytes.length
+          val stride = math.max(1L, (n + target - 1L) / target)
+          var i = 0L
+          var t = 0L
+          var sum = 0L
+          while (t < n) {
+            sum = (sum + (i + 1L) * (bytes(t.toInt) & 0xff)) % 1000000007L
+            i += 1L
+            t += stride
+          }
+          ResizedMedia(id, n.toLong, stride, i, sum)
+        }
+      }
+      .toDF()
+  }
+
+  /** Sampled-frame record: one row per kept frame. */
+  final case class SampledFrame(doc_id: Long, frame_id: Long,
+      n_frame_bytes: Long, frame_checksum: Long)
+
+  /** m04_frame_sample — treat the payload as a sequence of
+    * `frameBytes`-wide frames (a stub video container) and keep every
+    * `every`-th frame — the canonical video→training-data reduction
+    * (uniform temporal subsampling). One output ROW per kept frame:
+    * the batch iterator flat-maps, so a single huge payload fans out
+    * to many bounded rows instead of one unbounded one — the shape
+    * that keeps downstream shuffles partition-sized at 100 TB.
+    *
+    * frame_checksum = Σ (j+1)·byte(j) mod 1e9+7 within the frame.
+    */
+  def frameSample(documents: DataFrame, frameBytes: Int = 32,
+      every: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    payloads(documents).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          (0 until nFrames by every).iterator.map { f =>
+            val lo = f * frameBytes
+            val hi = math.min(lo + frameBytes, n)
+            var sum = 0L
+            var j = lo
+            while (j < hi) {
+              sum = (sum + (j - lo + 1L) * (bytes(j) & 0xff)) % 1000000007L
+              j += 1
+            }
+            SampledFrame(id, f.toLong, (hi - lo).toLong, sum)
+          }
+        }
+      }
+      .toDF()
+  }
 }

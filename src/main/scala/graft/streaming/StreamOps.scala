@@ -82,6 +82,38 @@ object StreamOps {
       col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** st03_stream_dedup — streaming ingest deduplication, the
+    * streaming edition of d01: drop repeat (user_id, event_type)
+    * observations as they arrive, so downstream stages see each key
+    * once. Uses `dropDuplicates` (keyed state, one entry per distinct
+    * key); a 24/7 deployment bounds that state with
+    * `dropDuplicatesWithinWatermark`, which this finite-stream
+    * harness can't use — AvailableNow advances the watermark between
+    * micro-batches, so late duplicates of an evicted key would
+    * resurface and the result would depend on file order.
+    *
+    * WHICH representative row survives depends on arrival order, so
+    * the deterministic (oracle-checked) output is the post-dedup
+    * per-type key count — equal to batch count(DISTINCT user_id) —
+    * not the representative rows themselves.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val sink = s"st03_mem_${System.nanoTime()}"
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Gap-session logic shared with the q16 batch oracle: fold the
     * user's events (sorted by ts_us, event_id) into gap-delimited
     * sessions, emitting every CLOSED session immediately and keeping

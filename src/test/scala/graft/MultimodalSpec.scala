@@ -41,6 +41,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m03: thumbnail is bounded and checksums match a direct fold") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val out = Multimodal.resize(docs, target = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val raw = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(out.size === raw.size)
+    raw.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val stride = math.max(1L, (bytes.length + 63L) / 64L)
+      val picked = bytes.indices.filter(_ % stride == 0)
+      val expect = picked.zipWithIndex.map { case (t, i) =>
+        (i + 1L) * (bytes(t) & 0xff)
+      }.sum % 1000000007L
+      val (_, n, s, nr, ck) = out(id)
+      assert(n === bytes.length.toLong)
+      assert(s === stride)
+      assert(nr === picked.length.toLong)
+      assert(nr <= 64L)
+      assert(ck === expect)
+    }
+  }
+
+  test("m04: every 4th 32-byte frame is kept with a per-frame checksum") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val out = Multimodal.frameSample(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val raw = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    raw.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = (bytes.length + 31) / 32
+      val kept = (0 until nFrames by 4)
+      val got = out(id).map(r => r._2 -> (r._3, r._4)).toMap
+      assert(got.keySet === kept.map(_.toLong).toSet)
+      kept.foreach { f =>
+        val lo = f * 32
+        val hi = math.min(lo + 32, bytes.length)
+        val expect = (lo until hi).map(j =>
+          (j - lo + 1L) * (bytes(j) & 0xff)).sum % 1000000007L
+        assert(got(f.toLong) === ((hi - lo).toLong, expect))
+      }
+    }
+  }
+
   test("m02: features are deterministic across runs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(10)

@@ -42,5 +42,8 @@ class NullSafetySpec extends AnyFunSuite {
   test("multimodal probes skip null payloads") {
     assert(Multimodal.multimodalMeta(withNulls).count() === 2)
     assert(Multimodal.imageFeatures(withNulls).count() === 2)
+    assert(Multimodal.resize(withNulls).count() === 2)
+    assert(Multimodal.frameSample(withNulls).select("doc_id")
+      .distinct().count() === 2)
   }
 }

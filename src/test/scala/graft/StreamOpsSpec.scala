@@ -32,6 +32,16 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st03: streaming dedup counts equal batch count-distinct") {
+    val stream = StreamOps.streamDedup(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
