@@ -29,6 +29,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); Spark 4 only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Verify.scala: avoids triple shingle evaluation pre-explode
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

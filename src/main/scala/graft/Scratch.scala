@@ -13,8 +13,13 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Verify.scala: avoids triple shingle evaluation pre-explode
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_EXCLUDE").foreach(r =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", r))
     val names = args.toSeq
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); Spark 4 only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate re-inlines the whole shingle transform
+      // into a pre-explode filter (3 evaluations/row in d02/d04/d06
+      // scan stages); Generate already skips empty arrays, so the
+      // inferred filter only burns scan-stage CPU.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
