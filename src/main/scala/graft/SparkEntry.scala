@@ -73,6 +73,8 @@ object SparkEntry {
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d))),
+    "s03_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d))),
     "t01_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) =>

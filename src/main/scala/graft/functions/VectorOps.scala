@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Dense-vector math over `array<double>` columns.
   *
@@ -39,6 +39,13 @@ object VectorOps {
     */
   def cosineFrom(dotAb: Column, normA: Column, normB: Column): Column =
     dotAb / (normA * normB)
+
+  /** `nBits`-bit signed-random-projection signature (s03). `seed`
+    * selects the hash table — pass the LSH table index.
+    */
+  def hyperplaneSig(v: Column, seed: Column, nBits: Int): Column =
+    Shim.column(HyperplaneSig(
+      Shim.expression(v), Shim.expression(seed.cast("long")), nBits))
 }
 
 /** Left-fold dot product of two `array<double>` columns. Null when
@@ -96,5 +103,69 @@ object DotProduct {
       i += 1
     }
     acc
+  }
+}
+
+/** Signed-random-projection (hyperplane) LSH signature of an
+  * `array<double>` vector: bit b of the result is set when
+  * v · h(seed, b) > 0, where hyperplane component h(seed, b)[j] is
+  * `xxhash64((b<<32)|j, seed)` scaled to [−1, 1) — deterministic
+  * pseudo-random hyperplanes materialized from hashes, so no
+  * hyperplane table is stored, broadcast, or collected. Two vectors
+  * agree on a bit with probability 1 − θ/π (θ = their angle), the
+  * standard SRP-LSH collision bound. Null elements contribute 0.
+  */
+case class HyperplaneSig(vec: Expression, seed: Expression, nBits: Int)
+  extends BinaryExpression {
+
+  require(nBits > 0 && nBits <= 64, "1 <= nBits <= 64")
+
+  override def left: Expression = vec
+  override def right: Expression = seed
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, seed.dataType) match {
+      case (ArrayType(DoubleType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, bigint), got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    HyperplaneSig.compute(
+      v.asInstanceOf[ArrayData], s.asInstanceOf[Long], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) => {
+      val kernel = HyperplaneSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $kernel.compute($v, $s, $nBits);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneSig =
+    copy(vec = newLeft, seed = newRight)
+}
+
+object HyperplaneSig {
+  def compute(v: ArrayData, seed: Long, nBits: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0d
+      var j = 0
+      while (j < dim) {
+        if (!v.isNullAt(j)) {
+          val h = XxHash64Function.hash(
+            (b.toLong << 32) | j.toLong, LongType, seed)
+          s += v.getDouble(j) * (h.toDouble / 9.223372036854775807e18)
+        }
+        j += 1
+      }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 }

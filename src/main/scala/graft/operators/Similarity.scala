@@ -82,6 +82,55 @@ object Similarity {
         x => x.getField("c")).as("cv"))
       .withColumn("cn", VectorOps.l2norm(col("cv")))
 
+  /** s03_ann_lsh — hyperplane-LSH ANN, the bucket-join scale path.
+    * Every vector gets `tables` independent `nBits`-bit
+    * signed-random-projection signatures (HyperplaneSig kernel —
+    * hyperplanes are derived from hashes, nothing is stored or
+    * broadcast); candidates are pairs sharing a (table, signature)
+    * bucket in ANY table, exactly d02's banded-LSH shape transplanted
+    * to vectors. The exploded corpus side carries only
+    * (vec_id, table, sig) — 20 bytes/row — never the vectors;
+    * query signatures broadcast, so candidate generation is map-side
+    * over a single corpus-signature scan, and only surviving
+    * candidates rejoin the vectors for exact-cosine scoring + top-k.
+    * Recall < 1 by design, rising with `tables`; the spec measures it
+    * against s01 ground truth.
+    *
+    * Tune `nBits` ≈ log2(corpus / target bucket size): signatures
+    * partition the corpus into ~2^nBits buckets per table, so 6 bits
+    * suits the 500-vector test corpus (~8/bucket) and ~20 bits a
+    * 10^7-vector shard. Too many bits → singleton buckets → recall
+    * collapses to coincidence.
+    */
+  def annLsh(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
+      nBits: Int = 6, tables: Int = 8): DataFrame = {
+    val e = normed(embeddings)
+    val sigsOf = (df: DataFrame, idOut: String) =>
+      df.select(col("vec_id").as(idOut),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => VectorOps.hyperplaneSig(col("v"), t, nBits))))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "sig")
+    val corpusSigs = sigsOf(e, "vec_id")
+    val querySigs = sigsOf(e.filter(col("vec_id") % queryStride === 0), "q_id")
+    val candidates = corpusSigs
+      .join(broadcast(querySigs),
+        Seq("table_id", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .dropDuplicates("q_id", "vec_id") // same pair, several tables
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val scoredCand = candidates
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+    topK(scoredCand, k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** s02_ann_ivf — IVF-style ANN: assign each query to its `nprobe`
     * nearest centroids (broadcast #labels × #queries cross — both
     * tiny), then score ONLY the probed clusters' vectors. The

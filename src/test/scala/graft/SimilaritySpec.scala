@@ -62,6 +62,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s03: LSH candidates beat random, rerank is exact, no all-pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val rows = Similarity.annLsh(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, ns) =>
+      assert(ns.map(_._3).sorted.toSeq === (1L to ns.length).toSeq)
+      assert(!ns.exists(_._2 == q))
+      assert(ns.length <= 5)
+    }
+    // Deterministic: seeded hash hyperplanes, so a re-run is identical.
+    val again = Similarity.annLsh(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // Recall vs exact: the synthetic vectors are near-random (no
+    // cluster structure), the hostile case for LSH — but hyperplane
+    // buckets still capture angular closeness, so recall@5 must beat
+    // the ~4% a random 12-bit bucketing of 500 vectors would get.
+    val exact = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall > 0.15, s"recall@5 $recall not above random baseline")
+    // More tables -> more buckets probed -> recall monotone up (allow
+    // small non-monotonicity from rerank ties at equal cosine).
+    val wide = Similarity.annLsh(e, tables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallWide = exact.count(wide.contains).toDouble / exact.size
+    assert(recallWide >= recall - 0.02,
+      s"recall should not collapse with more tables ($recall -> $recallWide)")
+  }
+
+  test("s03: plan joins buckets hash-wise and never crosses all pairs") {
+    val plan = Similarity.annLsh(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("centroids: one row per label, correct arity") {
     val e = Tables.embeddings(spark, sf)
     val c = Similarity.centroids(e).collect()
