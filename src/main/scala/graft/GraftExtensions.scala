@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSigs, RollingMinHash, SimHash64}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, SimHash64}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, s, n) => HyperplaneSig(v, s, intArg(n, "nBits"))
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_sig(vec, seed, nBits)")
       }))
   }
 }

@@ -38,7 +38,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
                rolling_min_hash(text, 16) AS fp,
                simhash64(split(lower(text), '\\s+')) AS sh,
                minhash_sigs(split(lower(text), '\\s+'), 8) AS ms,
-               vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+               vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+               hyperplane_sig(array(1.0d, -2.0d, 0.5d), 0L, 6) AS hs
          FROM t""").collect()
     viaSql.foreach { r =>
       val text = if (r.getLong(0) == 1L)
@@ -49,6 +50,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("dp") === 11.0)
       assert(r.getAs[Seq[Long]]("ms").length === 8)
       assert(r.getAs[Long]("sh") !== 0L)
+      assert(r.getAs[Long]("hs") >= 0L && r.getAs[Long]("hs") < 64L)
     }
   }
 
