@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** A corpus shard can legitimately be empty (a partition pruned to
+  * nothing, a filter that drops everything). Every operator must
+  * return an empty result — never throw — so downstream unions and
+  * sinks stay total.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def emptyDocs: DataFrame =
+    Tables.documents(spark, sf).filter("doc_id < 0")
+
+  private def emptyEmb: DataFrame =
+    Tables.embeddings(spark, sf).filter("vec_id < 0")
+
+  test("document operators yield empty, not errors") {
+    assert(Dedup.dedupExact(emptyDocs).count() === 0)
+    assert(Dedup.dedupMinhash(emptyDocs).count() === 0)
+    assert(Dedup.dedupSimhash(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() === 0)
+    assert(Dedup.decontaminate(emptyDocs).count() === 0)
+    assert(TextAnalysis.langId(emptyDocs).count() === 0)
+    assert(TextAnalysis.qualityScore(emptyDocs).count() === 0)
+    assert(TextAnalysis.tokenCount(emptyDocs).count() === 0)
+    assert(TextAnalysis.fingerprint(emptyDocs).count() === 0)
+    assert(TextAnalysis.repetition(emptyDocs).count() === 0)
+    assert(TextAnalysis.redact(emptyDocs).count() === 0)
+    assert(Multimodal.multimodalMeta(emptyDocs).count() === 0)
+    assert(Multimodal.imageFeatures(emptyDocs).count() === 0)
+    assert(Multimodal.resize(emptyDocs).count() === 0)
+    assert(Multimodal.frameSample(emptyDocs).count() === 0)
+  }
+
+  test("similarity operators yield empty, not errors") {
+    assert(Dedup.dedupEmbedding(emptyEmb).count() === 0)
+    assert(Similarity.annBruteForce(emptyEmb).count() === 0)
+    assert(Similarity.annIvf(emptyEmb).count() === 0)
+    assert(Similarity.annLsh(emptyEmb).count() === 0)
+  }
+}

@@ -14,8 +14,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * their own specs instead.
     */
   private val sideEffecting =
-    Set("st01_stream_window", "st02_stream_session", "k01_partitioned_sink",
-      "k02_bucketed_join")
+    Set("st01_stream_window", "st02_stream_session", "st03_stream_dedup",
+      "k01_partitioned_sink", "k02_bucketed_join")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a
