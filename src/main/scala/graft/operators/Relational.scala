@@ -121,22 +121,30 @@ object Relational {
 
   /** q08_dedup_pos — exact deduplication on a position key keeping a
     * deterministic representative, the samtools rmdup step (reference
-    * tools.py:315-317). min(struct(order cols)) aggregation instead of
-    * a row_number window: structs compare lexicographically, and a
-    * hash aggregate gets map-side partial aggregation — the shuffle
-    * carries one row per key instead of every duplicate, and no sort
-    * is needed. At 100 TB that is the difference between shuffling the
-    * dedup keys and shuffling the whole table.
+    * tools.py:315-317). min aggregation instead of a row_number
+    * window, so the shuffle carries one row per key instead of every
+    * duplicate. The representative's ordering key (l_orderkey,
+    * l_linenumber, l_quantity) is BIT-PACKED into one BIGINT rather
+    * than min(struct(...)): a struct aggregation buffer forces
+    * SortAggregate (per-partition sorts), while a primitive buffer
+    * hash-aggregates — no sort anywhere in the plan. Order-preserving
+    * because the low fields are range-bounded (l_linenumber ≤ 7 < 64,
+    * integer l_quantity ≤ 50 < 128 — TPC-H invariants), leaving 50
+    * bits of l_orderkey headroom.
     */
-  def dedupPos(lineitem: DataFrame): DataFrame =
+  def dedupPos(lineitem: DataFrame): DataFrame = {
+    val packed = shiftleft(col("l_orderkey"), 13)
+      .bitwiseOR(shiftleft(col("l_linenumber").cast("long"), 7))
+      .bitwiseOR(col("l_quantity").cast("long"))
     lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(struct(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"))).as("rep"))
+      .agg(min(packed).as("rep"))
       .select(col("l_partkey"), col("l_suppkey"),
-        col("rep.l_orderkey").as("l_orderkey"),
-        col("rep.l_linenumber").as("l_linenumber"),
-        col("rep.l_quantity").as("l_quantity"))
+        shiftright(col("rep"), 13).as("l_orderkey"),
+        shiftright(col("rep"), 7).bitwiseAND(lit(63L)).cast("int")
+          .as("l_linenumber"),
+        col("rep").bitwiseAND(lit(127L)).cast("double").as("l_quantity"))
+  }
 
   /** q09_sort_limit — global sort by composite key + limit, the
     * sort-by-coordinate step (reference tools.py:247-248). Spark
