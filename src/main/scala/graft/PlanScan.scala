@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Inventory-wide physical-plan audit: prints, for every batch query,
+  * any plan feature that deserves a scale justification —
+  * SortAggregate (a buffer type fell out of hash aggregation),
+  * ObjectHashAggregate, Window (shuffle+sort on the partition key),
+  * BroadcastNestedLoopJoin. Run after touching operators:
+  *
+  *   sbt 'runMain graft.PlanScan' | grep PLANSCAN
+  *
+  * Current expected output (justifications):
+  *  - p01 SortAggregate: min_by carries strings (can't hash-agg);
+  *    sort key is the 8-byte dedup hash, partial agg still combines.
+  *  - q04/q07/q12/q13/q16/q17 + ANN Window: rank / gaps-and-islands /
+  *    running frames — the semantics ARE windows; all partition by
+  *    high-cardinality keys or post-aggregation bounded sets.
+  *  - s01/s02 BNLJ: broadcast handful of query vectors against the
+  *    corpus scan, by design (see SimilaritySpec plan tests).
+  */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val skip = Set("st01_stream_window", "st02_stream_session",
+      "st03_stream_dedup", "k01_partitioned_sink", "k02_bucketed_join")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
+      val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val marks = Seq(
+        "SortAggregate" -> p.contains("SortAggregate"),
+        "ObjectHashAggregate" -> p.contains("ObjectHashAggregate"),
+        "Window" -> p.contains("Window"),
+        "BNLJ" -> p.contains("BroadcastNestedLoopJoin"))
+        .collect { case (m, true) => m }
+      if (marks.nonEmpty) println(s"PLANSCAN $n: ${marks.mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
