@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Text-format ingest for LLM-corpus dumps — the real-world landing
+  * format is JSON-lines (or CSV), not parquet, and real dumps carry
+  * malformed lines that must be COUNTED, never silently dropped and
+  * never allowed to kill the job.
+  *
+  * Implementation: read raw lines (`spark.read.text`) and parse with
+  * `from_json` / `from_csv` as a plain projection. A line that fails
+  * to parse yields a NULL struct, so the raw line lands in
+  * `_corrupt_record` — the same contract as DataFrameReader's
+  * PERMISSIVE mode, but expressed as ordinary columns, so corrupt
+  * rows can be filtered/counted freely (Spark 4 refuses queries that
+  * touch only its INTERNAL corrupt column) and the parse stays inside
+  * whole-stage codegen.
+  *
+  * Scale posture: line-oriented text is splittable when uncompressed
+  * (per-file parallel when gzipped), so the read parallelizes by
+  * `spark.sql.files.maxPartitionBytes` exactly like parquet. The
+  * schema is always supplied explicitly — schema INFERENCE would scan
+  * the full 100 TB input once before the real read.
+  */
+object TextIngest {
+
+  val CorruptCol = "_corrupt_record"
+
+  private def parseOpts = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> CorruptCol)
+
+  /** Post-parse projection: the parser writes malformed input into
+    * the struct's own corrupt field (PERMISSIVE); the
+    * `when(r.isNull, value)` fallback also catches parser variants
+    * that null the whole struct instead.
+    */
+  private def parsed(lines: DataFrame, parse: org.apache.spark.sql.Column,
+      schema: StructType): DataFrame =
+    lines
+      .select(parse.as("r"), col("value"))
+      .select(schema.fieldNames.map(f => col(s"r.$f")) :+
+        coalesce(col(s"r.$CorruptCol"),
+          when(col("r").isNull, col("value"))).as(CorruptCol): _*)
+
+  private def withCapture(schema: StructType): StructType =
+    schema.add(CorruptCol, "string")
+
+  /** Schema'd JSONL read; unparseable lines carried in
+    * `_corrupt_record`, parsed rows have it null.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    parsed(spark.read.text(path),
+      from_json(col("value"), withCapture(schema), parseOpts), schema)
+
+  /** Schema'd CSV read; `header=true` drops lines equal to the
+    * rendered header (single-line headers only). Unparseable lines
+    * carried in `_corrupt_record`.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame = {
+    val lines0 = spark.read.text(path)
+    val lines =
+      if (header)
+        lines0.filter(col("value") =!= schema.fieldNames.mkString(","))
+      else lines0
+    parsed(lines,
+      from_csv(col("value"), withCapture(schema), parseOpts), schema)
+  }
+
+  /** (clean rows without the capture column, corrupt raw lines). */
+  def split(ingested: DataFrame): (DataFrame, DataFrame) = (
+    ingested.filter(col(CorruptCol).isNull).drop(CorruptCol),
+    ingested.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+
+  /** One-row ingest-quality summary: clean vs corrupt line counts. */
+  def ingestSummary(ingested: DataFrame): DataFrame =
+    ingested.agg(
+      count(when(col(CorruptCol).isNull, 1)).as("n_clean"),
+      count(col(CorruptCol)).as("n_corrupt"))
+}

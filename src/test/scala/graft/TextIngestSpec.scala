@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TextIngest
+
+class TextIngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = StructType(new StructType()
+    .add("doc_id", "long").add("lang", "string").add("text", "string"))
+
+  test("jsonl round-trips the documents table and counts planted corruption") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text")
+    val dir = Files.createTempDirectory("graft_jsonl_").toString
+    docs.write.mode("overwrite").json(dir)
+    // Plant malformed lines alongside the good ones.
+    Seq("{ not json at all", "{\"doc_id\": \"also broken")
+      .toDF("value").write.mode("append").text(dir)
+
+    val ingested = TextIngest.readJsonl(spark, dir, docSchema)
+    val (clean, corrupt) = TextIngest.split(ingested)
+    assert(corrupt.count() === 2)
+    assert(clean.count() === docs.count())
+    // Byte-exact round trip of the payloads.
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val b = clean.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a === b)
+
+    val s = TextIngest.ingestSummary(ingested).collect()(0)
+    assert(s.getLong(0) === docs.count())
+    assert(s.getLong(1) === 2L)
+  }
+
+  test("csv ingest parses a headered file and flags short rows") {
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      """doc_id,lang,text
+        |1,en,"hello world"
+        |broken line without commas
+        |2,de,"hallo welt"
+        |""".stripMargin)
+    val ingested = TextIngest.readCsv(spark, dir, docSchema)
+    val (clean, corrupt) = TextIngest.split(ingested)
+    assert(clean.count() === 2)
+    assert(corrupt.count() === 1)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+}
