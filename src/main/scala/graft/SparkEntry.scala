@@ -114,6 +114,8 @@ object SparkEntry {
       Corpus.stratifiedSample(Tables.documents(s, d))),
     "q19_approx_distinct" -> ((s, d) =>
       Corpus.approxMetrics(Tables.orders(s, d))),
+    "q20_approx_quantiles" -> ((s, d) =>
+      Corpus.approxQuantiles(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming

@@ -76,4 +76,26 @@ object Corpus {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         approx_count_distinct(col("o_custkey"), rsd).as("approx_customers"))
+
+  /** q20_approx_quantiles — distribution monitoring at sketch cost:
+    * per-stratum p50/p90/p99 of document length via
+    * `percentile_approx` (Greenwald–Khanna). Exact percentiles sort
+    * every group's values; the GK sketch is a fixed-size mergeable
+    * state, so the plan is one partial+final aggregate — the only
+    * way a 100 TB corpus gets length percentiles per language without
+    * a per-group sort. `accuracy` bounds rank error at 1/accuracy.
+    * Not SQL-oracle-comparable (DuckDB's approx sketch differs) —
+    * the spec bounds the error against exact percentiles.
+    */
+  def approxQuantiles(documents: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(accuracy))
+          .as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(accuracy))
+          .as("p90_chars"),
+        percentile_approx(col("n_chars"), lit(0.99), lit(accuracy))
+          .as("p99_chars"))
 }

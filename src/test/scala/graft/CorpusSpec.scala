@@ -67,4 +67,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"),
       "HLL sketch must not use the exact-distinct expand+reshuffle")
   }
+
+  test("q20: approx percentiles within rank-error bound of exact") {
+    val docs = Tables.documents(spark, sf)
+    val approx = Corpus.approxQuantiles(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Number]("p50_chars").longValue(),
+          r.getAs[Number]("p90_chars").longValue(),
+          r.getAs[Number]("p99_chars").longValue())).toMap
+    docs.select("lang").distinct.collect().map(_.getString(0)).foreach { l =>
+      val vals = docs.filter(s"lang = '$l'")
+        .select("n_chars").collect().map(_.getAs[Number](0).longValue())
+        .sorted
+      def exactP(p: Double): Long = vals(((vals.length - 1) * p).toInt)
+      val (p50, p90, p99) = approx(l)
+      // accuracy=10000 -> rank error <= N/10000 < 1 rank at test scale,
+      // so the sketch must return a value between the adjacent exact
+      // ranks; allow one rank of slack.
+      def near(got: Long, p: Double): Boolean = {
+        val lo = vals(math.max(0, ((vals.length - 1) * p).toInt - 1))
+        val hi = vals(math.min(vals.length - 1,
+          ((vals.length - 1) * p).toInt + 1))
+        got >= lo && got <= hi
+      }
+      assert(near(p50, 0.5), s"$l p50 $p50 vs exact ${exactP(0.5)}")
+      assert(near(p90, 0.9), s"$l p90 $p90 vs exact ${exactP(0.9)}")
+      assert(near(p99, 0.99), s"$l p99 $p99 vs exact ${exactP(0.99)}")
+    }
+  }
+
+  test("q20: sketch aggregates without a per-group sort") {
+    val plan = Corpus.approxQuantiles(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      "percentile sketch must not sort per group")
+  }
 }
