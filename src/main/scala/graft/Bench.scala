@@ -44,20 +44,26 @@ object Bench {
     }
     // Min over reps: local[32] timings jitter ~10% run-to-run (GC,
     // page cache); the minimum is the standard low-noise estimator of
-    // a query's actual cost.
+    // a query's actual cost. A failing query must NOT masquerade as a
+    // fast one — failures are excluded from the per-query map and
+    // reported by name.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> (1 to reps).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val ok = try { run(fn); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val good = results.collect { case (k, v, true) => k -> v }
+    val failed = results.collect { case (k, _, false) => k }
+    val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = good.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     // Raw line on stdout too, for any parser that strips sbt's prefix.
     println(json)

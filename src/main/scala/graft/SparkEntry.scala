@@ -375,13 +375,13 @@ object SparkEntry {
                AS n_stop
            FROM b)
          SELECT doc_id, n_chars_t, n_tokens,
-           round(n_alpha * 1.0 / n_chars_t, 4) AS alpha_ratio,
-           round((n_chars_t - n_alpha - n_digit - n_space) * 1.0 / n_chars_t,
-                 4) AS punct_ratio,
-           round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
-           round((n_alpha * 1.0 / n_chars_t) * 0.5
+           round(n_alpha * 1.0 / nullif(n_chars_t, 0), 4) AS alpha_ratio,
+           round((n_chars_t - n_alpha - n_digit - n_space) * 1.0
+                 / nullif(n_chars_t, 0), 4) AS punct_ratio,
+           round(n_stop * 1.0 / nullif(n_tokens, 0), 4) AS stop_ratio,
+           round((n_alpha * 1.0 / nullif(n_chars_t, 0)) * 0.5
                  + least(n_tokens / 100.0, 1.0) * 0.3
-                 + least(n_stop * 1.0 / n_tokens * 5.0, 1.0) * 0.2,
+                 + least(n_stop * 1.0 / nullif(n_tokens, 0) * 5.0, 1.0) * 0.2,
                  4) AS quality_score
          FROM c""",
     "t03_token_count" ->
@@ -390,7 +390,8 @@ object SparkEntry {
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
              AS n_bpe_tokens,
            round(length(trim(text)) * 1.0 /
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')),
+             nullif(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0),
              4) AS chars_per_token
          FROM documents""",
     "t05_repetition" ->
@@ -551,7 +552,7 @@ object SparkEntry {
          GROUP BY 1""",
     "p02_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (doc_id * 2654435761) % 1000 < 200""",
+         WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 200""",
     // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
     "p01_corpus_clean" ->
       """WITH b AS (
@@ -562,11 +563,11 @@ object SparkEntry {
            SELECT doc_id, lang, source, text,
              len(toks) AS n_tokens,
              round((length(regexp_replace(t, '[^a-z]', '', 'g')) * 1.0
-                    / length(t)) * 0.5
+                    / nullif(length(t), 0)) * 0.5
                    + least(len(toks) / 100.0, 1.0) * 0.3
                    + least(len(list_filter(toks, x -> list_contains(
                        ['the','a','of','and','to','in','is'], x)))
-                     * 1.0 / len(toks) * 5.0, 1.0) * 0.2,
+                     * 1.0 / nullif(len(toks), 0) * 5.0, 1.0) * 0.2,
                    4) AS quality_score
            FROM b),
          kept AS (

@@ -35,10 +35,14 @@ object VectorOps {
 
   /** Cosine from a precomputed dot and the two norms; the norms are
     * multiplied first (single division) so both engines evaluate the
-    * same expression tree.
+    * same expression tree. The divisor is nullif'd: a zero vector
+    * (failed/padding embedding — common in real corpora) has no
+    * defined cosine, and Spark 4's default ANSI mode would otherwise
+    * turn the /0 into a job-killing exception; as null it simply
+    * fails every `cosine >= tau` threshold downstream.
     */
   def cosineFrom(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb / (normA * normB)
+    dotAb / nullif(normA * normB, lit(0.0d))
 
   /** `nBits`-bit signed-random-projection signature (s03). `seed`
     * selects the hash table — pass the LSH table index.

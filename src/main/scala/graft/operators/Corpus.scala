@@ -61,7 +61,14 @@ object Corpus {
   def stratifiedSample(documents: DataFrame, permille: Int = 200): DataFrame =
     documents
       .select(col("doc_id"), col("lang"), col("source"))
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < permille)
+      // doc_id is reduced mod 1e9+7 BEFORE the Knuth multiply: the
+      // product then peaks at ~2.7e18 < 2^63, so the arithmetic is
+      // overflow-free — at billions of documents a raw doc_id·KNUTH
+      // overflows, which Spark's default ANSI mode makes fatal (and
+      // DuckDB's BIGINT likewise errors, so the oracle shares the
+      // same reduction).
+      .filter(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+        lit(1000L)) < permille)
 
   /** q19_approx_distinct — q13's metrics with the 100 TB distinct
     * path: HyperLogLog++ (`approx_count_distinct`) instead of exact

@@ -119,8 +119,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id") // same pair, several tables
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"))
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
     val scoredCand = candidates
       .join(e, "vec_id")
       .join(broadcast(q), "q_id")

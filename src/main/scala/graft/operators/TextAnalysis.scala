@@ -82,14 +82,23 @@ object TextAnalysis {
         ++ extra: _*)
       .select(Seq(
         col("doc_id"), col("n_chars_t"), col("n_tokens"),
-        round(col("n_alpha") / col("n_chars_t"), 4).as("alpha_ratio"),
+        // nullif'd divisors: an empty/whitespace-only document has
+        // n_chars_t = 0, and Spark 4's default ANSI mode makes /0
+        // FATAL, not null — the ratios (and thus quality_score)
+        // null-propagate instead, so a hostile corpus row can't kill
+        // the job (p01 then drops it at the quality filter).
+        round(col("n_alpha") / nullif(col("n_chars_t"), lit(0L)), 4)
+          .as("alpha_ratio"),
         round((col("n_chars_t") - col("n_alpha") - col("n_digit") -
-          col("n_space")) / col("n_chars_t"), 4).as("punct_ratio"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+          col("n_space")) / nullif(col("n_chars_t"), lit(0L)), 4)
+          .as("punct_ratio"),
+        round(col("n_stop") / nullif(col("n_tokens"), lit(0L)), 4)
+          .as("stop_ratio"),
         round(
-          (col("n_alpha") / col("n_chars_t")) * 0.5 +
+          (col("n_alpha") / nullif(col("n_chars_t"), lit(0L))) * 0.5 +
             least(col("n_tokens") / 100.0, lit(1.0)) * 0.3 +
-            least(col("n_stop") / col("n_tokens") * 5.0, lit(1.0)) * 0.2,
+            least(col("n_stop") / nullif(col("n_tokens"), lit(0L)) * 5.0,
+              lit(1.0)) * 0.2,
           4).as("quality_score"))
         ++ extra: _*)
   }
@@ -111,7 +120,9 @@ object TextAnalysis {
           .cast("long").as("n_bpe_tokens"))
       .select(
         col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
-        round(col("trimmed_len") / col("n_bpe_tokens"), 4)
+        // nullif: zero BPE tokens (whitespace-only text) must yield a
+        // null ratio, not an ANSI divide-by-zero abort.
+        round(col("trimmed_len") / nullif(col("n_bpe_tokens"), lit(0L)), 4)
           .as("chars_per_token"))
   }
 

@@ -144,13 +144,25 @@ object StreamOps {
       state.remove()
       out
     } else {
-      val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+      // Late-data contract: flatMapGroupsWithState does NOT drop rows
+      // behind the watermark automatically — an out-of-order file
+      // discovered in a later micro-batch could otherwise splice
+      // events into (or before) an already-emitted session. Rows at or
+      // behind the watermark are dropped here, the standard streaming
+      // semantics; within the allowed region, an event older than the
+      // open session's end still extends it (endUs is a max, the
+      // count/sum are order-independent).
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = events.toVector
+        .filter(e => wmUs == 0L || e.ts_us > wmUs)
+        .sortBy(e => (e.ts_us, e.event_id))
       var open = state.getOption
       val closed = Vector.newBuilder[SessionOut]
       sorted.foreach { e =>
         open match {
           case Some(s) if e.ts_us - s.endUs <= gapUs =>
-            open = Some(s.copy(endUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value))
+            open = Some(s.copy(endUs = math.max(s.endUs, e.ts_us),
+              n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
             closed += emit(s)
             open = Some(OpenSession(s.nextIdx + 1, e.ts_us, e.ts_us, 1, e.value))
@@ -190,10 +202,15 @@ object StreamOps {
     val stage = stagedSessions.getOrElseUpdate(dir, {
       val s = Files.createTempDirectory("graft_st02_").toString
       batch.write.mode("overwrite").parquet(s)
-      val horizon = batch.agg(max(col("ts_us"))).head.getLong(0)
-      Seq((-1L, -1L, horizon + 365L * 86400L * 1000000L, 0.0))
-        .toDF("user_id", "event_id", "ts_us", "value")
-        .write.mode("append").parquet(s)
+      // max() is null on an empty events table — a legitimately empty
+      // shard then needs no sentinel (there is no state to flush).
+      val horizonRow = batch.agg(max(col("ts_us"))).head
+      if (!horizonRow.isNullAt(0)) {
+        val horizon = horizonRow.getLong(0)
+        Seq((-1L, -1L, horizon + 365L * 86400L * 1000000L, 0.0))
+          .toDF("user_id", "event_id", "ts_us", "value")
+          .write.mode("append").parquet(s)
+      }
       s
     })
 

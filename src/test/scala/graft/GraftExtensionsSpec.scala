@@ -23,6 +23,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Unconditionally evict this session from the active/default
+    // slots: if no session existed before (this suite ran first), a
+    // bare restore would leave THIS local[2] session — without the
+    // engine configs — as the default that TestSpark.getOrCreate
+    // then returns for every other suite.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     prevActive.foreach(SparkSession.setActiveSession)
     prevDefault.foreach(SparkSession.setDefaultSession)
     s

@@ -4,10 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
-/** Corpora misbehave: rows with NULL text must flow through every
-  * document operator without exceptions — either filtered (set
-  * operators, binary probes) or null-propagated (per-row
-  * projections).
+/** Corpora misbehave: rows with NULL, empty, or whitespace-only text
+  * must flow through every document operator without exceptions —
+  * either filtered (set operators, binary probes) or null-propagated
+  * (per-row projections). The empty/whitespace rows specifically pin
+  * the nullif'd divisors: Spark 4's default ANSI mode turns an
+  * unguarded ratio over a 0-char/0-token document into a
+  * job-killing SparkArithmeticException.
   */
 class NullSafetySpec extends AnyFunSuite {
   import TestSpark._
@@ -16,7 +19,9 @@ class NullSafetySpec extends AnyFunSuite {
     import spark.implicits._
     Seq((1L, Option("real document text here with several tokens")),
       (2L, Option.empty[String]),
-      (3L, Option("another real document")))
+      (3L, Option("another real document")),
+      (4L, Option("")),
+      (5L, Option("   \t  ")))
       .toDF("doc_id", "text")
   }
 
@@ -31,19 +36,37 @@ class NullSafetySpec extends AnyFunSuite {
   test("text analysis null-propagates without throwing") {
     assert(TextAnalysis.langId(
       withNulls.withColumn("lang", org.apache.spark.sql.functions.lit("en")))
-      .count() === 3)
-    assert(TextAnalysis.qualityScore(withNulls).count() === 3)
-    assert(TextAnalysis.tokenCount(withNulls).count() === 3)
-    assert(TextAnalysis.fingerprint(withNulls).count() === 3)
+      .count() === 5)
+    val q = TextAnalysis.qualityScore(withNulls).collect()
+    assert(q.length === 5)
+    // empty doc: ratios null-propagate, row survives
+    val empty = q.find(_.getLong(0) == 4L).get
+    assert(empty.isNullAt(empty.fieldIndex("alpha_ratio")))
+    assert(TextAnalysis.tokenCount(withNulls).count() === 5)
+    assert(TextAnalysis.fingerprint(withNulls).count() === 5)
     TextAnalysis.repetition(withNulls).collect()
-    assert(TextAnalysis.redact(withNulls).count() === 3)
+    assert(TextAnalysis.redact(withNulls).count() === 5)
   }
 
-  test("multimodal probes skip null payloads") {
-    assert(Multimodal.multimodalMeta(withNulls).count() === 2)
-    assert(Multimodal.imageFeatures(withNulls).count() === 2)
-    assert(Multimodal.resize(withNulls).count() === 2)
+  test("multimodal probes skip null payloads, keep empty ones") {
+    assert(Multimodal.multimodalMeta(withNulls).count() === 4)
+    assert(Multimodal.imageFeatures(withNulls).count() === 4)
+    assert(Multimodal.resize(withNulls).count() === 4)
+    // zero-byte payload has zero frames; others have ≥1
     assert(Multimodal.frameSample(withNulls).select("doc_id")
-      .distinct().count() === 2)
+      .distinct().count() === 3)
+  }
+
+  test("zero embedding vectors score null cosine, never throw") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Array(0.0f, 0.0f, 0.0f)), // failed/padding embedding
+      (3L, 0, Array(3.0f, 2.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.dedupEmbedding(emb, tau = -1.0).collect()
+    // the zero vector matches nothing; the 1-3 pair survives
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 3L)))
   }
 }
