@@ -103,6 +103,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hyperplane_sig: codegen equals kernel; signature is scale-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HyperplaneSig, VectorOps}
+    import TestSpark.spark.implicits._
+    val vs = Seq((1L, Seq(0.5, -1.2, 3.3, 0.7)),
+      (2L, Seq(-2.0, 0.1, 0.0, 4.4)))
+    val df = vs.toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+      VectorOps.hyperplaneSig(col("v"), lit(7L), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    vs.foreach { case (id, v) =>
+      val direct = HyperplaneSig.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.map(x => x: Any).toArray), 7L, 16)
+      assert(got(id) === direct)
+    }
+    // SRP property: the signature depends only on direction, so
+    // positive scaling never changes it.
+    val scaled = df.select(col("vec_id"),
+      VectorOps.hyperplaneSig(transform(col("v"), x => x * 2), lit(7L), 16)
+        .as("sig")).as[(Long, Long)].collect().toMap
+    assert(scaled === got)
+    // different seed (LSH table) -> different hyperplanes
+    val otherSeed = df.select(col("vec_id"),
+      VectorOps.hyperplaneSig(col("v"), lit(8L), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(otherSeed !== got)
+  }
+
   test("centroids: one row per label, correct arity") {
     val e = Tables.embeddings(spark, sf)
     val c = Similarity.centroids(e).collect()
