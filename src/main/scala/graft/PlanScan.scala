@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    high-cardinality keys or post-aggregation bounded sets.
   *  - s01/s02 BNLJ: broadcast handful of query vectors against the
   *    corpus scan, by design (see SimilaritySpec plan tests).
+  *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers
+  *    (GK percentile sketch, collect_list centroids) — still hash
+  *    keyed, no per-group sort.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
