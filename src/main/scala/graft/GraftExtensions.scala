@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, SimHash64}
 
@@ -35,6 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** SQL-idiomatic coercions the kernels' manual type checks don't
+    * perform (they bypass ImplicitCastInputTypes): `array(1.0, 2.0)`
+    * types as array<decimal> and a bare `0` seed as INT — cast to
+    * what the kernel wants instead of failing analysis. Unconditional
+    * (the builder can see unresolved children); SimplifyCasts removes
+    * the no-op ones.
+    */
+  private def asDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
@@ -66,14 +79,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
       (args: Seq[Expression]) => args match {
-        case Seq(a, b) => DotProduct(a, b)
+        case Seq(a, b) => DotProduct(asDoubleArray(a), asDoubleArray(b))
         case _ => throw new IllegalArgumentException("vector_dot(a, b)")
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (args: Seq[Expression]) => args match {
-        case Seq(v, s, n) => HyperplaneSig(v, s, intArg(n, "nBits"))
+        case Seq(v, s, n) =>
+          HyperplaneSig(asDoubleArray(v), asLong(s), intArg(n, "nBits"))
         case _ => throw new IllegalArgumentException(
           "hyperplane_sig(vec, seed, nBits)")
       }))

@@ -151,10 +151,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,
          sum(l_quantity) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_price,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+             AS BIGINT)) / 10000.0 AS revenue,
          round(avg(l_quantity), 4) AS avg_qty,
-         round(avg(l_discount), 4) AS avg_disc
+         round(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+               * 100.0 / count(*), 0) / 10000.0 AS avg_disc
          FROM lineitem GROUP BY 1, 2""",
     "q02_trim_filter" ->
       """SELECT doc_id, lang, source, length(trim(text)) AS trimmed_len
@@ -163,7 +166,8 @@ object SparkEntry {
       """SELECT p_brand,
          count(*) AS n_items,
          sum(l_quantity) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+             AS BIGINT)) / 10000.0 AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1""",
     "q04_pe_pair" ->
@@ -256,10 +260,12 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
     "q15_topk" ->
       """SELECT o_custkey, c_name, count(*) AS n_orders,
-                round(sum(o_totalprice), 4) AS revenue
+                sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                  AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2
-         ORDER BY sum(o_totalprice) DESC, o_custkey ASC
+         ORDER BY sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) DESC,
+                  o_custkey ASC
          LIMIT 10""",
     "q16_sessionize" -> sessionizeSql,
     "q17_running_window" ->
@@ -274,7 +280,8 @@ object SparkEntry {
       """SELECT coalesce(r_name, 'ALL') AS region_name,
                 coalesce(n_name, 'ALL') AS nation_name,
                 count(*) AS n_customers,
-                round(sum(c_acctbal), 4) AS sum_acctbal
+                sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+                  AS sum_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -473,11 +480,16 @@ object SparkEntry {
                 CAST(coalesce(sum(byte * p), 0) % 1000000007 AS BIGINT)
                   AS fp
          FROM bv JOIN powers ON e = n - 1 - t
-         WHERE n < 16 GROUP BY 1""",
+         WHERE n < 16 GROUP BY 1
+         UNION ALL  -- empty doc: zero-length fold = 0 (operator emits it)
+         SELECT doc_id, 0 AS fp FROM b WHERE n = 0
+         UNION ALL  -- null text null-propagates through the Expression
+         SELECT doc_id, CAST(NULL AS BIGINT) AS fp
+         FROM documents WHERE text IS NULL""",
     "m02_image_features" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          nib AS (
            SELECT doc_id, n,
                   strpos('123456789ABCDEF',
@@ -488,7 +500,7 @@ object SparkEntry {
          grid AS (
            SELECT doc_id, n, unnest(range(0, 16)) AS pos FROM b)
          SELECT g.doc_id, g.pos,
-                round(coalesce(c.c, 0) * 1.0 / g.n, 6) AS feature
+                round(coalesce(c.c, 0) * 1.0 / greatest(g.n, 1), 6) AS feature
          FROM grid g LEFT JOIN counts c
            ON g.doc_id = c.doc_id AND g.pos = c.hi""",
     "m01_multimodal_meta" ->
@@ -498,11 +510,11 @@ object SparkEntry {
            16 + strlen(text) % 624 AS width,
            16 + (strlen(text) * 7) % 464 AS height,
            1 + strlen(text) % 9 AS n_frames
-         FROM documents""",
+         FROM documents WHERE text IS NOT NULL""",
     "m03_resize" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          bv AS (
            SELECT doc_id, n, (n + 63) // 64 AS stride, t,
                   strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
@@ -514,7 +526,9 @@ object SparkEntry {
                 CAST(sum((t // stride + 1) * byte) % 1000000007 AS BIGINT)
                   AS checksum
          FROM bv WHERE t % stride = 0
-         GROUP BY 1, 2, 3""",
+         GROUP BY 1, 2, 3
+         UNION ALL  -- zero-byte payload: stride clamps to 1, no picks
+         SELECT doc_id, 0, 1, 0, 0 FROM b WHERE n = 0""",
     "m04_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n

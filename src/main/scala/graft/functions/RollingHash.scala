@@ -35,8 +35,9 @@ case class RollingMinHash(
     mod: Long = 1000000007L)
   extends UnaryExpression {
 
-  require(window > 0 && base > 1 && mod > 1 && mod < (1L << 31),
-    "window > 0; 1 < base; 1 < mod < 2^31 so products fit in Long")
+  require(window > 0 && base > 1 && mod > 1 && mod < (1L << 31) && base < mod,
+    "window > 0; 1 < base < mod < 2^31 — residues stay below mod, so " +
+      "every product is < mod² < 2^62 and fits in Long without wrapping")
 
   // Manual input-type check: ExpectsInputTypes' Seq[AbstractDataType]
   // signature is private[sql] in Spark 4, unreachable from here.

@@ -45,19 +45,27 @@ object Pipeline {
       explode(sequence(
         floor(col("lo") / binWidth).cast("long"),
         (ceil(col("hi") / binWidth) - 1).cast("long"))))
+    // No broadcast hint here: at annotation scale (10⁵–10⁶ intervals
+    // × bins-per-interval) a pinned broadcast would ship millions of
+    // rows to every executor. The planner broadcasts small interval
+    // tables on its own (size-based); callers with literal tables can
+    // hint at the call site.
     facts
       .withColumn("bin", floor(col(factCol) / binWidth).cast("long"))
-      .join(broadcast(binned), Seq("bin"), "inner")
+      .join(binned, Seq("bin"), "inner")
       .filter(col(factCol) >= col("lo") && col(factCol) < col("hi"))
   }
 
   /** q11_interval_count — interval join + count per feature, the
     * htseq-count step (reference tools.py:625-674): each fact falls
     * into an annotation band [lo, hi); counts per band. Uses the
-    * binned equi-join (hash join on bin), not a nested loop.
+    * binned equi-join (hash join on bin), not a nested loop; the 12
+    * literal bands are hinted broadcast here, where their size is
+    * known.
     */
   def intervalCount(spark: SparkSession, lineitem: DataFrame): DataFrame =
-    intervalJoin(lineitem, priceBands(spark), "l_extendedprice", 10000.0)
+    intervalJoin(lineitem, broadcast(priceBands(spark)), "l_extendedprice",
+      10000.0)
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity")).as("sum_qty"))
@@ -147,13 +155,18 @@ object Pipeline {
   def topk(orders: DataFrame, customer: DataFrame, k: Int = 10): DataFrame =
     orders
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      // exact integer cents (see q01): the double sum is
+      // order-sensitive in the last ulp, and here it is also the
+      // RANKING key — an ulp flip across engines could reorder the
+      // top-k boundary itself.
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("rev_cents"), count(lit(1)).as("n_orders"))
       .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
         col("o_custkey") === col("c_custkey"))
-      .orderBy(col("rev").desc, col("o_custkey").asc)
+      .orderBy(col("rev_cents").desc, col("o_custkey").asc)
       .limit(k)
       .select(col("o_custkey"), col("c_name"), col("n_orders"),
-        round(col("rev"), 4).as("revenue"))
+        (col("rev_cents") / 100.0).as("revenue"))
 
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
@@ -210,7 +223,9 @@ object Pipeline {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+        // exact integer cents (see q01) — associative, SF-stable
+        (sum(round(col("c_acctbal") * 100, 0).cast("long")) / 100.0)
+          .as("sum_acctbal"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),

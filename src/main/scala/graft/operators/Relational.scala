@@ -18,19 +18,34 @@ object Relational {
   /** q01_qc_summary — per-group record statistics, the fastqc-style
     * quality summary (reference tools.py:101). Algebraic aggregates
     * only → map-side partial aggregation at any scale.
-    * Doubles rounded to 4dp for oracle hash stability.
+    *
+    * Money/ratio sums run in EXACT INTEGER units (cents /
+    * ten-thousandths, the q13 recipe): a raw double sum is
+    * order-sensitive in the last ulp, and Spark's and DuckDB's
+    * different summation orders can land a 4dp rounding tie on
+    * different sides — integer sums are associative, so the gate is
+    * deterministic at any SF and partition count. avg_qty stays a
+    * plain avg: the quantity sum is integer-exact in a double, and an
+    * int/int quotient can never be a true decimal-ties-at-5 case.
     */
-  def qcSummary(lineitem: DataFrame): DataFrame =
+  def qcSummary(lineitem: DataFrame): DataFrame = {
+    val priceCents =
+      round(col("l_extendedprice") * 100, 0).cast("long")
+    val revenueTenK =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")
+    val discCents = round(col("l_discount") * 100, 0).cast("long")
     lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        (sum(priceCents) / 100.0).as("sum_price"),
+        (sum(revenueTenK) / 10000.0).as("revenue"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"))
+        (round(sum(discCents) * 100.0 / count(lit(1)), 0) / 10000.0)
+          .as("avg_disc"))
+  }
 
   /** q02_trim_filter — stringency filter + record cleanup, the
     * trim_galore step (reference tools.py:145): drop short records,
@@ -56,8 +71,9 @@ object Relational {
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
+        // exact integer ten-thousandths — see qcSummary
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000, 0).cast("long")) / 10000.0).as("revenue"))
 
   /** q04_pe_pair — mate pairing by shared identifier with order
     * normalization (reference tools.py:737 PE_check): join record 1

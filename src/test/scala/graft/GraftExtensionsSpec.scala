@@ -45,8 +45,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
                rolling_min_hash(text, 16) AS fp,
                simhash64(split(lower(text), '\\s+')) AS sh,
                minhash_sigs(split(lower(text), '\\s+'), 8) AS ms,
-               vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-               hyperplane_sig(array(1.0d, -2.0d, 0.5d), 0L, 6) AS hs
+               vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS dp,
+               hyperplane_sig(array(1.0, -2.0, 0.5), 0, 6) AS hs
          FROM t""").collect()
     viaSql.foreach { r =>
       val text = if (r.getLong(0) == 1L)

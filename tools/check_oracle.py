@@ -19,7 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # Sort rows by NON-float columns first: if a float column led the
+    # sort, a cross-engine ulp difference could order rows differently
+    # per side and misalign the positional compare, turning a
+    # tolerance-level diff into a spurious hard FAIL on other columns.
+    keys = sorted(df.columns, key=lambda c: (df[c].dtype.kind == "f", c))
+    df = df.sort_values(by=keys, ignore_index=True)
     return df
 
 
