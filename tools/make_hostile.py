@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Build an adversarial copy of a testdata SF dir: same tables, plus
+planted hostile document rows (NULL text, empty string, whitespace-only,
+multi-byte CJK, very short). Running the normal gate against it proves
+the operators AND their DuckDB oracles agree on misbehaving corpora,
+not just the clean synthetic data.
+
+Usage:
+    python3 tools/make_hostile.py [srcSfDir] [destDir]
+    sbt 'runMain graft.Verify <destDir> /tmp/v_hostile'
+    python3 tools/check_oracle.py <destDir> /tmp/v_hostile
+"""
+import shutil, sys
+
+import duckdb
+
+HOSTILE = [
+    (90001, None, "en", "hostile", 0),
+    (90002, "", "en", "hostile", 0),
+    (90003, "   ", "de", "hostile", 3),
+    (90004, "机器学习模型需要 大量 高质量 的 训练数据", "zh", "hostile", 22),
+    (90005, "short", "en", "hostile", 5),
+]
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_hostile"
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src, dest)
+    con = duckdb.connect()
+    rows = ", ".join(
+        "(%d, %s, '%s', '%s', %d)"
+        % (d, "NULL" if t is None else "'%s'" % t, l, s, n)
+        for d, t, l, s, n in HOSTILE)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{dest}/documents.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {rows})
+            AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
+    """)
+    total, nonnull = con.execute(
+        f"SELECT count(*), count(text) "
+        f"FROM read_parquet('{dest}/documents.parquet')").fetchone()
+    print(f"{dest}: {total} docs ({total - nonnull} null-text)")
+
+
+if __name__ == "__main__":
+    main()
