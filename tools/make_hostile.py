@@ -22,6 +22,13 @@ HOSTILE = [
     (90005, "short", "en", "hostile", 5),
 ]
 
+# Zero vectors = failed/padding embeddings. 90050 is divisible by the
+# ANN queryStride (50), so it also exercises a zero-norm QUERY vector.
+HOSTILE_EMB = [
+    (90050, [0.0] * 64, 0),
+    (90051, [0.0] * 64, 1),
+]
+
 
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -41,10 +48,24 @@ def main():
             AS t(doc_id, text, lang, source, n_chars)
         ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
+    emb_rows = ", ".join(
+        "(%d, %s::FLOAT[], %d)" % (v, e, l) for v, e, l in HOSTILE_EMB)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{dest}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {emb_rows})
+            AS t(vec_id, embedding, label)
+        ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     total, nonnull = con.execute(
         f"SELECT count(*), count(text) "
         f"FROM read_parquet('{dest}/documents.parquet')").fetchone()
-    print(f"{dest}: {total} docs ({total - nonnull} null-text)")
+    nemb = con.execute(
+        f"SELECT count(*) "
+        f"FROM read_parquet('{dest}/embeddings.parquet')").fetchone()[0]
+    print(f"{dest}: {total} docs ({total - nonnull} null-text), "
+          f"{nemb} embeddings (incl. zero vectors)")
 
 
 if __name__ == "__main__":
