@@ -130,7 +130,7 @@ object SparkEntry {
                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                           > 1800000000 THEN 1
                      ELSE 0 END AS new_session
-         FROM events
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
        sessions AS (
          SELECT user_id, event_id, value, ts_us,
@@ -217,7 +217,7 @@ object SparkEntry {
                 event_type,
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
     "q11_interval_count" ->
       s"""SELECT band_id, count(*) AS n_items, sum(l_quantity) AS sum_qty
           FROM lineitem JOIN ${graft.operators.Pipeline.priceBandsSql}
@@ -227,7 +227,7 @@ object SparkEntry {
       """WITH bins AS (
            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
                   count(*) AS n
-           FROM events GROUP BY 1),
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
          enriched AS (
            SELECT bin_id, n
            FROM (SELECT bin_id, n,
@@ -547,13 +547,13 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "st03_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY 1""",
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1""",
     "st01_stream_window" ->
       """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bin_id,
                 event_type,
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
     "st02_stream_session" -> sessionizeSql,
     "k01_partitioned_sink" ->
       """SELECT o_orderpriority, count(*) AS n_rows,

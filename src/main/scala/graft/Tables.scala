@@ -31,12 +31,26 @@ object Tables {
     * proper TimestampType at microsecond precision so operators stay
     * type-uniform. Integer DIV, not double division: epoch-ns
     * (~1.7e18) exceeds double's 2^53 exact-integer range.
+    *
+    * Ingest hygiene: an event without a timestamp or a key is
+    * unusable for event-time semantics (null ts can't bin/window/
+    * watermark; null user_id would NPE the typed streaming encoder) —
+    * drop such rows AT THE LOADER so every downstream operator sees
+    * the same cleaned stream. The oracles apply the identical WHERE.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    val normalized = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // e.g. files rewritten by engines that write NTZ micros; with
+        // the session clock pinned to UTC the instant is unchanged,
+        // and watermarks demand TimestampType.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    normalized.filter(col("ts").isNotNull && col("user_id").isNotNull)
   }
 
   /** Epoch microseconds of any timestamp flavor (NTZ casts through the

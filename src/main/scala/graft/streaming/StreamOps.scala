@@ -196,9 +196,13 @@ object StreamOps {
 
     // Stage the finite input: the real events plus one sentinel row
     // (memoized per input dir, like eventStream's stage).
+    // coalesce(value): the typed Ev encoder can't carry a null Double,
+    // and summing 0 for a null value matches batch q16 (whose sum()
+    // skips nulls).
     val batch = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        graft.Tables.epochUs(col("ts")).as("ts_us"), col("value"))
+        graft.Tables.epochUs(col("ts")).as("ts_us"),
+        coalesce(col("value"), lit(0.0d)).as("value"))
     val stage = stagedSessions.getOrElseUpdate(dir, {
       val s = Files.createTempDirectory("graft_st02_").toString
       batch.write.mode("overwrite").parquet(s)

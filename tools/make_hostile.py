@@ -29,6 +29,18 @@ HOSTILE_EMB = [
     (90051, [0.0] * 64, 1),
 ]
 
+# (event_id, ts literal or None, user_id, event_type, value)
+# null ts / null user_id must be DROPPED by loader+oracle alike;
+# null event_type groups as a null key; null value is skipped by sums.
+# 91003/91004 share one session for a fresh user so the null-value
+# session still has a non-null sum (streaming coalesces to 0).
+HOSTILE_EVT = [
+    (91001, None, 7, "click", 1.5),
+    (91002, "2024-03-01 00:00:00", None, "click", 2.5),
+    (91003, "2024-03-01 00:10:00", 700001, None, 3.5),
+    (91004, "2024-03-01 00:20:00", 700001, "click", None),
+]
+
 
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -58,14 +70,34 @@ def main():
             AS t(vec_id, embedding, label)
         ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    evt_rows = ", ".join(
+        "(%d, %s, %s, %s, %s, NULL)" % (
+            e,
+            "NULL" if ts is None else f"TIMESTAMP '{ts}'",
+            "NULL" if u is None else str(u),
+            "NULL" if t is None else f"'{t}'",
+            "NULL" if v is None else str(v))
+        for e, ts, u, t, v in HOSTILE_EVT)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{dest}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES {evt_rows})
+            AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{dest}/events.parquet' (FORMAT PARQUET)
+    """)
     total, nonnull = con.execute(
         f"SELECT count(*), count(text) "
         f"FROM read_parquet('{dest}/documents.parquet')").fetchone()
     nemb = con.execute(
         f"SELECT count(*) "
         f"FROM read_parquet('{dest}/embeddings.parquet')").fetchone()[0]
+    nevt, nts = con.execute(
+        f"SELECT count(*), count(ts) "
+        f"FROM read_parquet('{dest}/events.parquet')").fetchone()
     print(f"{dest}: {total} docs ({total - nonnull} null-text), "
-          f"{nemb} embeddings (incl. zero vectors)")
+          f"{nemb} embeddings (incl. zero vectors), "
+          f"{nevt} events ({nevt - nts} null-ts)")
 
 
 if __name__ == "__main__":
