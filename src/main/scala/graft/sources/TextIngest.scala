@@ -71,6 +71,38 @@ object TextIngest {
       from_csv(col("value"), withCapture(schema), parseOpts), schema)
   }
 
+  /** WARC-lite reader — the Common Crawl shape: a dump is a stream of
+    * records, each `WARC/1.0` + header lines + blank line + payload.
+    * `lineSep` splits the files INTO records at the version marker
+    * (so a "row" is a whole record, not a line — still splittable and
+    * parallel per `maxPartitionBytes`), then header fields and the
+    * payload come out of ordinary string expressions: no custom
+    * InputFormat, no RDDs, whole-stage codegen throughout.
+    *
+    * Extracted columns: `warc_type`, `target_uri`, `payload` (text
+    * after the first blank line, the record's content block).
+    * Records missing a WARC-Type header surface with a null
+    * `warc_type` — callers filter like any other quality gate.
+    */
+  def readWarcLite(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("lineSep", "WARC/1.0")
+      .text(path)
+      .filter(length(trim(col("value"))) > 0) // preamble before marker
+      .select(
+        regexp_extract(col("value"), "(?m)^WARC-Type:\\s*(\\S+)", 1)
+          .as("rawtype"),
+        regexp_extract(col("value"), "(?m)^WARC-Target-URI:\\s*(\\S+)", 1)
+          .as("target_uri"),
+        // payload = everything after the first blank line
+        regexp_replace(col("value"), "(?s)\\A.*?\\r?\\n\\r?\\n", "")
+          .as("payload"))
+      .withColumn("warc_type",
+        when(col("rawtype") === "", lit(null: String))
+          .otherwise(col("rawtype")))
+      .drop("rawtype")
+      .select(col("warc_type"), col("target_uri"), col("payload"))
+
   /** (clean rows without the capture column, corrupt raw lines). */
   def split(ingested: DataFrame): (DataFrame, DataFrame) = (
     ingested.filter(col(CorruptCol).isNull).drop(CorruptCol),

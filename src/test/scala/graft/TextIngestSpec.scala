@@ -37,6 +37,37 @@ class TextIngestSpec extends AnyFunSuite {
     assert(s.getLong(1) === 2L)
   }
 
+  test("warc-lite splits records at the version marker and extracts payloads") {
+    val dir = Files.createTempDirectory("graft_warc_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "crawl.warc"),
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://example.org/a\r\n" +
+        "Content-Length: 11\r\n" +
+        "\r\n" +
+        "hello there\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: metadata\r\n" +
+        "WARC-Target-URI: https://example.org/b\r\n" +
+        "\r\n" +
+        "k: v\r\n" +
+        "WARC/1.0\r\n" +
+        "NotARealHeader: x\r\n" +
+        "\r\n" +
+        "payload without type\r\n")
+    val out = TextIngest.readWarcLite(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getString(2)))
+    assert(out.length === 3)
+    val byUri = out.map(t => t._2 -> t).toMap
+    assert(byUri("https://example.org/a")._1 === Some("response"))
+    assert(byUri("https://example.org/a")._3.startsWith("hello there"))
+    assert(byUri("https://example.org/b")._1 === Some("metadata"))
+    assert(byUri("https://example.org/b")._3.startsWith("k: v"))
+    val untyped = out.find(_._1.isEmpty)
+    assert(untyped.isDefined, "typeless record must surface with null type")
+    assert(untyped.get._3.startsWith("payload without type"))
+  }
+
   test("csv ingest parses a headered file and flags short rows") {
     val dir = Files.createTempDirectory("graft_csv_").toString
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
