@@ -65,7 +65,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
-    // Raw line on stdout too, for any parser that strips sbt's prefix.
+    // Sentinel-prefixed line for regex-based parsers, then the raw
+    // JSON as the final stdout line (build.sbt's StdoutOutput strategy
+    // keeps both free of sbt's "[info] " prefix).
+    println("BENCH_JSON: " + json)
     println(json)
     spark.stop()
   }

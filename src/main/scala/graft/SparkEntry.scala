@@ -46,6 +46,12 @@ object SparkEntry {
       Pipeline.intervalCount(s, Tables.lineitem(s, d))),
     "q12_peak_detect" -> ((s, d) =>
       Pipeline.peakDetect(Tables.events(s, d))),
+    "q21_peak_local" -> ((s, d) =>
+      Pipeline.peakDetectLocal(Tables.events(s, d))),
+    "q22_incremental" -> ((s, d) =>
+      graft.sources.PartitionedSink.ordersResume(Tables.orders(s, d))),
+    "q23_interval_file" -> ((s, d) =>
+      Pipeline.intervalCountFromFile(s, Tables.lineitem(s, d))),
     "q13_metrics" -> ((s, d) =>
       Pipeline.metrics(Tables.orders(s, d))),
     "q14_status_pivot" -> ((s, d) =>
@@ -107,7 +113,7 @@ object SparkEntry {
       graft.sources.PartitionedSink.ordersByPriority(Tables.orders(s, d))),
     "k02_bucketed_join" -> ((s, d) =>
       graft.sources.Bucketed.bucketedOrderJoin(s,
-        Tables.orders(s, d), Tables.lineitem(s, d))),
+        Tables.orders(s, d), Tables.lineitem(s, d), cacheKey = d)),
     "p01_corpus_clean" -> ((s, d) =>
       Corpus.corpusClean(Tables.documents(s, d))),
     "p02_stratified_sample" -> ((s, d) =>
@@ -241,6 +247,34 @@ object SparkEntry {
          SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
                 count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
          FROM islands GROUP BY island""",
+    "q21_peak_local" ->
+      """WITH bins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+         loc AS (
+           SELECT bin_id, n,
+                  avg(n) OVER (ORDER BY bin_id
+                    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS lam
+           FROM bins),
+         enriched AS (
+           SELECT bin_id, n FROM loc WHERE n > lam + 2 * sqrt(lam)),
+         islands AS (
+           SELECT bin_id, n,
+                  bin_id - row_number() OVER (ORDER BY bin_id) AS island
+           FROM enriched)
+         SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
+                count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
+         FROM islands GROUP BY island""",
+    "q22_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders GROUP BY 1""",
+    "q23_interval_file" ->
+      s"""SELECT band_id, count(*) AS n_items, sum(l_quantity) AS sum_qty
+          FROM lineitem JOIN ${graft.operators.Pipeline.priceBandsSql}
+            ON l_extendedprice >= lo AND l_extendedprice < hi
+          GROUP BY 1""",
     "q13_metrics" ->
       """SELECT o_orderstatus,
                 count(*) AS n_orders,

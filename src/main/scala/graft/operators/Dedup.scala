@@ -29,6 +29,15 @@ object Dedup {
     * per row instead of the document; `min(doc_id)` picks the
     * deterministic representative, `n_dups` the group size. Purely
     * algebraic → map-side partial aggregation.
+    *
+    * Collision contract: grouping on the 64-bit hash (here and in the
+    * d04/d06 shingle joins) is PROBABILISTICALLY equal to grouping on
+    * the strings the oracle uses — two distinct normalized texts
+    * colliding would silently merge. At 10¹⁰ docs the birthday bound
+    * puts the chance of ANY collision near 0.3%; trading that for an
+    * 8-byte shuffle key instead of shipping document text is the
+    * deliberate 100 TB posture (add a (hash, length) compound key if
+    * an exactness guarantee is ever required).
     */
   def dedupExact(documents: DataFrame): DataFrame =
     documents
@@ -171,15 +180,28 @@ object Dedup {
     * inter / (|A| + |B| - inter). Pairs sharing no shingle can't
     * reach tau > 0, so the join IS the candidate filter.
     *
-    * `maxDf` caps the document frequency of join shingles — the
-    * quadratic term is Σ df², so dropping shingles present in more
-    * than maxDf docs bounds the blowup at corpus scale (boilerplate
-    * shingles are exactly the ones that explode). Default Int.MaxValue
-    * = off, which is what the oracle checks; the cap itself is
-    * spec-tested separately.
+    * Two guards bound the quadratic term at corpus scale:
+    *
+    *  - `maxDf` caps the document frequency of join shingles — the
+    *    pair blowup is Σ df², so dropping shingles present in more
+    *    than maxDf docs bounds it (boilerplate shingles are exactly
+    *    the ones that explode). ON by default: maxDf=128 admits every
+    *    legitimate near-dup shingle (a shingle shared by >128 docs is
+    *    boilerplate, not signal) while capping any single shingle's
+    *    contribution at 128²/2 pairs. A dropped hot shingle can lower
+    *    a pair's observed intersection — a documented recall tradeoff,
+    *    invisible on corpora whose max df is below the cap.
+    *  - LOSSLESS length-ratio pruning: J(A,B) ≥ τ forces
+    *    τ·max(|A|,|B|) ≤ min(|A|,|B|) (intersection ≤ min, union ≥
+    *    max), so candidate pairs violating the size ratio are
+    *    discarded AT JOIN-PROBE TIME — they never reach the pair-count
+    *    shuffle. Provably changes nothing (spec-verified pruned ≡
+    *    unpruned on real data); the ε guards the fp product at the
+    *    boundary so a representation-rounding of τ can't exclude a
+    *    legitimate boundary pair.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.6,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 128, lengthPrune: Boolean = true): DataFrame = {
     val sets = shingleSets(documents, n)
     val exploded = sets
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
@@ -193,9 +215,15 @@ object Dedup {
           .select(col("gh"))
         exploded.join(df, Seq("gh")) // inner join drops hot shingles
       }
+    val sizeOk =
+      if (lengthPrune)
+        least(col("a.nsh"), col("b.nsh")).cast("double") >=
+          greatest(col("a.nsh"), col("b.nsh")).cast("double") * tau - 1e-9
+      else lit(true)
     posting.as("a")
       .join(posting.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+          sizeOk)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))

@@ -41,10 +41,17 @@ object Pipeline {
     */
   def intervalJoin(facts: DataFrame, intervals: DataFrame, factCol: String,
       binWidth: Double): DataFrame = {
-    val binned = intervals.withColumn("bin",
-      explode(sequence(
-        floor(col("lo") / binWidth).cast("long"),
-        (ceil(col("hi") / binWidth) - 1).cast("long"))))
+    // Degenerate intervals (hi <= lo) match no fact under the
+    // half-open [lo, hi) predicate, but an UNGUARDED hi << lo would
+    // make `sequence(start, stop)` count DOWN and explode unbounded
+    // spurious bins before the residual filter discards them — a
+    // malformed annotation row must cost nothing, not a fan-out.
+    val binned = intervals
+      .filter(col("hi") > col("lo"))
+      .withColumn("bin",
+        explode(sequence(
+          floor(col("lo") / binWidth).cast("long"),
+          (ceil(col("hi") / binWidth) - 1).cast("long"))))
     // No broadcast hint here: at annotation scale (10⁵–10⁶ intervals
     // × bins-per-interval) a pinned broadcast would ship millions of
     // rows to every executor. The planner broadcasts small interval
@@ -109,6 +116,87 @@ object Pipeline {
         count(lit(1)).as("n_bins"),
         sum(col("n")).as("total_events"))
       .drop("island")
+  }
+
+  /** q21_peak_local — peak calling against a LOCAL background, the
+    * part of the macs2 semantics q12's global threshold misses
+    * (reference tools.py:555-622: macs2 tests each candidate against
+    * a local lambda estimated from sliding windows around it, so a
+    * region with elevated baseline doesn't flood the caller with
+    * false peaks). Here: local lambda = avg event count over the
+    * ±`k`-bin RANGE frame around each bin (range, not rows — absent
+    * bins don't stretch the neighborhood), and a bin is enriched when
+    * it exceeds the Poisson-style `lambda + z·sqrt(lambda)` bound.
+    * Enriched bins merge into peaks exactly like q12.
+    *
+    * At 100× data with regional baseline drift this keeps calling the
+    * same local spikes where the global mean+2σ threshold would call
+    * entire elevated regions. The windows run on #bins rows
+    * (post-aggregation, bounded by time-range/binSeconds), so the
+    * single-partition frame is safe at any event count — same
+    * argument as q12.
+    */
+  def peakDetectLocal(events: DataFrame, binSeconds: Long = 3600L,
+      k: Int = 12, z: Double = 2.0): DataFrame = {
+    val bins = events
+      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+        .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+    val local = Window.orderBy(col("bin_id")).rangeBetween(-k, k)
+    // lambda is an exact-int-sum / count double on both engines, and
+    // sqrt is IEEE — the enrichment compare is bit-deterministic.
+    val enriched = bins
+      .withColumn("lam", avg(col("n")).over(local))
+      .filter(col("n") > col("lam") + lit(z) * sqrt(col("lam")))
+    val byBin = Window.partitionBy().orderBy(col("bin_id"))
+    enriched
+      .withColumn("island", col("bin_id") - row_number().over(byBin))
+      .groupBy(col("island"))
+      .agg(
+        min(col("bin_id")).as("peak_start"),
+        max(col("bin_id")).as("peak_end"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n")).as("total_events"))
+      .drop("island")
+  }
+
+  /** q23_interval_file — q11's interval count with the annotation
+    * table read from a FILE instead of literals: the reference
+    * consumes real annotation inputs (/root/reference/parserTools.py;
+    * htseq reads a GTF), so the engine must close the loop between
+    * text ingest and the interval machinery. The bands land in a
+    * GTF-shaped CSV (feature id + coordinates), come back through
+    * TextIngest.readCsv (corrupt-capturing, schema'd), and feed the
+    * same binned equi-join — the plan stays a hash join, never a
+    * nested loop, regardless of where the intervals came from.
+    *
+    * The CSV staging is memoized per JVM: writing the file simulates
+    * the annotation input existing on disk, it is not part of the
+    * operator's work.
+    */
+  def intervalCountFromFile(spark: SparkSession,
+      lineitem: DataFrame): DataFrame = {
+    val dir = bandsCsvDir(spark)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "band_id INT, lo DOUBLE, hi DOUBLE")
+    val (bands, _) = graft.sources.TextIngest.split(
+      graft.sources.TextIngest.readCsv(spark, dir, schema))
+    intervalJoin(lineitem, bands, "l_extendedprice", 10000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private lazy val bandsCsvDir: SparkSession => String = {
+    val memo = scala.collection.concurrent.TrieMap.empty[String, String]
+    spark => memo.getOrElseUpdate("bands", {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_bands_csv_").toString
+      priceBands(spark).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(d)
+      d
+    })
   }
 
   /** q13_metrics — multi-statistic summary with ratio-of-total, the

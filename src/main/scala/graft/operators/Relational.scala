@@ -149,9 +149,26 @@ object Relational {
     * bits of l_orderkey headroom.
     */
   def dedupPos(lineitem: DataFrame): DataFrame = {
-    val packed = shiftleft(col("l_orderkey"), 13)
+    // The packing is only order-preserving inside the declared field
+    // ranges — an out-of-range row (l_quantity 200, a fractional
+    // quantity, a negative line number) would silently corrupt the
+    // representative, so the invariant FAILS LOUDLY instead: the
+    // guard is a handful of codegen'd comparisons per row, and
+    // raise_error turns a bad input into a job error, not a wrong
+    // answer.
+    val inRange =
+      col("l_linenumber") >= 0 && col("l_linenumber") < 64 &&
+        col("l_quantity") >= 0 && col("l_quantity") < 128 &&
+        col("l_quantity") === floor(col("l_quantity")) &&
+        col("l_orderkey") >= 0 && col("l_orderkey") < (1L << 50)
+    val packedRaw = shiftleft(col("l_orderkey"), 13)
       .bitwiseOR(shiftleft(col("l_linenumber").cast("long"), 7))
       .bitwiseOR(col("l_quantity").cast("long"))
+    val packed = when(inRange, packedRaw).otherwise(raise_error(concat(
+      lit("q08_dedup_pos: row outside packed ranges: orderkey="),
+      col("l_orderkey").cast("string"),
+      lit(" linenumber="), col("l_linenumber").cast("string"),
+      lit(" quantity="), col("l_quantity").cast("string"))))
     lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(packed).as("rep"))

@@ -56,17 +56,33 @@ object TextIngest {
     parsed(spark.read.text(path),
       from_json(col("value"), withCapture(schema), parseOpts), schema)
 
-  /** Schema'd CSV read; `header=true` drops lines equal to the
-    * rendered header (single-line headers only). Unparseable lines
-    * carried in `_corrupt_record`.
+  /** Schema'd CSV read; `header=true` drops exactly ONE header line
+    * per file. Unparseable lines carried in `_corrupt_record`.
+    *
+    * The "never silently dropped" contract holds even when a DATA row
+    * happens to equal the rendered header: header-equal lines are
+    * identical strings, so removing any single one per file yields
+    * the same multiset as removing the real header — the per-file
+    * min-id anti-join below therefore drops one copy exactly, not
+    * every lookalike. The anti-join side holds one row per FILE
+    * (broadcast, metadata-sized); the price is a second pass over the
+    * raw lines to find them, which a header-less production ingest
+    * (header=false) never pays.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame = {
-    val lines0 = spark.read.text(path)
+    val headerLine = schema.fieldNames.mkString(",")
     val lines =
-      if (header)
-        lines0.filter(col("value") =!= schema.fieldNames.mkString(","))
-      else lines0
+      if (!header) spark.read.text(path)
+      else {
+        val tagged = spark.read.text(path).select(col("value"),
+          input_file_name().as("_file"),
+          monotonically_increasing_id().as("_mid"))
+        val headers = tagged.filter(col("value") === headerLine)
+          .groupBy(col("_file")).agg(min(col("_mid")).as("_mid"))
+        tagged.join(broadcast(headers), Seq("_file", "_mid"), "left_anti")
+          .select(col("value"))
+      }
     parsed(lines,
       from_csv(col("value"), withCapture(schema), parseOpts), schema)
   }

@@ -147,14 +147,20 @@ object StreamOps {
       // Late-data contract: flatMapGroupsWithState does NOT drop rows
       // behind the watermark automatically — an out-of-order file
       // discovered in a later micro-batch could otherwise splice
-      // events into (or before) an already-emitted session. Rows at or
-      // behind the watermark are dropped here, the standard streaming
-      // semantics; within the allowed region, an event older than the
-      // open session's end still extends it (endUs is a max, the
-      // count/sum are order-independent).
+      // events into (or before) an already-emitted session. Rows
+      // STRICTLY behind the watermark are dropped here, matching
+      // Spark's own late-data rule (aggregations keep rows with
+      // event time == watermark): a multi-batch discovery where an
+      // event ties the prior batch's max event time must not lose it,
+      // or the bit-for-bit q16 equality breaks. GroupState reports
+      // "watermark not yet set" as 0, and 0 also can't drop anything
+      // under >=, so pre-epoch events pass through either way.
+      // Within the allowed region, an event older than the open
+      // session's end still extends it (endUs is a max, the count/sum
+      // are order-independent).
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val sorted = events.toVector
-        .filter(e => wmUs == 0L || e.ts_us > wmUs)
+        .filter(e => wmUs == 0L || e.ts_us >= wmUs)
         .sortBy(e => (e.ts_us, e.event_id))
       var open = state.getOption
       val closed = Vector.newBuilder[SessionOut]

@@ -104,6 +104,20 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() === 10) // all C(5,2) pairs share the phrase
   }
 
+  test("d04: length-ratio prune + default maxDf are lossless on real data") {
+    // The production guards (finite maxDf, size-ratio probe pruning)
+    // must change NOTHING on a corpus whose max shingle df is under
+    // the cap — this is the invariant that keeps the DuckDB oracle
+    // (which computes unguarded exact Jaccard) hash-green.
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = pairs(Dedup.ngramJaccard(Tables.documents(spark, sf)))
+    val unguarded = pairs(Dedup.ngramJaccard(Tables.documents(spark, sf),
+      maxDf = Int.MaxValue, lengthPrune = false))
+    assert(guarded === unguarded)
+    assert(guarded.nonEmpty, "testdata should contain planted near-dups")
+  }
+
   test("d06: near-dup of a benchmark doc is flagged, others are not") {
     import spark.implicits._
     val bench = (1 to 60).map(i => s"tok$i").mkString(" ")

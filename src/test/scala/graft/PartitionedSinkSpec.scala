@@ -23,8 +23,17 @@ class PartitionedSinkSpec extends AnyFunSuite {
   test("sink layout: one directory per key, partition pruning on read") {
     val out = Files.createTempDirectory("graft_sink_spec_").toString
     val orders = Tables.orders(spark, sf)
-    PartitionedSink.writeAndSummarize(
+    // AQE legitimately coalesces the salted writers at this toy scale
+    // (everything fits one advisory-sized partition); pin coalescing
+    // off so the f-writers-per-value mechanism itself is observable.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try PartitionedSink.writeAndSummarize(
       orders, "o_orderpriority", "o_orderkey", out).collect()
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
     val dirs = new java.io.File(out).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     val nPriorities = orders.select("o_orderpriority").distinct.count()
@@ -38,5 +47,38 @@ class PartitionedSinkSpec extends AnyFunSuite {
       scan.contains("o_orderpriority"))
     assert(pruned.count() ===
       orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    // salted writers: each partition VALUE is written by >1 task
+    // (multiple files per directory), not one 20-TB-at-scale writer —
+    // while the file count stays bounded at f × values, not
+    // tasks × values.
+    val filesPerDir = new java.io.File(out).listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerDir.forall(_ >= 2),
+      s"every partition value should get multiple writers: ${filesPerDir.toSeq}")
+    assert(filesPerDir.forall(_ <= 4), "file count must stay capped at f")
+  }
+
+  test("q22: resume skips landed partitions and equals full recompute") {
+    val orders = Tables.orders(spark, sf)
+    val out = Files.createTempDirectory("graft_resume_spec_").toString
+    // prior run landed two priority classes
+    PartitionedSink.writeAndSummarize(
+      orders.filter(col("o_orderpriority") < "3"),
+      "o_orderpriority", "o_orderkey", out).collect()
+    val landedFiles = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    val resumed = PartitionedSink.resumeSummarize(
+      orders, "o_orderpriority", "o_orderkey", out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // landed partitions were SKIPPED: their files are untouched
+    val afterFiles = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).toSet
+    assert(landedFiles.subsetOf(afterFiles))
+    // and the tree summary equals a from-scratch recompute
+    val direct = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("ck")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(resumed === direct)
   }
 }

@@ -33,6 +33,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q21_peak_local: peaks exceed their local background, islands merged") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q21_peak_local")(spark, sf)
+    val rows = df.collect().map(r => (r.getAs[Long]("peak_start"),
+      r.getAs[Long]("peak_end"))).sorted
+    assert(rows.nonEmpty, "planted event stream should contain local spikes")
+    assert(rows.forall { case (s, e) => s <= e })
+    rows.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 + 1 < s2)
+      case _ =>
+    }
+    // a LOCALIZED spike inside an elevated-baseline region: the local
+    // caller isolates exactly the spike bin — the elevated region
+    // raises its own lambda, so it does not flood the caller
+    import spark.implicits._
+    val elevated = (0L until 200L).flatMap { b =>
+      val n = if (b == 100L) 60 else if (b >= 80L && b < 120L) 20 else 19
+      (0 until n).map(_ => b)
+    }.toDF("bin")
+    val ev = elevated.select(
+      timestamp_micros((col("bin") * 3600L * 1000000L)).as("ts"))
+    val local = graft.operators.Pipeline.peakDetectLocal(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === Set((100L, 100L)),
+      s"local-background caller should isolate the planted spike: $local")
+  }
+
+  test("q23_interval_file: file-backed intervals ≡ literal bands, hash join") {
+    val fromFile = SparkEntry.queries("q23_interval_file")(spark, sf)
+    val plan = fromFile.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval join must stay a binned equi-join when intervals come from a file")
+    val a = fromFile.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val b = SparkEntry.queries("q11_interval_count")(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(a === b)
+  }
+
+  test("intervalJoin: degenerate intervals match nothing and cost nothing") {
+    import spark.implicits._
+    val facts = Seq(5.0, 15.0, 25.0).toDF("x")
+    val intervals = Seq(
+      (1, 0.0, 10.0),     // normal
+      (2, 20.0, 20.0),    // empty [20, 20)
+      (3, 30.0, -1e12)    // malformed hi << lo: must NOT explode bins
+    ).toDF("band_id", "lo", "hi")
+    val out = graft.operators.Pipeline
+      .intervalJoin(facts, intervals, "x", 10.0)
+      .select("band_id", "x").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(out.toSet === Set((1, 5.0)))
+  }
+
   test("q13_metrics: percentages sum to 100") {
     val df = SparkEntry.queries("q13_metrics")(spark, sf)
     val pct = df.collect().map(_.getAs[Double]("pct_orders")).sum

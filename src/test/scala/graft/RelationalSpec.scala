@@ -82,6 +82,29 @@ class RelationalSpec extends AnyFunSuite {
       .filter("count > 1").count() === 0)
   }
 
+  test("q08: out-of-range rows fail loudly instead of corrupting the packing") {
+    import spark.implicits._
+    def li(qty: Double, line: Int) = Seq(
+      (1L, 1L, 10L, line, qty)
+    ).toDF("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+      "l_quantity")
+    // in-range row round-trips exactly
+    val ok = graft.operators.Relational.dedupPos(li(50.0, 3)).collect()
+    assert(ok.length === 1 &&
+      ok(0).getAs[Double]("l_quantity") === 50.0 &&
+      ok(0).getAs[Int]("l_linenumber") === 3)
+    // quantity beyond the 7-bit field: job error, not a wrong answer
+    val e = intercept[Exception] {
+      graft.operators.Relational.dedupPos(li(200.0, 3)).collect()
+    }
+    assert(e.getMessage.contains("q08_dedup_pos") ||
+      e.getCause != null && e.getCause.getMessage.contains("q08_dedup_pos"))
+    // fractional quantity would truncate silently — also rejected
+    intercept[Exception] {
+      graft.operators.Relational.dedupPos(li(10.5, 3)).collect()
+    }
+  }
+
   test("q09_sort_limit: descending order, n rows") {
     val df = SparkEntry.queries("q09_sort_limit")(spark, sf)
     val prices = df.collect().map(_.getAs[Double]("l_extendedprice"))

@@ -42,6 +42,71 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st03: dropDuplicatesWithinWatermark bounds state and re-admits post-expiry keys") {
+    // The PRODUCTION bounded-state path streamDedup documents: a
+    // duplicate arriving while its key is inside the watermark window
+    // is dropped, but once the watermark passes the key's expiry
+    // (state EVICTED — this is what bounds it) the same key is
+    // re-admitted — unlike plain dropDuplicates, whose state and
+    // suppression are forever. Three ordered micro-batches:
+    //   A: (u1, click) at 10:00:00 + an in-window dup at 10:00:01
+    //   B: (u2, click) at 10:30 — advances the watermark past u1's
+    //      expiry (10:00:11 under a 10 s delay)
+    //   B2: (u3, click) at 10:31 — eviction runs at END of a batch
+    //      with the advanced watermark, so this spacer batch is where
+    //      u1's state is actually dropped
+    //   C: (u1, click) at 11:00 — re-admitted, state was gone
+    import java.nio.file.{Files => NF, Paths}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val dir = NF.createTempDirectory("graft_st03_wm_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 10:00:01")
+    val tMid = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val tMid2 = java.sql.Timestamp.valueOf("2024-03-01 10:31:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 11:00:00")
+    Seq((1L, "click", t0), (1L, "click", t1))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    Seq((2L, "click", tMid))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    Seq((3L, "click", tMid2))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/b2")
+    Seq((1L, "click", t2))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/c")
+    // one staged dir; file mod times force A → B → C batch order
+    val stage = NF.createTempDirectory("graft_st03_stage_").toString
+    def moveParts(sub: String, age: Long): Unit =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dest = Paths.get(stage, s"${sub}_${f.getName}")
+          NF.copy(f.toPath, dest)
+          NF.setLastModifiedTime(dest,
+            FileTime.fromMillis(System.currentTimeMillis() - age))
+        }
+    moveParts("a", 180000L)
+    moveParts("b", 120000L)
+    moveParts("b2", 60000L)
+    moveParts("c", 0L)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val sink = s"st03_wm_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).sortBy(_._2.getTime)
+    // in-window dup dropped; post-eviction observation re-admitted
+    assert(out.toSeq === Seq((1L, t0), (2L, tMid), (3L, tMid2), (1L, t2)))
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).

@@ -82,4 +82,24 @@ class TextIngestSpec extends AnyFunSuite {
     assert(corrupt.count() === 1)
     assert(clean.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("csv header drop takes exactly one line per file, not every lookalike") {
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType(new StructType()
+      .add("a", "string").add("b", "string"))
+    val dir = Files.createTempDirectory("graft_csv_hdr_").toString
+    // file 1: a DATA row that happens to equal the header line —
+    // exactly one copy is dropped (the header), the data row survives
+    Files.writeString(java.nio.file.Paths.get(dir, "one.csv"),
+      "a,b\nx,y\na,b\nz,w\n")
+    // file 2: its own header must also be dropped (per-file, not global)
+    Files.writeString(java.nio.file.Paths.get(dir, "two.csv"),
+      "a,b\np,q\n")
+    val (clean, corrupt) = TextIngest.split(
+      TextIngest.readCsv(spark, dir, schema))
+    assert(corrupt.count() === 0)
+    val rows = clean.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.sorted.toSeq ===
+      Seq(("a", "b"), ("p", "q"), ("x", "y"), ("z", "w")))
+  }
 }
