@@ -81,18 +81,28 @@ object Dedup {
       maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sets = shingleSets(documents, n)
+    // One exchange on doc_id reused by all three consumers (signature
+    // branch + both sides of the candidate-verify join): without it
+    // the tokenize→shingle pipeline runs once per branch. The verify
+    // joins key on doc_id, so the hash(doc_id) partitioning is
+    // exactly what they need — the arrays shuffle ONCE, not twice.
+    val sets = shingleSets(documents, n).repartition(col("doc_id"))
     // Signature in ONE pass over the shingles (native MinHashSigs
     // kernel: each shingle hashed once, 64 seeded re-hashes of the
     // 8-byte digest), then band buckets from signature slices.
     val sig = sets.select(col("doc_id"),
       HashExprs.minhashSigs(col("sh"), numHashes).as("sig"))
+    // Same reuse shape one level up: the hot-bucket guard (groupBy +
+    // join back) and both self-join sides all key on (band, bucket),
+    // so one exchange feeds all four consumers — otherwise every
+    // branch re-runs the MinHash kernel over every shingle set.
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+      .repartition(col("band_id"), col("bucket"))
     // Hot-bucket guard: a (band, bucket) shared by B docs yields
     // B²/2 candidate pairs — a run of thousands of IDENTICAL
     // documents (which d01 should have removed upstream, but corpora
@@ -203,9 +213,17 @@ object Dedup {
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.6,
       maxDf: Int = 128, lengthPrune: Boolean = true): DataFrame = {
     val sets = shingleSets(documents, n)
+    // ONE exchange on gh that every consumer reuses: the df filter,
+    // the df-posting join, and both self-join sides all need
+    // hash(gh) partitioning, so materializing the exploded posting
+    // through a single repartition lets ReuseExchange feed all four
+    // from one shuffle — without it the scan→tokenize→shingle→explode
+    // pipeline (the CPU-heavy part at corpus scale) runs once per
+    // branch, 4× total.
     val exploded = sets
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
+      .repartition(col("gh"))
     val posting =
       if (maxDf == Int.MaxValue) exploded
       else {
