@@ -75,6 +75,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d))),
     "d05_dedup_embedding" -> ((s, d) =>
       Dedup.dedupEmbedding(Tables.embeddings(s, d))),
+    "d07_dedup_groups" -> ((s, d) =>
+      Dedup.dedupGroups(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
@@ -344,6 +346,41 @@ object SparkEntry {
                 round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
          FROM pairs
          WHERE inter * 1.0 / (na + nb - inter) >= 0.6""",
+    // d07: connected components over the d04 pair graph. The oracle's
+    // recursive closure enumerates (node, reachable-node) pairs —
+    // O(C^2) per component, fine for an oracle at sf0.01; the ENGINE
+    // instead runs log-rounds of min-label propagation + pointer
+    // jumping (see Dedup.dedupGroups).
+    "d07_dedup_groups" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS na, len(b.sh) AS nb
+             FROM sets a JOIN sets b ON a.doc_id < b.doc_id) t
+           WHERE inter * 1.0 / (na + nb - inter) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_rep
+           FROM reach GROUP BY node)
+         SELECT cluster_rep, doc_id,
+                count(*) OVER (PARTITION BY cluster_rep) AS n_members
+         FROM comp""",
     "d05_dedup_embedding" ->
       """WITH e AS (
            SELECT vec_id, label, embedding::DOUBLE[] AS v,

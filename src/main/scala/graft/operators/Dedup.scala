@@ -282,6 +282,83 @@ object Dedup {
         round(col("contam_ratio"), 4).as("contam_ratio"))
   }
 
+  /** d07_dedup_groups — resolve a near-dup PAIR list into duplicate
+    * GROUPS with a deterministic survivor, the reference's actual
+    * rmdup contract (/root/reference/tools.py:315-317: keep ONE
+    * representative) applied to fuzzy duplicates: A~B and B~C put
+    * {A,B,C} in one cluster even when no direct A~C pair exists.
+    * Emits (cluster_rep, doc_id, n_members) — one row per clustered
+    * document, cluster_rep = min doc_id of the component (the kept
+    * representative), so `doc_id != cluster_rep` is the drop set.
+    *
+    * Algorithm: min-label propagation with pointer jumping, pure
+    * DataFrame ops. labels(x) starts at min(x, neighbors(x)); each
+    * round does (1) label ← min(label, min over neighbors' labels)
+    * — one join + groupBy — then (2) label ← label(label) (pointer
+    * jump, one self-join). The jump halves the depth of every label
+    * chain, so convergence takes O(log2(diameter)) rounds, not
+    * O(diameter): `maxIters` = 16 covers diameters to ~64k, far past
+    * any real near-dup component (dup clusters are dense — boilerplate
+    * families, mirror sites — with diameters in the tens at worst).
+    * The loop STOPS as soon as a round changes nothing and RAISES if
+    * maxIters rounds were not enough — silent half-merged clusters
+    * are corrupted output, a loud failure is recoverable.
+    *
+    * Scale posture: every round shuffles only (node, label) pairs —
+    * 16 bytes/row over the DUP-GRAPH nodes (documents with ≥1 near
+    * dup), never the corpus; each round's labels materialize via
+    * localCheckpoint so the plan does not grow with iterations and
+    * the pair-generation upstream runs exactly once. The per-round
+    * convergence probe is a single-row aggregate (labels only ever
+    * decrease, so an unchanged sum ⟺ a fixed point) — orchestration
+    * metadata, same contract as the reference's progress probing.
+    */
+  def dedupGroups(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    def sumOf(labels: DataFrame): java.math.BigDecimal =
+      Option(labels.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("node"), col("lbl"))
+      .localCheckpoint(true)
+    var prevSum = sumOf(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // every node has >= 1 neighbor (it came from a pair), so the
+      // propagation join is inner; labels only ever DECREASE.
+      val prop = labels.join(nbrMin, labels("node") === nbrMin("src"))
+        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // pointer jump: label values are themselves node ids (mins over
+      // node ids), so label(label) is total — the inner self-join
+      // drops nothing.
+      val jumped = prop.as("m").join(prop.as("p"),
+          col("m.lbl") === col("p.node"))
+        .select(col("m.node").as("node"), col("p.lbl").as("lbl"))
+        .localCheckpoint(true)
+      val s = sumOf(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups: not converged after $maxIters rounds — component " +
+          "diameter exceeds 2^maxIters; raise maxIters")
+    labels
+      .select(col("lbl").as("cluster_rep"), col("node").as("doc_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+  }
+
   /** d05_dedup_embedding — embedding near-duplicates: cosine ≥ tau
     * within label blocks. The label is the blocking key (cluster id
     * at corpus scale), so the pair space is Σ block², not corpus²,

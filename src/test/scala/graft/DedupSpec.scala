@@ -133,6 +133,50 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(1L), "benchmark docs are not corpus rows")
   }
 
+  test("d07: transitive A~B~C chain resolves to one cluster, min-id survivor") {
+    import spark.implicits._
+    // Overlapping token windows: J(A,B) and J(B,C) clear tau=0.45 but
+    // J(A,C) (18 shared of 98 shingles ~ 0.18) does not — the cluster
+    // exists ONLY through transitivity, which is the contract pair
+    // emitters can't provide.
+    val docs = Seq(
+      (10L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (11L, (21 to 80).map(i => s"tok$i").mkString(" ")),
+      (12L, (41 to 100).map(i => s"tok$i").mkString(" ")),
+      (50L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, tau = 0.45)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((10L, 11L)) && pairSet.contains((11L, 12L)))
+    assert(!pairSet.contains((10L, 12L)), "chain must not be a direct pair")
+    val groups = Dedup.dedupGroups(pairs).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    assert(groups.toSet === Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
+  }
+
+  test("d07: long path converges in log rounds; disjoint components stay apart") {
+    import spark.implicits._
+    // Path 0-1-...-32 (diameter 32) plus a separate triangle and an
+    // isolated pair: pointer jumping must converge well inside the
+    // default round budget and never cross components.
+    val path = (0L until 32L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val duo = Seq((200L, 201L))
+    val pairs = (path ++ tri ++ duo).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2))).toMap
+    (0L to 32L).foreach(i => assert(out(i) === ((0L, 33L))))
+    Seq(100L, 101L, 102L).foreach(i => assert(out(i) === ((100L, 3L))))
+    Seq(200L, 201L).foreach(i => assert(out(i) === ((200L, 2L))))
+    assert(out.size === 33 + 3 + 2)
+  }
+
+  test("d07: empty pair list yields empty groups, not a failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupGroups(empty).count() === 0)
+  }
+
   test("d05: embedding near-dups respect label blocks and threshold") {
     import spark.implicits._
     val emb = Seq(
