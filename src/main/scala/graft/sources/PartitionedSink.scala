@@ -28,7 +28,9 @@ object PartitionedSink {
   /** Write `df` partitioned by `partitionCol`, then read the tree
     * back and return a per-partition summary (row count + key
     * checksum) — the round trip IS the verification that the sink
-    * preserved every row.
+    * preserved every row. The write records completion in the
+    * manifest (see below), so a later `resumeSummarize` can trust
+    * these partitions as landed.
     */
   def writeAndSummarize(df: DataFrame, partitionCol: String,
       checksumCol: String, outDir: String,
@@ -36,8 +38,43 @@ object PartitionedSink {
       writersPerPartition: Int = 4): DataFrame = {
     write(df, partitionCol, checksumCol, outDir, maxRecordsPerFile,
       writersPerPartition, SaveMode.Overwrite)
+    commitManifest(df, partitionCol, outDir)
     summarize(df.sparkSession.read.parquet(outDir), partitionCol,
       checksumCol)
+  }
+
+  /** Completion manifest: one row per partition VALUE whose data has
+    * fully committed, appended strictly AFTER the value's files — the
+    * Spark-native form of the reference's progress log writing an
+    * explicit status row per completed step
+    * (/root/reference/tools.py:28-56). Directory PRESENCE is not
+    * completion: a run killed mid-write leaves a partial partition
+    * directory, and a resume that trusted it would silently lose the
+    * missing rows forever. The manifest lives under the tree at
+    * `_graft_manifest` — the underscore prefix makes it invisible to
+    * readers of the data tree (Spark's file index skips `_`/`.`
+    * paths, same convention as `_SUCCESS`).
+    */
+  private def manifestDir(outDir: String): String =
+    s"$outDir/_graft_manifest"
+
+  private def commitManifest(df: DataFrame, partitionCol: String,
+      outDir: String): Unit =
+    df.select(col(partitionCol)).distinct()
+      .write.mode(SaveMode.Append).parquet(manifestDir(outDir))
+
+  /** Values with a completion record; schema borrowed from `pending`
+    * so the anti-join types line up even before any manifest exists.
+    */
+  private def landedValues(pending: DataFrame, partitionCol: String,
+      outDir: String): DataFrame = {
+    val spark = pending.sparkSession
+    val mPath = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mPath))
+      spark.read.parquet(manifestDir(outDir)).select(col(partitionCol))
+        .distinct()
+    else pending.select(col(partitionCol)).limit(0)
   }
 
   private def summarize(tree: DataFrame, partitionCol: String,
@@ -52,39 +89,54 @@ object PartitionedSink {
   // value) — but at scale each (value, salt) group exceeds the
   // advisory partition size and the f-way write parallelism holds.
   // The spec pins coalescing off to assert the mechanism.
+  /** `dynamic = true` switches SaveMode.Overwrite from clear-the-tree
+    * to replace-exactly-the-partitions-present-in-`df`: landed
+    * partitions are untouched, while a PARTIAL directory left by a
+    * crashed writer is wholly replaced when its value is recomputed —
+    * an append there would double the surviving rows.
+    */
   private def write(df: DataFrame, partitionCol: String,
       checksumCol: String, outDir: String, maxRecordsPerFile: Long,
-      writersPerPartition: Int, mode: SaveMode): Unit =
+      writersPerPartition: Int, mode: SaveMode,
+      dynamic: Boolean = false): Unit =
     df.repartition(col(partitionCol),
         pmod(xxhash64(col(checksumCol)), lit(writersPerPartition)))
       .write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(partitionCol)
       .parquet(outDir)
 
   /** q22_incremental — resume/skip orchestration, the Spark-native
     * analog of the reference's sqlite progress log
     * (/root/reference/tools.py:8-56, mainScript.py:340-363: completed
-    * steps are skipped on rerun). The landed partition directories ARE
-    * the progress state: values already present in the sink tree are
-    * skipped, only the anti-joined delta is computed and appended, and
-    * the returned summary covers the whole tree — bit-identical to a
-    * full recompute, which is exactly what the oracle checks.
+    * steps are skipped on rerun). Landed = a COMPLETION RECORD in the
+    * manifest, never mere directory presence: values whose manifest
+    * row exists are skipped, everything else — including a partial
+    * directory from a crashed prior writer — is recomputed and
+    * dynamically overwritten, and its manifest row lands only after
+    * the data commits. The returned summary covers the whole tree —
+    * bit-identical to a full recompute, which is what the oracle
+    * checks.
     *
-    * The landed-value probe reads only the partition column — on a
-    * partitioned tree that column comes from directory names, so the
-    * distinct is a metadata-sized aggregation, not a data scan.
+    * Crash windows: die before the data commits → no manifest row →
+    * full recompute of the value, partial dir replaced. Die AFTER the
+    * data but before the manifest row → the value is recomputed and
+    * identically rewritten (dynamic overwrite keeps it exact-once in
+    * the tree). Either way no row is ever lost or doubled — the same
+    * write-ahead discipline as the reference's log, with the order
+    * inverted because here the DATA is the thing being made durable.
     */
   def resumeSummarize(pending: DataFrame, partitionCol: String,
       checksumCol: String, outDir: String,
       writersPerPartition: Int = 4): DataFrame = {
     val spark = pending.sparkSession
-    val landed = spark.read.parquet(outDir)
-      .select(col(partitionCol)).distinct()
+    val landed = landedValues(pending, partitionCol, outDir)
     val delta = pending.join(landed, Seq(partitionCol), "left_anti")
     write(delta, partitionCol, checksumCol, outDir, 5000000L,
-      writersPerPartition, SaveMode.Append)
+      writersPerPartition, SaveMode.Overwrite, dynamic = true)
+    commitManifest(delta, partitionCol, outDir)
     summarize(spark.read.parquet(outDir), partitionCol, checksumCol)
   }
 
