@@ -47,14 +47,32 @@ object Bench {
     // a query's actual cost. A failing query must NOT masquerade as a
     // fast one — failures are excluded from the per-query map and
     // reported by name.
+    //
+    // First-position inflation (VERDICT r4 "What's wrong" #1): the
+    // first queries timed after the warmup pass absorb ~2 s of
+    // JVM/GC settling in EVERY rep when reps share one order, so
+    // min-of-reps can't remove it and the per-query record lies.
+    // Two fixes compose: (a) each rep starts with a timed-but-
+    // DISCARDED throwaway execution that soaks up the settling;
+    // (b) rep order alternates forward/reverse, so no query sits
+    // first (or early) in all reps and the min sees each query at
+    // least once in a settled position.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val ordered = SparkEntry.queries.toSeq
+    val timed = collection.mutable.Map.empty[String, List[(Double, Boolean)]]
+      .withDefaultValue(Nil)
+    (0 until reps).foreach { r =>
+      val order = if (r % 2 == 0) ordered else ordered.reverse
+      try run(order.head._2) catch { case _: Throwable => () } // throwaway
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        timed(name) = ((System.nanoTime() - t0) / 1e9, ok) :: timed(name)
       }
-      (name, times.map(_._1).min, times.forall(_._2))
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = timed(name)
+      (name, ts.map(_._1).min, ts.forall(_._2))
     }
     val good = results.collect { case (k, v, true) => k -> v }
     val failed = results.collect { case (k, _, false) => k }

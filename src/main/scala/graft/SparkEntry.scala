@@ -77,6 +77,8 @@ object SparkEntry {
       Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "d07_dedup_groups" -> ((s, d) =>
       Dedup.dedupGroups(Dedup.ngramJaccard(Tables.documents(s, d)))),
+    "d08_dedup_embedding_auto" -> ((s, d) =>
+      Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d))),
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
@@ -322,7 +324,8 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
-    // d02/d03/s02 are non-SQL-expressible (xxhash64 seeding / float
+    // d02/d03/s02/d08 are non-SQL-expressible (xxhash64 seeding /
+    // learned k-means blocks / float
     // centroid summation order) — rows-only + ScalaTest semantics.
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -380,4 +380,36 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** d08_dedup_embedding_auto — embedding near-duplicates with
+    * LEARNED blocks: the blocking key is a spherical-k-means cluster
+    * id (Similarity.kmeansAssignments), not a pre-existing label —
+    * the d05 shape freed from the label crutch a real 100 TB corpus
+    * lacks. Pair space is Σ cluster², the within-cluster self-join
+    * shuffles each cluster to one place, scoring is the codegen'd
+    * DotProduct kernel. Recall < 1 by construction (a near-dup pair
+    * straddling a k-means boundary is missed — s03's multi-table LSH
+    * is the recall-tunable alternative); the spec plants
+    * near-identical vectors and checks they are found with computed
+    * blocks only.
+    */
+  def dedupEmbeddingAuto(embeddings: DataFrame, tau: Double = 0.4,
+      kClusters: Int = 10, iters: Int = 3): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+      .join(Similarity.kmeansAssignments(embeddings, kClusters, iters),
+        "vec_id")
+    e.as("a")
+      .join(e.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cluster_id").as("cluster_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 }

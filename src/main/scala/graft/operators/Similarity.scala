@@ -47,9 +47,13 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** (vec_id, v, nrm) — deliberately label-free: every ANN path here
+    * works on a bare (vec_id, embedding) corpus, the shape a real
+    * 100 TB embedding dump actually has.
+    */
   private def normed(embeddings: DataFrame): DataFrame =
     embeddings.select(
-      col("vec_id"), col("label"),
+      col("vec_id"),
       VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
 
@@ -68,19 +72,105 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Per-label mean vector — the IVF "centroid table"
-    * (#labels rows, broadcastable). Element-wise mean via
-    * posexplode → (label, pos) average → re-assemble ordered array.
+  /** Element-wise mean vector per `key` (#keys rows, broadcastable):
+    * posexplode → (key, pos) average → re-assemble ordered array.
+    * The average accumulates in DECIMAL, not double: decimal addition
+    * is associative, so the centroid values are independent of
+    * partition/summation order — k-means assignments (and therefore
+    * s02's output) are bit-deterministic run to run, where a double
+    * avg would jitter boundary vectors between clusters. The
+    * map-side partial state is (k·dim) rows per partition, so the
+    * shuffle behind this groupBy is metadata-sized regardless of
+    * corpus size.
     */
-  def centroids(embeddings: DataFrame): DataFrame =
-    normed(embeddings)
-      .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("c"))
-      .groupBy(col("label"))
+  private def meanByKey(vecs: DataFrame, key: String): DataFrame =
+    vecs
+      .select(col(key), posexplode(col("v")))
+      .groupBy(col(key), col("pos"))
+      .agg(avg(col("col").cast("decimal(30,15)")).cast("double").as("c"))
+      .groupBy(col(key))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
       .withColumn("cn", VectorOps.l2norm(col("cv")))
+
+  /** Per-label mean vector — kept as the labeled-corpus convenience
+    * (d05's blocking diagnostics, spec arity checks). The ANN path
+    * (s02) no longer uses labels: it learns its quantizer below.
+    */
+  def centroids(embeddings: DataFrame): DataFrame =
+    meanByKey(embeddings.select(col("label"),
+      VectorOps.asDouble(col("embedding")).as("v")), "label")
+
+  /** Hash-seeded initial centroids: the k corpus vectors with the
+    * smallest xxhash64(vec_id) — a deterministic uniform sample, no
+    * RNG state, no driver collect. The pick is a distributed
+    * TakeOrderedAndProject (top-k by hash); the row_number window
+    * then runs over exactly k rows, so the "global" sort is k-sized.
+    */
+  private def seedCentroids(e: DataFrame, k: Int, seed: Long): DataFrame = {
+    val picked = e
+      .select(col("v"), xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h")).limit(k)
+    picked
+      .withColumn("cluster_id",
+        (row_number().over(Window.orderBy(col("h"), col("v"))) - 1)
+          .cast("long"))
+      .select(col("cluster_id"), col("v").as("cv"))
+      .withColumn("cn", VectorOps.l2norm(col("cv")))
+  }
+
+  /** Assign every corpus vector to its nearest (max-cosine) centroid.
+    * Shape: broadcast the k centroids, cross every corpus row with
+    * them map-side (dot products in the codegen'd DotProduct kernel),
+    * then argmax per vector via max_by — the k crossed rows of one
+    * vector are adjacent in one partition, so the groupBy's partial
+    * aggregation completes map-side; with `e` hash-partitioned on
+    * vec_id the aggregate needs no exchange at all. Ties break to the
+    * smallest cluster_id (the negated id in the max_by ordering
+    * struct). Zero-norm vectors have NULL cosine against every
+    * centroid and are excluded — cosine similarity is undefined for
+    * them, and s01's exact top-k can never rank them either (null
+    * cosine sorts last), so nprobe=#clusters still reproduces s01.
+    */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .filter(col("c_cos").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cluster_id"),
+          struct(col("c_cos"), (-col("cluster_id")).as("tb")))
+          .as("cluster_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** Learned coarse quantizer: spherical k-means (cosine Lloyd).
+    * Seed from hash-selected corpus vectors, then `iters` rounds of
+    * assign (broadcast cross + map-side argmax) → recenter
+    * (decimal-exact meanByKey). Per round the only exchange is the
+    * k·dim centroid aggregation — the corpus is shuffled ONCE by the
+    * caller's repartition(vec_id), and every round's identical
+    * exchange is deduped by ReuseExchange. Empty clusters simply
+    * drop out (k shrinks), the standard Lloyd behavior.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+      seed: Long = 0x5EED): DataFrame = {
+    var cent = seedCentroids(e, k, seed)
+    (1 to iters).foreach { _ =>
+      cent = meanByKey(assignTo(e, cent), "cluster_id")
+    }
+    cent
+  }
+
+  /** (vec_id, cluster_id) under the learned quantizer — the public
+    * handle specs and d08 use to block without labels.
+    */
+  def kmeansAssignments(embeddings: DataFrame, kClusters: Int = 10,
+      iters: Int = 3): DataFrame = {
+    val e = normed(embeddings).repartition(col("vec_id"))
+    assignTo(e, kmeansCentroids(e, kClusters, iters))
+      .select(col("vec_id"), col("cluster_id"))
+  }
 
   /** s03_ann_lsh — hyperplane-LSH ANN, the bucket-join scale path.
     * Every vector gets `tables` independent `nBits`-bit
@@ -132,37 +222,42 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** s02_ann_ivf — IVF-style ANN: assign each query to its `nprobe`
-    * nearest centroids (broadcast #labels × #queries cross — both
-    * tiny), then score ONLY the probed clusters' vectors. The
-    * corpus-side work drops from |corpus| to nprobe·|cluster| per
-    * query — the 100 TB path where brute force stops being an option.
-    * Recall < 1 by design and rises with nprobe; the spec checks both
-    * against s01.
+  /** s02_ann_ivf — IVF ANN with a LEARNED coarse quantizer: spherical
+    * k-means centroids (kmeansCentroids — no dependence on any given
+    * label column, the thing a real 100 TB embedding corpus lacks),
+    * each query probes its `nprobe` nearest centroids (broadcast
+    * #centroids × #queries cross — both tiny), and only the probed
+    * clusters' vectors are scored. The corpus-side work drops from
+    * |corpus| to nprobe·|cluster| per query — the 100 TB path where
+    * brute force stops being an option. Recall < 1 by design and
+    * rises with nprobe; the spec checks both against s01, and that
+    * nprobe = #clusters reproduces s01 exactly.
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
-      queryStride: Int = 50, nprobe: Int = 1): DataFrame = {
-    val e = normed(embeddings)
-    val cent = centroids(embeddings)
+      queryStride: Int = 50, nprobe: Int = 1, kClusters: Int = 10,
+      lloydIters: Int = 3): DataFrame = {
+    val e = normed(embeddings).repartition(col("vec_id"))
+    val cent = kmeansCentroids(e, kClusters, lloydIters)
+    val assigned = assignTo(e, cent)
     val q = e.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("label").asc)
+      .orderBy(col("c_cos").desc, col("cluster_id").asc)
     val probe = q.crossJoin(broadcast(cent))
       .withColumn("c_cos", VectorOps.cosineFrom(
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"),
-        col("label").as("probe_label"))
-    val inCluster = e
-      .join(broadcast(probe), col("label") === col("probe_label") &&
+        col("cluster_id").as("probe_cluster"))
+    val inCluster = assigned
+      .join(broadcast(probe), col("cluster_id") === col("probe_cluster") &&
         col("vec_id") =!= col("q_id"))
       .withColumn("cosine", VectorOps.cosineFrom(
         VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
     topK(inCluster, k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
-        col("probe_label"), round(col("cosine"), 4).as("cosine"))
+        col("probe_cluster"), round(col("cosine"), 4).as("cosine"))
   }
 }

@@ -189,4 +189,28 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("d08: planted dups found with LEARNED blocks — no label column") {
+    import spark.implicits._
+    // Deterministic pseudo-random base corpus, 8-dim, NO label column
+    // (the point of d08: blocking keys are computed, not given).
+    val base = (1L to 40L).map { i =>
+      (i, (0 until 8).map(j => (((i * 31 + j * 17) % 13) - 6).toFloat))
+    }
+    // Planted duplicates: EXACT scalings (2x) of three base vectors.
+    // Binary scaling is fp-exact, so dup and original have bit-equal
+    // cosine against every centroid — the k-means argmax (ties broken
+    // by cluster_id) provably lands them in the SAME cluster, making
+    // this a guarantee, not a probabilistic recall claim.
+    val dups = Seq(5L, 17L, 29L).map { i =>
+      (i + 1000L, base(i.toInt - 1)._2.map(_ * 2f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.dedupEmbeddingAuto(emb, tau = 0.99, kClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(5L, 17L, 29L).foreach { i =>
+      assert(out.contains((i, i + 1000L)),
+        s"planted dup pair ($i, ${i + 1000L}) must be found with computed blocks")
+    }
+  }
 }

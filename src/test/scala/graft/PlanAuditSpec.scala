@@ -20,9 +20,11 @@ class PlanAuditSpec extends AnyFunSuite {
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a
     * broadcast nested loop is the intended shape (corpus scanned
-    * once, map-side).
+    * once, map-side). s02/d08's k-means assignment likewise crosses
+    * the corpus with the BROADCAST k-row centroid table map-side.
     */
-  private val bnljByDesign = Set("s01_ann_bruteforce", "s02_ann_ivf")
+  private val bnljByDesign =
+    Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>

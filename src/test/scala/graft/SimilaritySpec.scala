@@ -27,18 +27,18 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("s02: IVF stays in the probed clusters; recall rises with nprobe") {
     val e = Tables.embeddings(spark, sf)
-    val labels = e.select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // The quantizer is LEARNED (k-means), so the cluster membership
+    // check uses the learned assignment — recomputed here, which only
+    // works because the decimal-accumulated centroids make k-means
+    // bit-deterministic across runs.
+    val assign = Similarity.kmeansAssignments(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows1 = Similarity.annIvf(e).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(rows1.nonEmpty)
     rows1.foreach { case (_, n, probe) =>
-      assert(labels(n) === probe, "every neighbor must come from a probed cluster")
+      assert(assign(n) === probe, "every neighbor must come from a probed cluster")
     }
-    // The synthetic labels are NOT geometric clusters (vectors are
-    // near-random), so single-probe recall is ~1/#labels by
-    // construction; the invariant worth asserting is that recall is
-    // nonzero and grows with nprobe, and reaches 1 at nprobe=#labels.
     val exact = Similarity.annBruteForce(e).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recall(nprobe: Int): Double = {
@@ -48,7 +48,9 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val r1 = recall(1)
     val r3 = recall(3)
-    assert(r1 > 0.0)
+    assert(r1 >= 0.1,
+      s"learned quantizer recall@1 $r1 must beat the ~1/k (~0.1) random-" +
+        "label baseline the old per-label centroids measured on this data")
     assert(r3 >= r1, s"recall must be monotone in nprobe ($r1 -> $r3)")
     assert(recall(10) === 1.0, "probing every cluster must equal brute force")
   }
