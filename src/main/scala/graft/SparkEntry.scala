@@ -52,6 +52,8 @@ object SparkEntry {
       graft.sources.PartitionedSink.ordersResume(Tables.orders(s, d))),
     "q23_interval_file" -> ((s, d) =>
       Pipeline.intervalCountFromFile(s, Tables.lineitem(s, d))),
+    "q24_peak_fdr" -> ((s, d) =>
+      Pipeline.peakFdrCandidates(Tables.events(s, d))),
     "q13_metrics" -> ((s, d) =>
       Pipeline.metrics(Tables.orders(s, d))),
     "q14_status_pivot" -> ((s, d) =>
@@ -270,6 +272,57 @@ object SparkEntry {
          SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
                 count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
          FROM islands GROUP BY island""",
+    // q24: the recursive CTE replays the ENGINE's exact Poisson-CDF
+    // term recurrence (one multiply, divide, add per step, ascending
+    // i, 4096-term cap) so the p-values agree bit-for-bit except for
+    // exp()'s last ulp; the BH q-values of the top-25 bins are then
+    // hash-compared at 4dp — a NUMERIC check of the whole
+    // Poisson+FDR pipeline (the q ≤ 0.01 threshold variant is
+    // spec-tested on a planted burst; on the Poisson-null events
+    // tables it rightly calls zero peaks, which would be a vacuous
+    // oracle row set).
+    "q24_peak_fdr" ->
+      """WITH RECURSIVE bins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+         lam_bins AS (
+           SELECT bin_id, n,
+                  greatest(avg(n) OVER (),
+                           avg(n) OVER (ORDER BY bin_id
+                             RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+                    AS lam,
+                  least(n - 1, 4096) AS imax
+           FROM bins),
+         cdf(bin_id, i, term, acc) AS (
+           SELECT bin_id, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE),
+                  CAST(1.0 AS DOUBLE)
+           FROM lam_bins
+           UNION ALL
+           SELECT c.bin_id, c.i + 1, c.term * b.lam / c.i,
+                  c.acc + c.term * b.lam / c.i
+           FROM cdf c JOIN lam_bins b USING (bin_id)
+           WHERE c.i <= b.imax),
+         pvals AS (
+           SELECT b.bin_id, b.n, 1.0 - exp(-b.lam) * c.acc AS p
+           FROM lam_bins b JOIN cdf c
+             ON c.bin_id = b.bin_id AND c.i = b.imax + 1),
+         ranked AS (
+           SELECT bin_id, n, p,
+                  row_number() OVER (ORDER BY p, bin_id) AS rnk,
+                  count(*) OVER () AS m
+           FROM pvals),
+         bh AS (
+           SELECT bin_id, n,
+                  min(p * m / rnk) OVER (ORDER BY rnk
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
+           FROM ranked),
+         sel AS (
+           SELECT row_number() OVER (ORDER BY q, bin_id) AS sig_rank,
+                  bin_id, n, q
+           FROM bh)
+         SELECT sig_rank, bin_id, n, round(q, 4) AS qval
+         FROM sel WHERE sig_rank <= 25""",
     "q22_incremental" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum

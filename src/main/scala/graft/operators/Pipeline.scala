@@ -161,6 +161,109 @@ object Pipeline {
       .drop("island")
   }
 
+  /** q24_peak_fdr — macs2's ACTUAL significance machinery
+    * (reference tools.py:555-622 passes `-q '0.01'`): per-bin Poisson
+    * p-values against a local-or-global background λ, then
+    * Benjamini–Hochberg FDR correction, keeping bins whose q-value is
+    * ≤ `qMax` and merging them into peaks. q12/q21's z-score bounds
+    * approximate this; this is the real test, and it is fully
+    * oracle-checkable because every step is SQL-expressible.
+    *
+    * λ = max(global mean, ±k-bin local mean) — macs2's
+    * max(λBG, λ10k) rule. Window avgs of BIGINT counts are exact
+    * (integer-valued double partial sums are order-independent below
+    * 2^53), so λ is bit-identical across engines.
+    *
+    * p = P(Pois(λ) ≥ n) = 1 − e^{−λ}·Σ_{i=0}^{n−1} λ^i/i!, evaluated
+    * by folding the term recurrence term_i = term_{i−1}·λ/i in
+    * ascending i — one IEEE multiply, divide and add per step, the
+    * exact op sequence the oracle's recursive CTE replays, so the
+    * partial sums match bit for bit (the only library call, exp, can
+    * differ by an ulp between libm implementations — tolerated
+    * because p/q feed only an ORDERING and a threshold, and the
+    * output columns are all integers). The sum is capped at 4096
+    * terms on BOTH sides: for λ ≤ ~3800 the terms beyond
+    * λ + 50√λ are below double ulp, so the cap is numerically
+    * lossless at any plausible bin rate; it also bounds the per-bin
+    * sequence array. All of this runs on #bins rows
+    * (post-aggregation), never on raw events — same scale argument
+    * as q12/q21.
+    *
+    * BH: rank bins by (p, bin_id), q = running min of p·m/rank from
+    * the tail (the standard step-up), keep q ≤ qMax. The windows are
+    * single-partition but #bins-sized, bounded by
+    * time-range/binSeconds.
+    */
+  /** Per-bin BH q-values — the shared Poisson+FDR core of
+    * peakFdr/peakFdrCandidates. Returns (bin_id, n, qv).
+    */
+  private def binQvals(events: DataFrame, binSeconds: Long,
+      k: Int): DataFrame = {
+    val bins = events
+      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+        .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val local = Window.orderBy(col("bin_id")).rangeBetween(-k, k)
+    val withLam = bins.withColumn("lam",
+      greatest(avg(col("n")).over(all), avg(col("n")).over(local)))
+    val cdfSum = when(col("n") >= 2,
+      aggregate(
+        sequence(lit(1L), least(col("n") - 1, lit(4096L))),
+        struct(lit(1.0).as("term"), lit(1.0).as("acc")),
+        (s, i) => struct(
+          (s.getField("term") * col("lam") / i).as("term"),
+          (s.getField("acc") + s.getField("term") * col("lam") / i)
+            .as("acc")),
+        s => s.getField("acc"))).otherwise(lit(1.0))
+    val rankW = Window.orderBy(col("p").asc, col("bin_id").asc)
+    val bhW = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withLam
+      .withColumn("p", lit(1.0) - exp(-col("lam")) * cdfSum)
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("qv", min(col("p") * col("m") / col("rnk")).over(bhW))
+      .select(col("bin_id"), col("n"), col("qv"))
+  }
+
+  def peakFdr(events: DataFrame, binSeconds: Long = 3600L,
+      k: Int = 12, qMax: Double = 0.01): DataFrame = {
+    val byBin = Window.partitionBy().orderBy(col("bin_id"))
+    binQvals(events, binSeconds, k)
+      .filter(col("qv") <= qMax)
+      .withColumn("island", col("bin_id") - row_number().over(byBin))
+      .groupBy(col("island"))
+      .agg(
+        min(col("bin_id")).as("peak_start"),
+        max(col("bin_id")).as("peak_end"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n")).as("total_events"))
+      .drop("island")
+  }
+
+  /** The oracle-facing q24 surface: the `topN` most significant bins
+    * with their BH q-values — macs2's peak table with its q column,
+    * minus the thresholding. The real events tables are Poisson-null
+    * (no genuine bursts), so the q ≤ 0.01 cut in peakFdr correctly
+    * returns ZERO peaks on them — statistically right, but an empty
+    * result would let an always-empty engine bug pass the gate. This
+    * variant makes the driver hash-compare the actual p/q NUMBERS
+    * (rounded 4dp) for 25 real bins instead, which checks the entire
+    * Poisson-CDF + BH pipeline; the thresholded caller is spec-tested
+    * on a planted burst where the peak provably exists.
+    */
+  def peakFdrCandidates(events: DataFrame, binSeconds: Long = 3600L,
+      k: Int = 12, topN: Int = 25): DataFrame = {
+    val sigW = Window.orderBy(col("qv").asc, col("bin_id").asc)
+    binQvals(events, binSeconds, k)
+      .withColumn("sig_rank", row_number().over(sigW).cast("long"))
+      .filter(col("sig_rank") <= topN)
+      .select(col("sig_rank"), col("bin_id"), col("n"),
+        round(col("qv"), 4).as("qval"))
+  }
+
   /** q23_interval_file — q11's interval count with the annotation
     * table read from a FILE instead of literals: the reference
     * consumes real annotation inputs (/root/reference/parserTools.py;

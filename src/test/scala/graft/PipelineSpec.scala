@@ -60,6 +60,42 @@ class PipelineSpec extends AnyFunSuite {
       s"local-background caller should isolate the planted spike: $local")
   }
 
+  test("q24_peak_fdr: planted burst called at q<=0.01; null background is not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 hour-bins of 5 background events, two adjacent 60-event
+    // burst bins: P(Pois(λ≈7) ≥ 60) is ~1e-38, so BH keeps exactly
+    // the burst bins and the island merge joins them into one peak.
+    val ev = (0L until 200L).flatMap { b =>
+      val n = if (b == 100L || b == 101L) 60 else 5
+      (0 until n).map(_ => b)
+    }.toDF("bin")
+      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+    val peaks = graft.operators.Pipeline.peakFdr(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(peaks.toSeq === Seq((100L, 101L, 2L, 120L)))
+    // A flat background has p ≈ 0.56 everywhere — the FDR caller must
+    // report NO peaks on null data (q12's mean+2σ z-test is the one
+    // that can't make that guarantee).
+    val flat = (0L until 200L).flatMap(b => (0 until 5).map(_ => b))
+      .toDF("bin")
+      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+    assert(graft.operators.Pipeline.peakFdr(flat).count() === 0)
+  }
+
+  test("q24 candidates: dense sig_rank, qval monotone in rank") {
+    val df = SparkEntry.queries("q24_peak_fdr")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._1).toSeq === (1L to sorted.length).toSeq)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2
+      case _ => true
+    }, "BH q-values must be nondecreasing in significance rank")
+  }
+
   test("q23_interval_file: file-backed intervals ≡ literal bands, hash join") {
     val fromFile = SparkEntry.queries("q23_interval_file")(spark, sf)
     val plan = fromFile.queryExecution.executedPlan.toString
