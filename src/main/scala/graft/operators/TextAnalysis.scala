@@ -10,8 +10,9 @@ import graft.functions.{RollingHash, TextOps}
   * per-record quality/length/composition stats) generalized to a
   * document corpus. Every operator is a pure per-row projection: no
   * shuffle at all, trivially linear at 100 TB, and entirely inside
-  * whole-stage codegen (t04 via a custom Expression, the rest via
-  * built-in string/array functions).
+  * whole-stage codegen (t04 via the RollingMinHash Expression,
+  * t01/t02's stopword counters via the StopwordHits Expression, the
+  * rest via built-in string/array functions).
   */
 object TextAnalysis {
 
@@ -26,9 +27,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "est", "un"),
     "zh" -> Seq("的", "是", "在", "了", "不", "和"))
 
+  /** Multiset stopword-hit count — native codegen kernel (see
+    * functions/StopwordExprs.scala), bit-identical to the previous
+    * `size(filter(toks, t => array_contains(...)))` HOF form.
+    */
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(
-      array(words.map(lit): _*), t))).cast("long")
+    graft.functions.StopwordExprs.stopwordHits(toks, words)
 
   /** t01_lang_id — stopword-hit language identification: count hits
     * of each language's stopword list over the whitespace tokens,

@@ -153,6 +153,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kernelSim === hofSim)
   }
 
+  test("stopword_hits kernel equals the HOF formulation it replaced") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(200)
+    val words = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val hof = docs.select(col("doc_id"),
+      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+        .cast("long").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.StopwordExprs.stopwordHits(toks, words).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel === hof)
+    // multiset + null-token semantics on a crafted array
+    val crafted = Seq((1L, Seq("the", "the", "xx", null, "of")))
+      .toDF("doc_id", "toks")
+    val got = crafted.select(
+      graft.functions.StopwordExprs.stopwordHits(col("toks"), words))
+      .head.getLong(0)
+    assert(got === 3L, "every occurrence counts; nulls don't")
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
