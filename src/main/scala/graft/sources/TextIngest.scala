@@ -96,9 +96,26 @@ object TextIngest {
     * InputFormat, no RDDs, whole-stage codegen throughout.
     *
     * Extracted columns: `warc_type`, `target_uri`, `payload` (text
-    * after the first blank line, the record's content block).
+    * after the first blank line, the record's content block),
+    * `content_length` (the declared header value, null if absent),
+    * `truncated` (payload carries FEWER bytes than declared).
     * Records missing a WARC-Type header surface with a null
     * `warc_type` — callers filter like any other quality gate.
+    *
+    * CONTRACT for marker-bearing payloads: splitting on the version
+    * marker means a payload that itself contains `WARC/1.0` is cut
+    * there — real WARC readers avoid this by trusting Content-Length
+    * instead, which a splittable line-oriented reader cannot (a
+    * split boundary can land mid-record, so byte-offset parsing
+    * would need a non-splittable custom InputFormat). The failure is
+    * NEVER silent: the head fragment keeps its headers but now has
+    * fewer payload bytes than its declared Content-Length —
+    * `truncated = true` — and the tail fragment has no header block,
+    * so it surfaces with a null `warc_type`. Both are countable
+    * quality-gate columns, same contract as `_corrupt_record` above.
+    * The comparison is `<` (not `≠`) because a well-formed payload
+    * legitimately carries the record's trailing blank-line separator
+    * bytes on top of its Content-Length.
     */
   def readWarcLite(spark: SparkSession, path: String): DataFrame =
     spark.read
@@ -110,14 +127,22 @@ object TextIngest {
           .as("rawtype"),
         regexp_extract(col("value"), "(?m)^WARC-Target-URI:\\s*(\\S+)", 1)
           .as("target_uri"),
+        regexp_extract(col("value"), "(?m)^Content-Length:\\s*(\\d+)", 1)
+          .as("rawlen"),
         // payload = everything after the first blank line
         regexp_replace(col("value"), "(?s)\\A.*?\\r?\\n\\r?\\n", "")
           .as("payload"))
       .withColumn("warc_type",
         when(col("rawtype") === "", lit(null: String))
           .otherwise(col("rawtype")))
-      .drop("rawtype")
-      .select(col("warc_type"), col("target_uri"), col("payload"))
+      .withColumn("content_length",
+        when(col("rawlen") === "", lit(null: String))
+          .otherwise(col("rawlen")).cast("long"))
+      .withColumn("truncated",
+        when(col("content_length").isNull, lit(false))
+          .otherwise(octet_length(col("payload")) < col("content_length")))
+      .select(col("warc_type"), col("target_uri"), col("payload"),
+        col("content_length"), col("truncated"))
 
   /** (clean rows without the capture column, corrupt raw lines). */
   def split(ingested: DataFrame): (DataFrame, DataFrame) = (

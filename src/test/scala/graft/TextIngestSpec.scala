@@ -68,6 +68,49 @@ class TextIngestSpec extends AnyFunSuite {
     assert(untyped.get._3.startsWith("payload without type"))
   }
 
+  test("warc-lite: marker-bearing payload is flagged, never silently split") {
+    val dir = Files.createTempDirectory("graft_warc_marker_").toString
+    // Record b's payload contains the version marker on its own line,
+    // so the lineSep split cuts it mid-payload. The documented
+    // contract: the head fragment is truncated (declared 40 bytes,
+    // carries fewer) and the tail fragment has no WARC headers — both
+    // detectable, neither silent.
+    Files.writeString(java.nio.file.Paths.get(dir, "crawl.warc"),
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://example.org/a\r\n" +
+        "Content-Length: 20\r\n" +
+        "\r\n" +
+        "AAAA BBBB CCCC DDDD!\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://example.org/b\r\n" +
+        "Content-Length: 40\r\n" +
+        "\r\n" +
+        "payload that mentions\r\n" +
+        "WARC/1.0\r\n" +
+        "in running text\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://example.org/c\r\n" +
+        "Content-Length: 5\r\n" +
+        "\r\n" +
+        "hello\r\n")
+    val out = TextIngest.readWarcLite(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out.length === 4, "three records + one orphaned tail fragment")
+    val byUri = out.filter(_._1.isDefined).map(t => t._2 -> t).toMap
+    assert(!byUri("https://example.org/a")._4, "intact record a not flagged")
+    assert(!byUri("https://example.org/c")._4, "intact record c not flagged")
+    assert(byUri("https://example.org/b")._4,
+      "head fragment of the split record must be flagged truncated")
+    assert(byUri("https://example.org/b")._3 === Some(40L))
+    val orphans = out.filter(_._1.isEmpty)
+    assert(orphans.length === 1,
+      "the payload tail must surface as exactly one typeless fragment")
+  }
+
   test("csv ingest parses a headered file and flags short rows") {
     val dir = Files.createTempDirectory("graft_csv_").toString
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
