@@ -164,6 +164,12 @@ object PartitionedSink {
     val prior = orders.filter(col("o_orderpriority") < "3")
     write(prior, "o_orderpriority", "o_orderkey", resumeDir, 5000000L,
       4, SaveMode.Overwrite)
+    // The prior run COMPLETED these values: their manifest rows are
+    // present, so the resume pass skips them. (Without this commit
+    // the write above would look like a crashed run and everything
+    // would be recomputed — correct but not the skip semantics this
+    // entry demonstrates.)
+    commitManifest(prior, "o_orderpriority", resumeDir)
     resumeSummarize(orders, "o_orderpriority", "o_orderkey", resumeDir)
   }
 }

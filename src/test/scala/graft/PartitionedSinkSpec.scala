@@ -34,8 +34,12 @@ class PartitionedSinkSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
+    // `_`-prefixed dirs (the completion manifest) are metadata, not
+    // partitions — Spark's file index skips them on read, so the
+    // layout assertions do too.
     val dirs = new java.io.File(out).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
     val nPriorities = orders.select("o_orderpriority").distinct.count()
     assert(dirs.size === nPriorities)
     assert(dirs.forall(_.startsWith("o_orderpriority=")))
@@ -52,7 +56,7 @@ class PartitionedSinkSpec extends AnyFunSuite {
     // while the file count stays bounded at f × values, not
     // tasks × values.
     val filesPerDir = new java.io.File(out).listFiles()
-      .filter(_.isDirectory)
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(filesPerDir.forall(_ >= 2),
       s"every partition value should get multiple writers: ${filesPerDir.toSeq}")
@@ -80,5 +84,29 @@ class PartitionedSinkSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum("o_orderkey").as("ck")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(resumed === direct)
+  }
+
+  test("q22: a partial partition without a completion record is recomputed") {
+    val orders = Tables.orders(spark, sf)
+    val out = Files.createTempDirectory("graft_resume_crash_").toString
+    // A prior run COMPLETED priorities < "3" (manifest rows present)…
+    PartitionedSink.writeAndSummarize(
+      orders.filter(col("o_orderpriority") < "3"),
+      "o_orderpriority", "o_orderkey", out).collect()
+    // …and then CRASHED mid-write of 3-MEDIUM: a partial directory
+    // (strict subset of the value's rows) exists, but no manifest row
+    // ever landed for it. Directory presence must NOT count as done.
+    orders.filter(col("o_orderpriority") === "3-MEDIUM")
+      .limit(7).drop("o_orderpriority")
+      .write.parquet(out + "/o_orderpriority=3-MEDIUM")
+    val resumed = PartitionedSink.resumeSummarize(
+      orders, "o_orderpriority", "o_orderkey", out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("ck")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(resumed === direct,
+      "the truncated partition must be recomputed whole — its partial " +
+        "rows neither trusted (row loss) nor appended to (row doubling)")
   }
 }
