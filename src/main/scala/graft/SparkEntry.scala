@@ -80,11 +80,11 @@ object SparkEntry {
     "d07_dedup_groups" -> ((s, d) =>
       Dedup.dedupGroups(Dedup.ngramJaccard(Tables.documents(s, d)))),
     "d08_dedup_embedding_auto" -> ((s, d) =>
-      Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d))),
+      Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d), cacheKey = d)),
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
-      Similarity.annIvf(Tables.embeddings(s, d))),
+      Similarity.annIvf(Tables.embeddings(s, d), cacheKey = d)),
     "s03_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d))),
     "t01_lang_id" -> ((s, d) =>

@@ -394,12 +394,14 @@ object Dedup {
     * blocks only.
     */
   def dedupEmbeddingAuto(embeddings: DataFrame, tau: Double = 0.4,
-      kClusters: Int = 10, iters: Int = 3): DataFrame = {
+      kClusters: Int = 10, iters: Int = 3,
+      cacheKey: String = ""): DataFrame = {
     val e = embeddings.select(
       col("vec_id"),
       VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
-      .join(Similarity.kmeansAssignments(embeddings, kClusters, iters),
+      .join(
+        Similarity.kmeansAssignments(embeddings, kClusters, iters, cacheKey),
         "vec_id")
     e.as("a")
       .join(e.as("b"),

