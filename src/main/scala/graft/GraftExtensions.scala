@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, SimHash64}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -47,6 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Cast(e, ArrayType(DoubleType))
 
   private def asLong(e: Expression): Expression = Cast(e, LongType)
+
+  /** A constant word list: any foldable array-of-string expression
+    * (`array('the','a',…)`), evaluated once at registration — the
+    * kernel wants the words as a prebuilt hash set, not a per-row
+    * child expression.
+    */
+  private def stringSeqArg(e: Expression, what: String): Seq[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal array of strings, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of strings, got $other")
+    }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -90,6 +106,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           HyperplaneSig(asDoubleArray(v), asLong(s), intArg(n, "nBits"))
         case _ => throw new IllegalArgumentException(
           "hyperplane_sig(vec, seed, nBits)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_hits"),
+      new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, words) =>
+          StopwordHits(toks, stringSeqArg(words, "words"))
+        case _ => throw new IllegalArgumentException(
+          "stopword_hits(tokens, array('w1', 'w2', …))")
       }))
   }
 }

@@ -46,7 +46,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
                simhash64(split(lower(text), '\\s+')) AS sh,
                minhash_sigs(split(lower(text), '\\s+'), 8) AS ms,
                vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS dp,
-               hyperplane_sig(array(1.0, -2.0, 0.5), 0, 6) AS hs
+               hyperplane_sig(array(1.0, -2.0, 0.5), 0, 6) AS hs,
+               stopword_hits(split(lower(text), '\\s+'),
+                             array('the', 'my', 'with')) AS sw
          FROM t""").collect()
     viaSql.foreach { r =>
       val text = if (r.getLong(0) == 1L)
@@ -58,6 +60,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Seq[Long]]("ms").length === 8)
       assert(r.getAs[Long]("sh") !== 0L)
       assert(r.getAs[Long]("hs") >= 0L && r.getAs[Long]("hs") < 64L)
+      // "the … the …" has 2 hits; "… my … with …" has 2 hits
+      assert(r.getAs[Long]("sw") === 2L)
     }
   }
 
