@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * Current expected output (justifications):
   *  - p01 SortAggregate: min_by carries strings (can't hash-agg);
   *    sort key is the 8-byte dedup hash, partial agg still combines.
-  *  - q04/q07/q12/q13/q16/q17 + ANN Window: rank / gaps-and-islands /
-  *    running frames — the semantics ARE windows; all partition by
-  *    high-cardinality keys or post-aggregation bounded sets.
+  *  - q04/q07/q12/q13/q16/q17/q21/q24 + ANN Window: rank /
+  *    gaps-and-islands / local-lambda range frames / BH running-min —
+  *    the semantics ARE windows; all partition by high-cardinality
+  *    keys or post-aggregation bounded sets (q24's single-partition
+  *    windows run on #bins rows, bounded by time-range/binSeconds).
   *  - s01/s02 BNLJ: broadcast handful of query vectors against the
   *    corpus scan, by design (see SimilaritySpec plan tests).
   *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers

@@ -124,6 +124,8 @@ object SparkEntry {
       Corpus.corpusClean(Tables.documents(s, d))),
     "p02_stratified_sample" -> ((s, d) =>
       Corpus.stratifiedSample(Tables.documents(s, d))),
+    "p03_dedup_corpus" -> ((s, d) =>
+      Corpus.dedupCorpus(Tables.documents(s, d))),
     "q19_approx_distinct" -> ((s, d) =>
       Corpus.approxMetrics(Tables.orders(s, d))),
     "q20_approx_quantiles" -> ((s, d) =>
@@ -694,6 +696,47 @@ object SparkEntry {
     "p02_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 200""",
+    // p03: exact-survivor layer (string-grouped in the oracle vs
+    // xxhash64 in the engine — d01's documented probabilistic gap),
+    // then the d07 recursive closure restricted to survivors; kept =
+    // survivors minus non-representative cluster members.
+    "p03_dedup_corpus" ->
+      """WITH RECURSIVE survivors AS (
+           SELECT min(doc_id) AS doc_id
+           FROM documents
+           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+         docs AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN survivors s USING (doc_id)),
+         sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM docs)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS na, len(b.sh) AS nb
+             FROM sets a JOIN sets b ON a.doc_id < b.doc_id) t
+           WHERE inter * 1.0 / (na + nb - inter) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_rep
+           FROM reach GROUP BY node)
+         SELECT s.doc_id, c.cluster_rep
+         FROM survivors s LEFT JOIN comp c USING (doc_id)
+         WHERE c.doc_id IS NULL OR c.cluster_rep = s.doc_id""",
     // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
     "p01_corpus_clean" ->
       """WITH b AS (

@@ -105,4 +105,37 @@ object Corpus {
           .as("p90_chars"),
         percentile_approx(col("n_chars"), lit(0.99), lit(accuracy))
           .as("p99_chars"))
+
+  /** p03_dedup_corpus — the reference's rmdup contract
+    * (/root/reference/tools.py:315-317: keep ONE representative)
+    * applied to the WHOLE corpus in one call: exact dedup (min
+    * doc_id per normalized text), then fuzzy near-dup clusters over
+    * the exact survivors (d04 shingle-Jaccard pairs → d07 connected
+    * components), keeping each cluster's min-id representative.
+    * Emits the KEPT corpus — one row per surviving doc_id, with
+    * `cluster_rep` = its own id when it survived as a fuzzy-cluster
+    * representative, null when it had no near-dup. This is the
+    * composition that turns the pair/group operators into a usable
+    * corpus deduper: `documents ⋉ dedupCorpus(documents)` IS the
+    * deduplicated corpus.
+    *
+    * Scale shape: the exact layer is d01's hash-groupBy (8-byte
+    * shuffle key); the fuzzy layer's `dropped`/`reps` sides are
+    * DUP-GRAPH-sized (documents with ≥1 near-dup — a tiny fraction
+    * of any real corpus), so the final anti/left joins broadcast;
+    * the corpus-side work is the d04 candidate join, already bounded
+    * by maxDf + length pruning.
+    */
+  def dedupCorpus(documents: DataFrame): DataFrame = {
+    val exactSurvivors = Dedup.dedupExact(documents).select(col("doc_id"))
+    val docsE = documents.join(exactSurvivors, Seq("doc_id"), "left_semi")
+    val groups = Dedup.dedupGroups(Dedup.ngramJaccard(docsE))
+    val dropped = groups.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    val reps = groups.filter(col("doc_id") === col("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"))
+    docsE.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(reps, Seq("doc_id"), "left")
+  }
 }

@@ -102,4 +102,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ") && !plan.contains("Window"),
       "percentile sketch must not sort per group")
   }
+
+  test("p03: exact dups removed first, fuzzy chain keeps one representative") {
+    import spark.implicits._
+    // docs 1/2: byte-identical (exact layer keeps 1); 10~11~12: a
+    // transitive shingle-overlap chain at the default tau=0.6 where
+    // 10~12 is NOT a direct pair (J≈0.49) — the cluster exists only
+    // through d07's closure; 50: unique.
+    val x = (1 to 50).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq(
+      (1L, x), (2L, x),
+      (10L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (11L, (11 to 70).map(i => s"tok$i").mkString(" ")),
+      (12L, (21 to 80).map(i => s"tok$i").mkString(" ")),
+      (50L, (1 to 60).map(i => s"oth$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Corpus.dedupCorpus(docs).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(kept === Set((1L, None), (10L, Some(10L)), (50L, None)))
+  }
 }
