@@ -130,6 +130,17 @@ object SparkEntry {
       Corpus.approxMetrics(Tables.orders(s, d))),
     "q20_approx_quantiles" -> ((s, d) =>
       Corpus.approxQuantiles(Tables.documents(s, d))),
+    "q25_asof_anchor" -> ((s, d) =>
+      Asof.eventAsofAnchor(Tables.events(s, d))),
+    "t07_seq_packing" -> ((s, d) =>
+      Corpus.seqPack(Tables.documents(s, d))),
+    "p04_mixture_sample" -> ((s, d) =>
+      Corpus.mixtureSample(Tables.documents(s, d))),
+    "st04_stream_enrich" -> ((s, d) =>
+      StreamOps.streamEnrich(s, d)),
+    "k03_compaction" -> ((s, d) =>
+      graft.sources.Compaction.documentsCompaction(
+        Tables.documents(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -768,5 +779,57 @@ object SparkEntry {
                 round(sum(CAST(round(quality_score * 10000, 0) AS BIGINT))
                       * 1.0 / count(*), 0) / 10000.0 AS avg_quality
          FROM reps GROUP BY 1, 2""",
+    // q25: DuckDB's native ASOF JOIN is the oracle for the engine's
+    // union+carry-forward encoding; both sides are inclusive
+    // (f.ts >= a.ts) and anchors are deduped to (user, ts).
+    "q25_asof_anchor" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         a AS (SELECT DISTINCT user_id, ts_us FROM e
+               WHERE event_type = 'signup'),
+         f AS (SELECT * FROM e WHERE event_type <> 'signup')
+         SELECT f.event_id, f.user_id, f.event_type, f.ts_us,
+                a.ts_us AS anchor_ts_us, f.ts_us - a.ts_us AS gap_us
+         FROM f ASOF LEFT JOIN a
+           ON f.user_id = a.user_id AND f.ts_us >= a.ts_us""",
+    "t07_seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+                  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tok AS start_tok
+           FROM t)
+         SELECT source, CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2""",
+    "p04_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (((doc_id + 137) % 1000000007) * 2654435761) % 1000 <
+               CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+                           WHEN 'src2' THEN 250 ELSE 100 END""",
+    "st04_stream_enrich" ->
+      """SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bin_id,
+                c_mktsegment,
+                count(*) AS n_events,
+                sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+                  AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1, 2""",
+    // k03's query output is the read-back of the COMPACTED tree —
+    // equality against the source table proves the two rewrites
+    // preserved every row; the file-geometry claim is spec-asserted.
+    "k03_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum
+         FROM documents GROUP BY 1""",
   )
 }

@@ -138,4 +138,67 @@ object Corpus {
       .join(dropped, Seq("doc_id"), "left_anti")
       .join(reps, Seq("doc_id"), "left")
   }
+
+  /** t07_seq_packing — concat-then-chunk sequence packing, the
+    * pretraining batcher's layout step: documents are laid end-to-end
+    * in a deterministic order and cut into fixed token-budget
+    * training sequences; a document belongs to the sequence its START
+    * offset falls in (documents may straddle a boundary — that is the
+    * GPT-style "concatenate and chunk" contract, not first-fit bin
+    * packing, which is inherently sequential and irreproducible under
+    * re-partitioning). Emits one row per (source, seq_id) with doc
+    * and token counts plus the doc-id span.
+    *
+    * Scale shape: packing runs PER SOURCE stratum — the running-sum
+    * window partitions by `source`, so layout is embarrassingly
+    * parallel across strata and adding a stratum never re-chunks
+    * another (exactly why real pipelines pack per shard, not
+    * globally: a global cumulative sum would serialize the corpus
+    * through one partition). Token counts are t03's whitespace
+    * tokenizer; all arithmetic is integer, so the oracle is
+    * hash-exact.
+    */
+  def seqPack(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("seq_id", expr(s"start_tok DIV $budgetTokens"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** p04_mixture_sample — corpus mixture construction: each source
+    * gets its own deterministic keep rate (per-mille), the
+    * multi-stratum generalization of p02 (high-quality sources
+    * upsampled, the long tail floored at `defaultPermille`). Same
+    * multiplicative-hash threshold as p02 but SALTED: without the
+    * salt the two operators would select nested subsets (the same
+    * low-hash documents every time), and composed sampling layers
+    * must be independent for their rates to multiply. Pure map-side
+    * filter; the predicate pushes to the scan.
+    */
+  def mixtureSample(documents: DataFrame,
+      rates: Map[String, Int] =
+        Map("src0" -> 800, "src1" -> 500, "src2" -> 250),
+      defaultPermille: Int = 100, salt: Long = 137L): DataFrame = {
+    val permille = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc)
+      }
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      // same overflow discipline as p02: reduce mod 1e9+7 BEFORE the
+      // Knuth multiply so the product stays under 2^63 (ANSI-fatal
+      // otherwise at billion-doc ids).
+      .filter(pmod(
+        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
+          lit(2654435761L), lit(1000L)) < permille)
+  }
 }

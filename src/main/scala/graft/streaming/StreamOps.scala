@@ -92,6 +92,49 @@ object StreamOps {
       col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** st04_stream_enrich — stream-static enrichment: the event stream
+    * joined to a STATIC dimension (customer market segment) before a
+    * windowed aggregation — the reference's per-sample metadata
+    * lookup (every arriving sample is processed with its registered
+    * sample-sheet row, /root/reference/mainScript.py:345-363) in
+    * streaming form.
+    *
+    * The dimension is a batch DataFrame inside a streaming plan:
+    * Spark plans a stream-static join where the static side is
+    * broadcast and probed per micro-batch — NO streaming state for
+    * the join at all (state exists only in the downstream window
+    * agg), and no shuffle of the stream on the join key. That is the
+    * 100 TB/day shape: a billion-event stream enriched against a
+    * dimension table costs one broadcast per batch, never a
+    * stream-stream state store. Sums are exact integer cents
+    * (values are 2-decimal), so the oracle is hash-exact.
+    */
+  def streamEnrich(spark: SparkSession, dir: String,
+      windowSeconds: Long = 21600L): DataFrame = {
+    val dim = broadcast(graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
+    val sink = s"st04_mem_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      expr(s"unix_micros(window.start) DIV ${windowSeconds * 1000000L}")
+        .as("bin_id"),
+      col("c_mktsegment"), col("n_events"), col("sum_value"))
+  }
+
   /** st03_stream_dedup — streaming ingest deduplication, the
     * streaming edition of d01: drop repeat (user_id, event_type)
     * observations as they arrive, so downstream stages see each key

@@ -122,4 +122,70 @@ class CorpusSpec extends AnyFunSuite {
         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
     assert(kept === Set((1L, None), (10L, Some(10L)), (50L, None)))
   }
+
+  test("t07: concat-then-chunk layout — planted straddle and stratum isolation") {
+    import spark.implicits._
+    // source A: docs of 4/5/6 tokens, budget 8. Offsets 0,4,9:
+    // doc 1 -> seq 0, doc 2 starts at 4 -> seq 0 (straddles into 8..),
+    // doc 3 starts at 9 -> seq 1.
+    val a = Seq(
+      (1L, "A", "w w w w"), (2L, "A", "w w w w w"),
+      (3L, "A", "w w w w w w"))
+    val b = Seq((4L, "B", "w w w"))
+    val out = Corpus.seqPack(
+      (a ++ b).toDF("doc_id", "source", "text"), budgetTokens = 8L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(out === Map(
+      ("A", 0L) -> ((2L, 9L, 1L, 2L)),
+      ("A", 1L) -> ((1L, 6L, 3L, 3L)),
+      ("B", 0L) -> ((1L, 3L, 4L, 4L))))
+    // stratum isolation: dropping source B must not re-chunk A
+    val aOnly = Corpus.seqPack(a.toDF("doc_id", "source", "text"),
+      budgetTokens = 8L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Long]("seq_tokens")).toMap
+    assert(aOnly === out.collect { case (k @ ("A", _), v) => k -> v._2 })
+  }
+
+  test("t07: token conservation and window partitioned by stratum") {
+    val df = SparkEntry.queries("t07_seq_packing")(spark, sf)
+    val total = df.agg(sum("seq_tokens")).head.getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextOps.tokens(col("text")))
+        .cast("long").as("n")).agg(sum("n")).head.getLong(0)
+    assert(total === expected, "every token lands in exactly one sequence")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "running sum is a window")
+    assert(!plan.contains("SinglePartition"),
+      "packing must stay per-stratum — a global window serializes the corpus")
+  }
+
+  test("p04: deterministic mixture — per-source rates, independent of p02") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("p04_mixture_sample")(spark, sf)
+    val a = out.collect().map(_.getLong(0)).toSet
+    val b = Corpus.mixtureSample(docs.repartition(7)).collect()
+      .map(_.getLong(0)).toSet
+    assert(a === b, "mixture must not depend on partitioning")
+    // exact recompute of the salted-hash contract
+    val expected = docs.select("doc_id", "source").collect().filter { r =>
+      val h = ((r.getLong(0) + 137L) % 1000000007L) * 2654435761L % 1000L
+      h < (r.getString(1) match {
+        case "src0" => 800; case "src1" => 500; case "src2" => 250
+        case _ => 100
+      })
+    }.map(_.getLong(0)).toSet
+    assert(a === expected)
+    // independence from p02's unsalted hash: overlap ≈ product of
+    // rates, NOT nesting (nested would make overlap = min of the two)
+    val p02 = Corpus.stratifiedSample(docs).collect()
+      .map(_.getLong(0)).toSet
+    val overlap = (a & p02).size.toDouble / docs.count()
+    val product = (a.size.toDouble / docs.count()) * 0.2
+    assert(math.abs(overlap - product) < 0.05,
+      s"salted layers must compose independently: $overlap vs $product")
+  }
 }

@@ -107,6 +107,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, t0), (2L, tMid), (3L, tMid2), (1L, t2)))
   }
 
+  test("st04: stream-static enrichment equals the batch join+agg") {
+    val stream = StreamOps.streamEnrich(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf).select(col("c_custkey"),
+        col("c_mktsegment")), col("user_id") === col("c_custkey"))
+      .groupBy(
+        expr("unix_micros(ts) DIV 21600000000").as("bin_id"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
