@@ -141,6 +141,8 @@ object SparkEntry {
     "k03_compaction" -> ((s, d) =>
       graft.sources.Compaction.documentsCompaction(
         Tables.documents(s, d), cacheKey = d)),
+    "d09_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -831,5 +833,34 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents GROUP BY 1""",
+    // d09: oracle joins shingle STRINGS where the engine joins
+    // xxhash64 of them (d01's documented probabilistic gap); islands
+    // reconstruction is identical integer arithmetic on both sides.
+    "d09_dup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS i
+           FROM t WHERE len(tk) >= 10),
+         s AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(list_slice(tk, i, i + 9), ' ') AS g
+           FROM p),
+         capped AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 128),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+           FROM s a JOIN capped USING (g) JOIN s b USING (g)
+           WHERE a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diag, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                    ORDER BY pa) AS grp
+           FROM m)
+         SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+                CAST(max(pa) - min(pa) + 10 AS BIGINT) AS span_tokens
+         FROM isl GROUP BY doc_a, doc_b, diag, grp""",
   )
 }

@@ -282,6 +282,65 @@ object Dedup {
         round(col("contam_ratio"), 4).as("contam_ratio"))
   }
 
+  /** d09_dup_spans — cross-document EXACT duplicated token spans:
+    * for every document pair sharing a verbatim run of ≥ `spanTokens`
+    * tokens, emit the maximal shared spans with their positions —
+    * substring-level dedup (the "train-data contains the same
+    * paragraph twice under different URLs" case that document-level
+    * Jaccard (d04) smooths over and exact dedup (d01) misses
+    * entirely). The reference's rmdup works at read granularity
+    * (/root/reference/tools.py:315); this is the finer-grained text
+    * analog.
+    *
+    * Mechanism: positioned L-token shingles — (doc, pos, hash) — join
+    * on shingle hash across documents, then matches are merged into
+    * maximal spans ALONG DIAGONALS: a shared run of length m yields
+    * m−L+1 consecutive matches with constant diag = pos_a − pos_b,
+    * so gaps-and-islands per (pair, diag) reconstructs each maximal
+    * span exactly (consecutive-match reasoning: two matches at p and
+    * p+2 on one diagonal force the match at p+1, so islands cannot
+    * have spurious gaps — except where the df cap drops a hot
+    * shingle, which conservatively SPLITS a span, never invents one).
+    *
+    * Scale shape: d04's posting discipline — one reusable exchange on
+    * the shingle hash feeds the df filter and both join sides; the
+    * df ≤ maxDf cap bounds any single shingle's join fan-out at
+    * maxDf² (boilerplate headers are the pathological case); the
+    * islands window partitions by (pair, diag) — cardinality bounded
+    * by matched pairs, never corpus-wide. Engine joins 64-bit
+    * hashes where the oracle joins strings — d01's documented
+    * probabilistic gap.
+    */
+  def dupSpans(documents: DataFrame, spanTokens: Int = 10,
+      maxDf: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = documents
+      .select(col("doc_id"),
+        posexplode(TextOps.wordShingleMultiset(col("text"), spanTokens)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("gh"))
+      .repartition(col("gh"))
+    val cool = posting.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("gh"))
+    val capped = posting.join(cool, Seq("gh"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + spanTokens).as("span_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** d07_dedup_groups — resolve a near-dup PAIR list into duplicate
     * GROUPS with a deterministic survivor, the reference's actual
     * rmdup contract (/root/reference/tools.py:315-317: keep ONE

@@ -213,4 +213,50 @@ class DedupSpec extends AnyFunSuite {
         s"planted dup pair ($i, ${i + 1000L}) must be found with computed blocks")
     }
   }
+
+  test("d09: maximal spans with exact positions on a planted pair") {
+    import spark.implicits._
+    def run(from: Int, until: Int, tag: String) =
+      (from until until).map(i => s"$tag$i").mkString(" ")
+    val shared = run(0, 25, "shared")
+    val docs = Seq(
+      (1L, run(0, 12, "ax") + " " + shared + " " + run(0, 12, "ay")),
+      (2L, run(0, 12, "bx") + " " + shared + " " + run(0, 12, "by")),
+      (3L, run(0, 40, "cz")) // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 12L, 12L, 25L)),
+      "one maximal span, exact offsets, no self/unrelated rows")
+  }
+
+  test("d09: two shared runs on one diagonal stay two islands") {
+    import spark.implicits._
+    val s1 = (0 until 12).map(i => s"s$i").mkString(" ")
+    val s2 = (0 until 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s1 + " gapa0 gapa1 gapa2 " + s2),
+      (2L, s1 + " gapb0 gapb1 gapb2 " + s2)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set((0L, 0L, 12L), (15L, 15L, 12L)),
+      "differing gap must split the diagonal into two maximal spans")
+  }
+
+  test("d09: df cap drops boilerplate fan-out; lossless on real data") {
+    import spark.implicits._
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val many = (1L to 20L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(many, maxDf = 10).count() === 0L,
+      "hot shingle beyond cap contributes no pairs")
+    assert(Dedup.dupSpans(many, maxDf = 1000).count() === 190L,
+      "uncapped: all C(20,2) boilerplate pairs")
+    // real corpus: max df is 4 — the default cap is provably lossless
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.dupSpans(docs).collect().toSet
+    val b = Dedup.dupSpans(docs, maxDf = Int.MaxValue).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
