@@ -143,6 +143,10 @@ object SparkEntry {
         Tables.documents(s, d), cacheKey = d)),
     "d09_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))),
+    "q26_grouped_topk" -> ((s, d) =>
+      Pipeline.groupedTopk(Tables.orders(s, d))),
+    "st05_stream_asof" -> ((s, d) =>
+      StreamOps.streamAsof(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -172,6 +176,23 @@ object SparkEntry {
               max(ts_us) AS session_end_us,
               round(sum(value), 4) AS sum_value
        FROM sessions GROUP BY 1, 2"""
+
+  /** Shared by q25 (batch as-of) and st05 (streaming as-of): the
+    * streaming attributor must reproduce the batch as-of join
+    * bit-for-bit on the finite harness, so both keys get the
+    * identical DuckDB ASOF JOIN oracle.
+    */
+  private val asofSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       a AS (SELECT DISTINCT user_id, ts_us FROM e
+             WHERE event_type = 'signup'),
+       f AS (SELECT * FROM e WHERE event_type <> 'signup')
+       SELECT f.event_id, f.user_id, f.event_type, f.ts_us,
+              a.ts_us AS anchor_ts_us, f.ts_us - a.ts_us AS gap_us
+       FROM f ASOF LEFT JOIN a
+         ON f.user_id = a.user_id AND f.ts_us >= a.ts_us"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_qc_summary" ->
@@ -783,18 +804,11 @@ object SparkEntry {
          FROM reps GROUP BY 1, 2""",
     // q25: DuckDB's native ASOF JOIN is the oracle for the engine's
     // union+carry-forward encoding; both sides are inclusive
-    // (f.ts >= a.ts) and anchors are deduped to (user, ts).
-    "q25_asof_anchor" ->
-      """WITH e AS (
-           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         a AS (SELECT DISTINCT user_id, ts_us FROM e
-               WHERE event_type = 'signup'),
-         f AS (SELECT * FROM e WHERE event_type <> 'signup')
-         SELECT f.event_id, f.user_id, f.event_type, f.ts_us,
-                a.ts_us AS anchor_ts_us, f.ts_us - a.ts_us AS gap_us
-         FROM f ASOF LEFT JOIN a
-           ON f.user_id = a.user_id AND f.ts_us >= a.ts_us""",
+    // (f.ts >= a.ts) and anchors are deduped to (user, ts). st05 is
+    // the streaming edition (carried GroupState) — identical result
+    // on the single-batch harness, so it shares the oracle.
+    "q25_asof_anchor" -> asofSql,
+    "st05_stream_asof" -> asofSql,
     "t07_seq_packing" ->
       """WITH t AS (
            SELECT doc_id, source,
@@ -862,5 +876,19 @@ object SparkEntry {
          SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
                 CAST(max(pa) - min(pa) + 10 AS BIGINT) AS span_tokens
          FROM isl GROUP BY doc_a, doc_b, diag, grp""",
+    "q26_grouped_topk" ->
+      """WITH spend AS (
+           SELECT o_orderpriority, o_custkey,
+                  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS cents
+           FROM orders GROUP BY 1, 2),
+         ranked AS (
+           SELECT o_orderpriority, o_custkey, cents,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY cents DESC, o_custkey) AS rnk
+           FROM spend)
+         SELECT o_orderpriority, o_custkey, cents / 100.0 AS spend,
+                CAST(rnk AS BIGINT) AS rnk
+         FROM ranked WHERE rnk <= 3""",
   )
 }

@@ -359,6 +359,49 @@ object Pipeline {
       .select(col("o_custkey"), col("c_name"), col("n_orders"),
         (col("rev_cents") / 100.0).as("revenue"))
 
+  /** q26_grouped_topk — exact top-k WITHIN each group (the
+    * reference's per-sample top-features report: htseq counts ranked
+    * per sample, not globally — q15's global cousin). The naive plan
+    * — `row_number() OVER (PARTITION BY group ORDER BY metric)` over
+    * the full aggregate — funnels every group's ENTIRE row set
+    * through one task per group; with few groups (5 priorities) and
+    * 100 TB of customers that is 5 tasks sorting everything.
+    *
+    * Scalable shape: two-phase top-k. Phase 1 computes per-(group,
+    * SALT-bucket) local top-k via `sort_array ∘ collect_list` over
+    * the pre-aggregated rows — any global top-k row is necessarily
+    * top-k in its own bucket, so the prune is LOSSLESS (spec-pinned
+    * against the naive window). Phase 2 ranks only the surviving
+    * ≤ salt·k candidates per group — a window over bounded
+    * cardinality, the same justification class as q07's. Ordering is
+    * total (cents desc, custkey asc) via the struct sort key
+    * (-cents, custkey), so ranks are deterministic on both engines.
+    */
+  def groupedTopk(orders: DataFrame, k: Int = 3,
+      saltBuckets: Int = 32): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val local = spend
+      .groupBy(col("o_orderpriority"),
+        pmod(xxhash64(col("o_custkey")), lit(saltBuckets)).as("_salt"))
+      .agg(slice(
+        sort_array(collect_list(
+          struct((-col("cents")).as("nc"), col("o_custkey")))),
+        1, k).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("t"))
+      .select(col("o_orderpriority"), col("t.o_custkey").as("o_custkey"),
+        (-col("t.nc")).as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    local
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (col("cents") / 100.0).as("spend"), col("rnk"))
+  }
+
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
     * Gaps-and-islands: lag per user, flag gaps > gapSeconds,

@@ -40,6 +40,14 @@ object StreamOps {
       n_events: Long, session_start_us: Long, session_end_us: Long,
       sum_value: Double)
 
+  /** Typed event for the streaming as-of join (st05). */
+  final case class EvA(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+
+  final case class AsofRow(event_id: Long, user_id: Long,
+      event_type: String, ts_us: Long, anchor_ts_us: Option[Long],
+      gap_us: Option[Long])
+
   /** Stage `$dir/events.parquet` (a single file) into a temp DIRECTORY
     * and open it as a file-source stream — Spark's FileStreamSource
     * monitors directories, not files. Staging goes through
@@ -133,6 +141,64 @@ object StreamOps {
       expr(s"unix_micros(window.start) DIV ${windowSeconds * 1000000L}")
         .as("bin_id"),
       col("c_mktsegment"), col("n_events"), col("sum_value"))
+  }
+
+  /** st05_stream_asof — the as-of join (q25) as a STREAMING stateful
+    * operator: per user, carry the most recent anchor-event timestamp
+    * in `GroupState` and attribute every arriving fact event to it —
+    * attribution-at-ingest, so downstream consumers never re-join.
+    * State is ONE long per user ever seen (the last anchor ts) —
+    * bounded by |users|, not |events|; in a 24/7 deployment an idle
+    * user's state would be aged out with a processing-time timeout.
+    *
+    * Within a micro-batch, events sort by (ts, anchor-first,
+    * event_id) — the same inclusive tie rule as batch q25 (an anchor
+    * at t covers a fact at t). Across batches the carried state IS
+    * the as-of contract for in-order arrival; a LATE anchor (arriving
+    * after facts it should have covered) cannot retroactively re-emit
+    * those facts — the documented streaming-vs-batch divergence every
+    * attribution system has, eliminated here by the AvailableNow
+    * single-batch harness, which makes st05 ≡ q25 bit-for-bit (they
+    * share the oracle).
+    */
+  def streamAsof(spark: SparkSession, dir: String,
+      anchorType: String = "signup"): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .as[EvA]
+    val attributed = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[EvA], state: GroupState[Long]) =>
+          // SQL three-valued logic parity: a NULL event_type is
+          // neither the anchor type nor `<> anchorType` — batch q25
+          // and the oracle both drop such rows, so the streaming
+          // attributor must too (Scala's null != "x" would otherwise
+          // smuggle them in as facts — caught by the hostile gate).
+          val sorted = events.toVector.filter(_.event_type != null).sortBy(e =>
+            (e.ts_us, if (e.event_type == anchorType) 0 else 1, e.event_id))
+          var anchor: Option[Long] = state.getOption
+          val out = Vector.newBuilder[AsofRow]
+          sorted.foreach { e =>
+            if (e.event_type == anchorType) anchor = Some(e.ts_us)
+            else out += AsofRow(e.event_id, uid, e.event_type, e.ts_us,
+              anchor, anchor.map(a => e.ts_us - a))
+          }
+          anchor.foreach(state.update)
+          out.result().iterator
+      }
+    val sink = s"st05_mem_${System.nanoTime()}"
+    val q = attributed.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
   }
 
   /** st03_stream_dedup — streaming ingest deduplication, the

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineSpec extends AnyFunSuite {
@@ -164,5 +165,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(grand.length === 1)
     assert(grand(0).getAs[Long]("n_customers") ===
       Tables.customer(spark, sf).count())
+  }
+
+  test("q26: two-phase grouped top-k equals the naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sf)
+    val out = SparkEntry.queries("q26_grouped_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // naive reference: full window over every (group, customer) row
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val naive = orders
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (col("cents") / 100.0).as("spend"), col("rnk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(out === naive, "salt-bucket prune must be lossless")
+    assert(out.nonEmpty)
+    // every group contributes exactly k (groups here all have >= k members)
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.size === 3, s"group $g")
+      assert(rows.map(_._4) === Set(1L, 2L, 3L))
+    }
+  }
+
+  test("q26: the exact-rank window runs on pruned candidates only") {
+    val df = SparkEntry.queries("q26_grouped_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window's input must be the post-explode candidate set (at
+    // most salt*k rows per group), i.e. an aggregation runs BELOW it
+    assert(plan.contains("Window"))
+    val winIdx = plan.indexOf("Window")
+    assert(plan.indexOf("Generate", winIdx) > winIdx,
+      "explode of local top-k arrays must feed the window, not raw rows")
   }
 }

@@ -123,6 +123,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st05: streaming as-of attribution equals batch q25 exactly") {
+    val stream = StreamOps.streamAsof(spark, sf).collect()
+    val batch = SparkEntry.queries("q25_asof_anchor")(spark, sf).collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("st05: anchor state carries within a user and never leaks across") {
+    val out = StreamOps.streamAsof(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        Option(r.getAs[java.lang.Long]("anchor_ts_us")).map(_.longValue)))
+    // per user: anchor_ts is monotonically non-decreasing in event
+    // time, and never exceeds the fact's own timestamp
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      var last = Option.empty[Long]
+      inOrder.foreach { case (_, ts, a) =>
+        a.foreach { at =>
+          assert(at <= ts, s"user $u: anchor from the future")
+          assert(last.forall(_ <= at), s"user $u: anchor regressed")
+        }
+        last = a.orElse(last)
+      }
+    }
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
