@@ -147,6 +147,8 @@ object SparkEntry {
       Pipeline.groupedTopk(Tables.orders(s, d))),
     "st05_stream_asof" -> ((s, d) =>
       StreamOps.streamAsof(s, d)),
+    "p05_batch_assembly" -> ((s, d) =>
+      Corpus.batchAssembly(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -890,5 +892,23 @@ object SparkEntry {
          SELECT o_orderpriority, o_custkey, cents / 100.0 AS spend,
                 CAST(rnk AS BIGINT) AS rnk
          FROM ranked WHERE rnk <= 3""",
+    // p05: the oracle states the CONTRACT as the flat global
+    // row_number; the engine computes the same enumeration
+    // hierarchically (range-bucket rank + offset prefix sum).
+    "p05_batch_assembly" ->
+      """WITH pairs AS (
+           SELECT d.doc_id, d.source,
+                  (((d.doc_id + 911) % 1000000007) * 2654435761)
+                    % 1048576 AS h
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         ordered AS (
+           SELECT doc_id, source,
+                  row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+           FROM pairs)
+         SELECT CAST(idx // 32 AS BIGINT) AS batch_id,
+                count(*) AS n_pairs,
+                count(DISTINCT source) AS n_sources,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM ordered GROUP BY 1""",
   )
 }

@@ -201,4 +201,59 @@ object Corpus {
         pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
           lit(2654435761L), lit(1000L)) < permille)
   }
+
+  /** p05_batch_assembly — deterministic corpus shuffle + fixed-size
+    * training-batch assembly (the pretraining dataloader's layout
+    * contract: every rerun, on any cluster size, must produce the
+    * SAME batches). Pairs text with its embedding row (the
+    * image-text/contrastive shape), orders the corpus by a
+    * multiplicative hash (the "shuffle"), and cuts the order into
+    * consecutive `batchSize` groups.
+    *
+    * The naive encoding — `row_number() OVER (ORDER BY h)` — is a
+    * GLOBAL window: every row through one task. The scalable
+    * encoding computes the same global enumeration hierarchically:
+    * RANGE-bucket the hash (bucket boundaries preserve the global
+    * order, unlike mod-buckets which interleave it), rank within
+    * each bucket, and add each bucket's start offset — a prefix sum
+    * over the per-bucket counts, `buckets` rows of metadata computed
+    * in one bounded window and broadcast back. global_idx =
+    * offset(bucket) + local_rank − 1, provably equal to the flat
+    * row_number (spec-pinned), with per-key parallelism everywhere.
+    *
+    * Output: one row per batch with size, source diversity, and an
+    * id checksum — the shape a dataloader manifest has.
+    */
+  def batchAssembly(documents: DataFrame, embeddings: DataFrame,
+      batchSize: Int = 32, buckets: Int = 64,
+      salt: Long = 911L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashSpace = 1L << 20
+    val pairs = documents.select(col("doc_id"), col("source"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("label")),
+        Seq("doc_id"))
+      .withColumn("h", pmod(
+        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
+          lit(2654435761L), lit(hashSpace)))
+      .withColumn("bkt", (col("h") / (hashSpace / buckets)).cast("long"))
+    // per-bucket start offsets: |buckets| metadata rows — the window
+    // below runs on bounded cardinality (≤ `buckets`), never data.
+    val offW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = pairs.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(offW) - col("cnt"))
+      .select(col("bkt"), col("off"))
+    val localW = Window.partitionBy(col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    pairs
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("global_idx",
+        col("off") + row_number().over(localW) - 1)
+      .withColumn("batch_id", expr(s"global_idx DIV $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
 }

@@ -188,4 +188,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(overlap - product) < 0.05,
       s"salted layers must compose independently: $overlap vs $product")
   }
+
+  test("p05: hierarchical enumeration equals the flat global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Corpus.batchAssembly(docs, emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // naive contract: one global window (what the engine must equal)
+    val flatW = Window.orderBy(col("h"), col("doc_id"))
+    val naive = docs.select(col("doc_id"), col("source"))
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .withColumn("h", pmod(
+        pmod(col("doc_id") + 911L, lit(1000000007L)) * 2654435761L,
+        lit(1L << 20)))
+      .withColumn("idx", row_number().over(flatW).cast("long") - 1)
+      .withColumn("batch_id", expr("idx DIV 32"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("id_checksum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === naive, "range-bucket rank + offsets must equal flat enumeration")
+    // layout contract: every batch full except at most the last
+    val n = out.values.map(_._1).sum
+    assert(out.size === ((n + 31) / 32).toInt)
+    val partial = out.filter(_._2._1 != 32L)
+    assert(partial.size <= 1 &&
+      partial.keySet.forall(_ == out.keys.max))
+  }
+
+  test("p05: deterministic under re-partitioning; no global data window") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val a = Corpus.batchAssembly(docs, emb).collect()
+      .map(_.toSeq).toSet
+    val b = Corpus.batchAssembly(docs.repartition(7), emb.repartition(3))
+      .collect().map(_.toSeq).toSet
+    assert(a === b, "batch layout must not depend on physical partitioning")
+  }
 }
