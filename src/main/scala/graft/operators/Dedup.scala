@@ -224,14 +224,23 @@ object Dedup {
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
       .repartition(col("gh"))
+    // df guard as a WINDOW over the posting exchange, not a separate
+    // groupBy+join: an aggregate branch gets its scan pruned to a
+    // narrower schema, which makes its subtree non-identical and
+    // DEFEATS exchange reuse — the tokenize→shingle pipeline then
+    // runs twice (measured in the at-scale plan). The window count
+    // consumes the same exchange the join sides do, so the pipeline
+    // materializes exactly once; partition key gh is high-cardinality
+    // (no skew beyond the hot shingles the filter itself drops), and
+    // the window's gh-sort is the SMJ's required sort anyway.
     val posting =
       if (maxDf == Int.MaxValue) exploded
       else {
-        val df = exploded.groupBy(col("gh"))
-          .agg(count(lit(1)).as("df"))
+        import org.apache.spark.sql.expressions.Window
+        exploded
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
           .filter(col("df") <= maxDf)
-          .select(col("gh"))
-        exploded.join(df, Seq("gh")) // inner join drops hot shingles
+          .drop("df")
       }
     val sizeOk =
       if (lengthPrune)
@@ -320,11 +329,12 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("col")).as("gh"))
       .repartition(col("gh"))
-    val cool = posting.groupBy(col("gh"))
-      .agg(count(lit(1)).as("df"))
+    // window-count df guard over the one posting exchange (see d04:
+    // an aggregate branch would defeat exchange reuse via pruning)
+    val capped = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("df") <= maxDf)
-      .select(col("gh"))
-    val capped = posting.join(cool, Seq("gh"))
+      .drop("df")
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     capped.as("a")

@@ -259,4 +259,35 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.dupSpans(docs, maxDf = Int.MaxValue).collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("d04/d09: posting exchange is reused at scale (no broadcast shortcut)") {
+    // At bench SF, AQE converts the posting self-joins to broadcast
+    // and re-runs the tokenize→shingle pipeline per branch — cheap at
+    // 5k docs, wrong at 100 TB. This pins the AT-SCALE shape: with
+    // broadcast off (what large stats do), the df-filter and both
+    // join sides must all feed from ONE materialized exchange of the
+    // posting, so the scan+shingle pipeline runs exactly once.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(
+        "d04" -> Dedup.ngramJaccard(Tables.documents(spark, sf)),
+        "d09" -> Dedup.dupSpans(Tables.documents(spark, sf))
+      ).foreach { case (name, df) =>
+        df.collect() // AQE reuse is decided at stage materialization
+        // the adaptive plan string appends the pre-AQE "Initial Plan"
+        // — only the final section is what actually ran
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("ReusedExchange") ||
+          plan.contains("ReusedQueryStage"),
+          s"$name must reuse the posting exchange:\n$plan")
+        val scans = plan.linesIterator
+          .count(l => l.contains("Scan parquet") && l.contains("documents"))
+        assert(scans === 1,
+          s"$name: tokenize→shingle pipeline must run exactly once " +
+            s"(found $scans scans)")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -43,4 +43,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.annIvf(emptyEmb).count() === 0)
     assert(Similarity.annLsh(emptyEmb).count() === 0)
   }
+
+  test("round-7 operators yield empty, not errors") {
+    import graft.operators.{Asof, Corpus, Pipeline}
+    val emptyEvents = Tables.events(spark, sf).filter("event_id < 0")
+    val emptyOrders = Tables.orders(spark, sf).filter("o_orderkey < 0")
+    assert(Dedup.dupSpans(emptyDocs).count() === 0)
+    assert(Corpus.seqPack(emptyDocs).count() === 0)
+    assert(Corpus.mixtureSample(emptyDocs).count() === 0)
+    assert(Corpus.batchAssembly(emptyDocs, emptyEmb).count() === 0)
+    assert(Corpus.dedupCorpus(emptyDocs).count() === 0)
+    assert(Pipeline.groupedTopk(emptyOrders).count() === 0)
+    assert(Asof.eventAsofAnchor(emptyEvents).count() === 0)
+  }
 }
