@@ -86,7 +86,17 @@ object Dedup {
     // the tokenize→shingle pipeline runs once per branch. The verify
     // joins key on doc_id, so the hash(doc_id) partitioning is
     // exactly what they need — the arrays shuffle ONCE, not twice.
-    val sets = shingleSets(documents, n).repartition(col("doc_id"))
+    // (doc_id, sh) ONLY, with an EXPLICIT doc_id null filter — every
+    // consumer (signature branch, both verify sides) must carry the
+    // identical projection AND filter set, or column pruning /
+    // join-side isnotnull inference split them into non-identical
+    // subtrees and the scan runs once per branch (the verify joins
+    // infer isnotnull(doc_id); stating it here makes the signature
+    // branch match). Set sizes are recomputed at the verify join via
+    // size() (O(1) on an array column) for the same reason.
+    val sets = shingleSets(documents, n).select(col("doc_id"), col("sh"))
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
     // Signature in ONE pass over the shingles (native MinHashSigs
     // kernel: each shingle hashed once, 64 seeded re-hashes of the
     // 8-byte digest), then band buckets from signature slices.
@@ -108,15 +118,20 @@ object Dedup {
     // documents (which d01 should have removed upstream, but corpora
     // misbehave) would otherwise detonate one bucket into millions
     // of pairs. Buckets above maxBucket are dropped; true near-dups
-    // lose nothing because they co-occur in ~all 16 bands.
+    // lose nothing because they co-occur in ~all 16 bands. The guard
+    // is a WINDOW over the banded exchange, not a groupBy+join-back:
+    // the aggregate branch's pruned schema would break subtree
+    // identity and defeat exchange reuse, re-running the MinHash
+    // kernel per branch (see d04's identical fix).
     val trimmed =
       if (maxBucket == Int.MaxValue) banded
       else {
-        val ok = banded.groupBy(col("band_id"), col("bucket"))
-          .agg(count(lit(1)).as("bsz"))
+        import org.apache.spark.sql.expressions.Window
+        banded
+          .withColumn("bsz", count(lit(1))
+            .over(Window.partitionBy(col("band_id"), col("bucket"))))
           .filter(col("bsz") <= maxBucket)
-          .select(col("band_id"), col("bucket"))
-        banded.join(ok, Seq("band_id", "bucket"))
+          .drop("bsz")
       }
     // SLIM candidate join: only (band, bucket, doc_id) crosses the
     // shuffle — carrying the shingle arrays through the 16×-exploded
@@ -130,14 +145,13 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db") // same pair can collide in several bands
     val verified = candidates
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"),
-        col("nsh").as("nsha")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"),
-        col("nsh").as("nshb")), "db")
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
     val inter = size(array_intersect(col("sha"), col("shb")))
     verified
       .withColumn("jaccard",
-        inter.cast("double") / (col("nsha") + col("nshb") - inter).cast("double"))
+        inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))

@@ -272,7 +272,8 @@ class DedupSpec extends AnyFunSuite {
     try {
       Seq(
         "d04" -> Dedup.ngramJaccard(Tables.documents(spark, sf)),
-        "d09" -> Dedup.dupSpans(Tables.documents(spark, sf))
+        "d09" -> Dedup.dupSpans(Tables.documents(spark, sf)),
+        "d02" -> Dedup.dedupMinhash(Tables.documents(spark, sf))
       ).foreach { case (name, df) =>
         df.collect() // AQE reuse is decided at stage materialization
         // the adaptive plan string appends the pre-AQE "Initial Plan"
