@@ -49,7 +49,8 @@ object SparkEntry {
     "q21_peak_local" -> ((s, d) =>
       Pipeline.peakDetectLocal(Tables.events(s, d))),
     "q22_incremental" -> ((s, d) =>
-      graft.sources.PartitionedSink.ordersResume(Tables.orders(s, d))),
+      graft.sources.PartitionedSink.ordersResume(Tables.orders(s, d),
+        cacheKey = d)),
     "q23_interval_file" -> ((s, d) =>
       Pipeline.intervalCountFromFile(s, Tables.lineitem(s, d))),
     "q24_peak_fdr" -> ((s, d) =>
