@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, SimHash64, StopwordHits}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 
   private def longArg(e: Expression, what: String): Long = e match {
@@ -90,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => MinHashSigs(c, intArg(k, "numHashes"))
         case _ => throw new IllegalArgumentException(
           "minhash_sigs(shingles, numHashes)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) =>
+          ShingleHashes(c, intArg(n, "n"), distinct = true)
+        case Seq(c, n, d) =>
+          ShingleHashes(c, intArg(n, "n"), boolArg(d, "distinct"))
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text, n[, distinct])")
       }))
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),

@@ -49,24 +49,39 @@ object HashExprs {
   * i in [0, numHashes) — `numHashes` seeded-permutation approximations
   * in one pass. Null shingle elements are skipped; an all-null/empty
   * array yields Long.MaxValue entries (callers filter empty sets).
+  *
+  * Accepts either `array<string>` shingles (each hashed here) or
+  * `array<long>` PRE-HASHED digests from the ShingleHashes kernel —
+  * the digest is the same seed-42 xxhash64 either way, so signatures
+  * are bit-identical across the two input forms (spec-pinned).
   */
 case class MinHashSigs(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
+  private def fromDigests: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    HashExprs.checkArrayOfString(prettyName, child.dataType)
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> or array<long>, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSigs.compute(input.asInstanceOf[ArrayData], numHashes)
+    MinHashSigs.compute(input.asInstanceOf[ArrayData], numHashes, fromDigests)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val kernel = MinHashSigs.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $kernel.compute($c, $numHashes);"
+      s"${ev.value} = $kernel.compute($c, $numHashes, $fromDigests);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
@@ -74,14 +89,16 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 }
 
 object MinHashSigs {
-  def compute(shingles: ArrayData, k: Int): ArrayData = {
+  def compute(shingles: ArrayData, k: Int, fromDigests: Boolean): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
     var idx = 0
     while (idx < n) {
       if (!shingles.isNullAt(idx)) {
-        val hs = XxHash64Function.hash(
-          shingles.getUTF8String(idx), StringType, 42L)
+        val hs =
+          if (fromDigests) shingles.getLong(idx)
+          else XxHash64Function.hash(
+            shingles.getUTF8String(idx), StringType, 42L)
         var i = 0
         while (i < k) {
           val h = XxHash64Function.hash(i, IntegerType, hs)

@@ -47,8 +47,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select(col("doc_id"), col("n_dups"))
 
-  /** Per-doc distinct shingle sets, shared by d02/d04.
-    * (doc_id, sh: array<string>, nsh: int)
+  /** Per-doc distinct shingle DIGEST sets, shared by d02/d04/d06.
+    * (doc_id, sh: array<long>, nsh: int) — sh holds the seed-42
+    * xxhash64 of each distinct shingle string via the ShingleHashes
+    * kernel (one codegen'd pass; digests bit-equal to
+    * `xxhash64(concat_ws(' ', …))`), so downstream consumers join/
+    * intersect 8-byte longs instead of re-hashing strings. Grouping
+    * on digests instead of strings is d01's documented probabilistic
+    * gap (Dedup.scala:34-40) — unchanged, just earlier.
     *
     * The short-doc filter runs on the cheap token COUNT before the
     * shingle projection — filtering on `size(sh) > 0` after would
@@ -58,7 +64,8 @@ object Dedup {
   private def shingleSets(documents: DataFrame, n: Int): DataFrame =
     documents
       .filter(size(TextOps.tokens(col("text"))) >= n)
-      .select(col("doc_id"), TextOps.wordShingles(col("text"), n).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashSet(col("text"), n).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
 
   /** d02_dedup_minhash — MinHash+LSH near-duplicate pairs.
@@ -235,8 +242,7 @@ object Dedup {
     // pipeline (the CPU-heavy part at corpus scale) runs once per
     // branch, 4× total.
     val exploded = sets
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
       .repartition(col("gh"))
     // df guard as a WINDOW over the posting exchange, not a separate
     // groupBy+join: an aggregate branch gets its scan pruned to a
@@ -287,12 +293,10 @@ object Dedup {
       n: Int = 3, minRatio: Double = 0.5): DataFrame = {
     val sets = shingleSets(documents, n)
     val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
-      .select(explode(col("sh")).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(col("sh")).as("gh"))
       .distinct()
     val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
-      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), col("nsh"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
     posting
       .join(broadcast(benchGrams), "gh")
       .groupBy(col("doc_id"))
@@ -339,9 +343,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val posting = documents
       .select(col("doc_id"),
-        posexplode(TextOps.wordShingleMultiset(col("text"), spanTokens)))
+        posexplode(graft.functions.ShingleExprs
+          .shingleHashSeq(col("text"), spanTokens)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("col")).as("gh"))
+        col("col").as("gh"))
       .repartition(col("gh"))
     // window-count df guard over the one posting exchange (see d04:
     // an aggregate branch would defeat exchange reuse via pruning)

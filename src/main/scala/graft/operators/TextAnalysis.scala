@@ -142,8 +142,8 @@ object TextAnalysis {
     val grams = documents
       .filter(size(TextOps.tokens(col("text"))) >= n)
       .select(col("doc_id"),
-        explode(TextOps.wordShingleMultiset(col("text"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        explode(graft.functions.ShingleExprs
+          .shingleHashSeq(col("text"), n)).as("gh"))
     grams
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("c"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -258,6 +259,52 @@ class DedupSpec extends AnyFunSuite {
     val a = Dedup.dupSpans(docs).collect().toSet
     val b = Dedup.dupSpans(docs, maxDf = Int.MaxValue).collect().toSet
     assert(a === b && a.nonEmpty)
+  }
+
+  test("ShingleHashes kernel: digests bit-equal the HOF path on real + hostile text") {
+    import spark.implicits._
+    import graft.functions.{ShingleExprs, TextOps}
+    val hostile = Seq((9001L, null.asInstanceOf[String]), (9002L, ""),
+      (9003L, "   "), (9004L, "机器学习 模型 需要 大量 高质量 的 训练数据"),
+      (9005L, "one two"), (9006L, "a  b\tc   d e"),
+      (9007L, "Tab\there And nbsp MIXED case"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(hostile)
+    Seq(3 -> true, 3 -> false, 10 -> false).foreach { case (n, asSeq) =>
+      val hof =
+        if (asSeq) transform(TextOps.wordShingleMultiset(col("text"), n),
+          g => xxhash64(g))
+        else transform(TextOps.wordShingles(col("text"), n),
+          g => xxhash64(g))
+      // null text: the HOF chain yields [] while the kernel is
+      // SQL-null-strict — indistinguishable after explode/posexplode
+      // (both emit zero rows), which is the only way operators
+      // consume shingles; coalesce pins exactly that equivalence.
+      val kernel = coalesce(
+        if (asSeq) ShingleExprs.shingleHashSeq(col("text"), n)
+        else ShingleExprs.shingleHashSet(col("text"), n),
+        array().cast("array<bigint>"))
+      val mismatches = docs
+        .select(col("doc_id"), hof.as("a"), kernel.as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(mismatches === 0L, s"n=$n distinct=${!asSeq}")
+    }
+  }
+
+  test("minhash_sigs: digest input reproduces string-input signatures") {
+    import graft.functions.{HashExprs, ShingleExprs, TextOps}
+    val docs = Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+    val mismatches = docs.select(
+      HashExprs.minhashSigs(TextOps.wordShingles(col("text"), 3), 64)
+        .as("a"),
+      HashExprs.minhashSigs(ShingleExprs.shingleHashSet(col("text"), 3), 64)
+        .as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(mismatches === 0L)
   }
 
   test("d04/d09: posting exchange is reused at scale (no broadcast shortcut)") {

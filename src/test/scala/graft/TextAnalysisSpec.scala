@@ -179,13 +179,14 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
-    val sigs = MinHashSigs.compute(arr, 4)
+    val sigs = MinHashSigs.compute(arr, 4, fromDigests = false)
     assert(sigs.numElements() === 4)
     val sim = SimHash64.compute(arr)
     assert(sim !== 0L)
     // empty input edge cases
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any]())
     assert(SimHash64.compute(empty) === 0L)
-    assert(MinHashSigs.compute(empty, 2).toLongArray.forall(_ == Long.MaxValue))
+    assert(MinHashSigs.compute(empty, 2, fromDigests = false)
+      .toLongArray.forall(_ == Long.MaxValue))
   }
 }
