@@ -17,11 +17,24 @@ import org.apache.spark.sql.SparkSession
   *    the semantics ARE windows; all partition by high-cardinality
   *    keys or post-aggregation bounded sets (q24's single-partition
   *    windows run on #bins rows, bounded by time-range/binSeconds).
-  *  - s01/s02 BNLJ: broadcast handful of query vectors against the
-  *    corpus scan, by design (see SimilaritySpec plan tests).
-  *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers
-  *    (GK percentile sketch, collect_list centroids) — still hash
-  *    keyed, no per-group sort.
+  *  - d02/d04/d09 Window: the df / bucket-size guard counts over the
+  *    posting exchange (partitioned by the high-cardinality shingle
+  *    hash / bucket key) — chosen over groupBy+join-back precisely
+  *    so the exchange stays reusable (see Dedup.scala); d09 adds the
+  *    per-(pair, diagonal) islands window, bounded by matched pairs.
+  *  - d07 Window: n_members count per resolved cluster — dup-graph
+  *    cardinality, post-convergence.
+  *  - q25 Window: the as-of carry-forward per key — the operator's
+  *    entire semantics, partitioned by user.
+  *  - t07/p05 Window: per-stratum running sums / per-bucket ranks;
+  *    p05's ONLY order-all window runs on ≤`buckets` metadata rows.
+  *  - q26 Window: final exact rank over ≤ salt·k pruned candidates
+  *    per group (spec-pinned lossless), never the full aggregate.
+  *  - s01/s02/d08 BNLJ: broadcast handful of query vectors (or k-row
+  *    centroid table) against the corpus scan, by design.
+  *  - q20/s02/q26 ObjectHashAggregate: TypedImperativeAggregate
+  *    buffers (GK percentile sketch, collect_list centroids / local
+  *    top-k arrays) — still hash keyed, no per-group sort.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
