@@ -150,6 +150,8 @@ object SparkEntry {
       StreamOps.streamAsof(s, d)),
     "p05_batch_assembly" -> ((s, d) =>
       Corpus.batchAssembly(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q27_skew_agg" -> ((s, d) =>
+      Skew.skewAgg(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -911,5 +913,14 @@ object SparkEntry {
                 count(DISTINCT source) AS n_sources,
                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM ordered GROUP BY 1""",
+    // q27: the oracle is the PLAIN group-by — the salted two-phase
+    // plan must be value-identical to it.
+    "q27_skew_agg" ->
+      """SELECT CASE WHEN user_id < 120 THEN -1 ELSE user_id END AS k,
+                sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+                  AS sum_value,
+                count(*) AS n_rows
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1""",
   )
 }

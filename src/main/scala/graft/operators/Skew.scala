@@ -51,4 +51,26 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as(s"sum_$valueCol"),
         sum(col("_pcnt")).as("n_rows"))
+
+  /** q27_skew_agg — the two-phase salted aggregation under a
+    * MANUFACTURED hot key, oracle-checked: 80% of events collapse to
+    * key −1 (the "one user is a bot farm" shape every event table
+    * grows), and the salted plan must produce the identical totals a
+    * plain GROUP BY yields. Phase 1 spreads the hot key over `salts`
+    * reducers on the (key, salt) shuffle; phase 2 merges `salts`
+    * partial rows per key — the exact pattern for skew the FIRST
+    * shuffle must absorb (AQE can only split joins, not the initial
+    * aggregation funnel). Sums are integer cents, so the oracle
+    * hash-matches.
+    */
+  def skewAgg(events: DataFrame, salts: Int = 8): DataFrame =
+    saltedSumCount(
+      events.select(
+        when(col("user_id") < 120, lit(-1L)).otherwise(col("user_id"))
+          .as("k"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("event_id")),
+      "k", "cents", "event_id", salts)
+      .select(col("k"), (col("sum_cents") / 100.0).as("sum_value"),
+        col("n_rows"))
 }

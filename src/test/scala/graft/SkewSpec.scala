@@ -54,4 +54,26 @@ class SkewSpec extends AnyFunSuite {
       assert(math.abs(s - plain(k)._1) < 1e-6)
     }
   }
+
+  test("q27: salted plan equals plain group-by on real events, hot key split") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val out = SparkEntry.queries("q27_skew_agg")(spark, TestSpark.sf)
+    val salted = out.collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val plain = events.groupBy(
+        when(col("user_id") < 120, lit(-1L)).otherwise(col("user_id"))
+          .as("k"))
+      .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+        .as("sum_value"), count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted === plain)
+    // the hot key holds ~80% of rows — the plan's phase-1 must key on
+    // (k, salt): two distinct aggregate exchanges, not one
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning")) >= 2,
+      "two-phase salted aggregation needs both shuffles")
+  }
 }
