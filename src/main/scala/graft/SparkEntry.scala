@@ -152,6 +152,8 @@ object SparkEntry {
       Corpus.batchAssembly(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q27_skew_agg" -> ((s, d) =>
       Skew.skewAgg(Tables.events(s, d))),
+    "d10_dedup_incremental" -> ((s, d) =>
+      Dedup.dedupIncremental(Tables.documents(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -922,5 +924,29 @@ object SparkEntry {
                 count(*) AS n_rows
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          GROUP BY 1""",
+    // d10: cross-slice Jaccard between arrivals (>= 250) and the
+    // indexed corpus (< 250); engine probes a bucketed digest index,
+    // oracle recomputes on shingle strings (d01's documented gap).
+    // The build-time df cap is inert on this corpus (max df = 4),
+    // which the d04/d09 lossless-cap specs pin.
+    "d10_dedup_incremental" ->
+      """WITH sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_id, c.doc_id AS dup_of,
+                  len(list_intersect(a.sh, c.sh)) AS inter,
+                  len(a.sh) AS na, len(c.sh) AS nc
+           FROM sets a JOIN sets c
+             ON a.doc_id >= 250 AND c.doc_id < 250)
+         SELECT doc_id, dup_of,
+                round(inter * 1.0 / (na + nc - inter), 4) AS jaccard
+         FROM pairs
+         WHERE inter * 1.0 / (na + nc - inter) >= 0.6""",
   )
 }

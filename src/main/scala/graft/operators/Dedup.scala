@@ -370,6 +370,66 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** d10_dedup_incremental — dedup ARRIVING documents against a
+    * build-once corpus index, the continuous-ingest shape: a corpus
+    * that grows daily cannot re-run all-pairs dedup per batch, so the
+    * existing corpus's shingle postings are written ONCE as a
+    * bucketed table (bucketBy gh, df-capped at build time — the
+    * boilerplate filter is paid at indexing, not per probe) and every
+    * new batch probes it. The join reads the index IN PLACE: the
+    * bucketed side contributes no exchange (k02's contract), only the
+    * day's arrivals — a sliver of the corpus — shuffle. Emits
+    * (doc_id, dup_of, jaccard): which existing document each arrival
+    * duplicates at ≥ tau.
+    *
+    * The split here is by doc_id (`splitId` marks old/new) so the
+    * oracle can express both slices from one table; a deployment
+    * passes actual corpus and arrival frames. Index memoized per
+    * (cacheKey, n, maxDf) with a per-JVM nonce, like k02's staging.
+    */
+  private val idxNonce = java.lang.Long.toHexString(System.nanoTime())
+  private val stagedIdx =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  def dedupIncremental(documents: DataFrame, splitId: Long = 250L,
+      n: Int = 3, tau: Double = 0.6, maxDf: Int = 128,
+      buckets: Int = 16, cacheKey: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    def posting(df: DataFrame): DataFrame =
+      shingleSets(df, n)
+        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
+    def buildIndex(): String = {
+      val table = s"graft_d10_idx_${idxNonce}_${stagedIdx.size}"
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_d10_idx_").toString
+      posting(documents.filter(col("doc_id") < splitId))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+        .write.bucketBy(buckets, "gh").sortBy("gh")
+        .option("path", s"$dir/idx").mode("overwrite").saveAsTable(table)
+      table
+    }
+    val table =
+      if (cacheKey.isEmpty) buildIndex()
+      else stagedIdx.getOrElseUpdate((cacheKey, n, maxDf), buildIndex())
+    val idx = spark.table(table)
+    val arrivals = posting(documents.filter(col("doc_id") >= splitId))
+    arrivals.as("a")
+      .join(idx.hint("merge").as("c"), col("a.gh") === col("c.gh"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.nsh")).as("na"), first(col("c.nsh")).as("nc"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nc") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_id"), col("dup_of"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** d07_dedup_groups — resolve a near-dup PAIR list into duplicate
     * GROUPS with a deterministic survivor, the reference's actual
     * rmdup contract (/root/reference/tools.py:315-317: keep ONE

@@ -307,6 +307,36 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("d10: incremental probe equals the cross-slice subset of d04 pairs") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.dedupIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if a < 250 && b >= 250 => (b, a, j)
+        case (a, b, j) if b < 250 && a >= 250 => (a, b, j)
+      }.toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("d10: the corpus index joins in place — no exchange on the bucketed side") {
+    val df = Dedup.dedupIncremental(Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"),
+      "probe must read the bucketed index bucket-aware")
+    assert(plan.contains("SortMergeJoin"))
+    // the index subtree (scan → join) must contain no Exchange: only
+    // the arrivals side and the pair aggregation shuffle
+    val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    val idxSide = joinSection.linesIterator
+      .dropWhile(l => !l.contains("Bucketed: true")).mkString
+    assert(!idxSide.contains("Exchange"),
+      "bucketed index side must not re-shuffle")
+  }
+
   test("d04/d09: posting exchange is reused at scale (no broadcast shortcut)") {
     // At bench SF, AQE converts the posting self-joins to broadcast
     // and re-runs the tokenize→shingle pipeline per branch — cheap at
