@@ -154,6 +154,9 @@ object SparkEntry {
       Skew.skewAgg(Tables.events(s, d))),
     "d10_dedup_incremental" -> ((s, d) =>
       Dedup.dedupIncremental(Tables.documents(s, d), cacheKey = d)),
+    "k04_fastq_ingest" -> ((s, d) =>
+      graft.sources.TextIngest.fastqSummary(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -948,5 +951,20 @@ object SparkEntry {
                 round(inter * 1.0 / (na + nc - inter), 4) AS jaccard
          FROM pairs
          WHERE inter * 1.0 / (na + nc - inter) >= 0.6""",
+    // k04: the staged FASTQ derives every byte from (doc_id, n_chars)
+    // by closed-form arithmetic, so the oracle recomputes the
+    // per-read stats directly from documents — what's checked is the
+    // round trip through 4-line text and the positional reassembly.
+    "k04_fastq_ingest" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars % 80 + 20 AS len FROM documents),
+         pos AS (
+           SELECT doc_id, len, unnest(range(len)) AS p FROM d)
+         SELECT doc_id AS read_id,
+                CAST(len AS BIGINT) AS read_len,
+                CAST(sum(CASE WHEN (doc_id + p) % 4 IN (1, 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS gc_count,
+                CAST(sum(33 + (doc_id + p) % 40) AS BIGINT) AS qual_sum
+         FROM pos GROUP BY 1, 2""",
   )
 }

@@ -144,6 +144,101 @@ object TextIngest {
       .select(col("warc_type"), col("target_uri"), col("payload"),
         col("content_length"), col("truncated"))
 
+  /** FASTQ reader — the reference pipeline's PRIMARY input format
+    * (every sample enters as fastq, /root/reference/mainScript.py:
+    * 67-75; fastqc/trim/align all consume it). A FASTQ record is
+    * FOUR lines: `@id`, sequence, `+`, quality — and the quality
+    * line may START with '@' (phred+33 covers it), so separator
+    * splitting on '@' mis-parses real data. This reader groups lines
+    * POSITIONALLY: per-file line numbers (window over the scan
+    * order), record = `_ln DIV 4`, and the three body lines attach
+    * to their header via `lead` over the same window — one shuffle
+    * on the file key, no second grouping exchange.
+    *
+    * Ordering contract: line numbers are per-file scan order, exact
+    * when a file occupies one partition — true for gzip FASTQ (the
+    * production norm; gzip is unsplittable) and any file under
+    * `maxPartitionBytes`. A SPLIT plain-text file interleaves
+    * partitions and would mis-group — production ingest of huge
+    * uncompressed FASTQ needs a record-aware InputFormat, same
+    * caveat documented for WARC above.
+    *
+    * Malformed records are never silent: `well_formed` = header
+    * starts '@', separator starts '+', |sequence| = |quality|.
+    */
+  def readFastq(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_file")).orderBy(col("_mid"))
+    spark.read.text(path)
+      .select(col("value"), input_file_name().as("_file"),
+        monotonically_increasing_id().as("_mid"))
+      .withColumn("_ln", row_number().over(w) - 1)
+      .withColumn("_seq", lead(col("value"), 1).over(w))
+      .withColumn("_plus", lead(col("value"), 2).over(w))
+      .withColumn("_qual", lead(col("value"), 3).over(w))
+      .filter(pmod(col("_ln"), lit(4)) === 0)
+      .select(
+        regexp_replace(col("value"), "^@", "").as("read_id"),
+        col("_seq").as("sequence"),
+        col("_qual").as("quality"),
+        length(col("_seq")).cast("long").as("read_len"),
+        (col("value").startsWith("@") && col("_plus").startsWith("+") &&
+          (length(col("_seq")) <=> length(col("_qual"))))
+          .as("well_formed"))
+  }
+
+  /** k04_fastq_ingest — stage a deterministic FASTQ derived from the
+    * documents table (read r<doc_id>: length n_chars%80+20, base at
+    * offset p = "ACGT"[(doc_id+p)%4], quality char 33+(doc_id+p)%40 —
+    * which yields '@'-LEADING quality lines for doc_id+0 ≡ 31 mod
+    * 40, exactly the case separator-split readers break on), read it
+    * back with `readFastq`, and emit per-read stats. The oracle
+    * recomputes read_len / GC count / quality sum from the SAME
+    * closed-form arithmetic on the documents table — the round trip
+    * through 4-line text and back is what's being checked.
+    */
+  private val stagedFastq =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def fastqSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    def stage(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fastq_").toString
+      documents
+        .select(col("doc_id"), col("n_chars"),
+          (pmod(col("n_chars"), lit(80L)) + 20L).as("len"))
+        .select(col("doc_id"),
+          concat(
+            lit("@r"), col("doc_id"), lit("\n"),
+            expr("concat_ws('', transform(sequence(0, len - 1), " +
+              "p -> substring('ACGT', CAST((doc_id + p) % 4 AS INT) + 1, 1)))"),
+            lit("\n+\n"),
+            expr("concat_ws('', transform(sequence(0, len - 1), " +
+              "p -> char(33 + (doc_id + p) % 40)))"))
+            .as("value"))
+        .orderBy(col("doc_id"))
+        .coalesce(1)
+        .select(col("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+      dir
+    }
+    val dir =
+      if (cacheKey.isEmpty) stage()
+      else stagedFastq.getOrElseUpdate(cacheKey, stage())
+    readFastq(spark, dir)
+      .select(
+        regexp_extract(col("read_id"), "^r(\\d+)$", 1).cast("long")
+          .as("read_id"),
+        col("read_len"),
+        length(regexp_replace(col("sequence"), "[^CG]", ""))
+          .cast("long").as("gc_count"),
+        expr("aggregate(sequence(1, CAST(length(quality) AS INT)), 0L, " +
+          "(a, i) -> a + ascii(substring(quality, i, 1)))")
+          .as("qual_sum"))
+  }
+
   /** (clean rows without the capture column, corrupt raw lines). */
   def split(ingested: DataFrame): (DataFrame, DataFrame) = (
     ingested.filter(col(CorruptCol).isNull).drop(CorruptCol),

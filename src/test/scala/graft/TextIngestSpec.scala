@@ -145,4 +145,34 @@ class TextIngestSpec extends AnyFunSuite {
     assert(rows.sorted.toSeq ===
       Seq(("a", "b"), ("p", "q"), ("x", "y"), ("z", "w")))
   }
+
+  test("k04: fastq round trip — stats equal the closed form, '@' quality survives") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = SparkEntry.queries("k04_fastq_ingest")(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = docs.select("doc_id", "n_chars").collect().map { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val len = nc % 80 + 20
+      val gc = (0L until len).count(p => Set(1L, 2L)((id + p) % 4)).toLong
+      val qs = (0L until len).map(p => 33L + (id + p) % 40).sum
+      id -> (len, gc, qs)
+    }.toMap
+    assert(out === expected)
+    // at least one staged read's quality line starts with '@'
+    // (doc_id % 40 == 31) — positional grouping must not split there
+    assert(docs.filter("doc_id % 40 = 31").count() > 0, "fixture check")
+  }
+
+  test("k04: malformed records flagged, never silently dropped") {
+    val dir = Files.createTempDirectory("fastq_spec_").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.fastq"),
+      "@r1\nACGT\n+\n!!!!\n" +       // well-formed
+      "@r2\nACGT\n+\n!!!\n" +        // |qual| != |seq|
+      "@r3\nACGT\nX\n!!!!\n")        // bad separator
+    val rows = TextIngest.readFastq(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(rows === Map("r1" -> true, "r2" -> false, "r3" -> false))
+  }
 }
