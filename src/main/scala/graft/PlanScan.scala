@@ -49,7 +49,8 @@ object PlanScan {
     val skip = Set("st01_stream_window", "st02_stream_session",
       "st03_stream_dedup", "st04_stream_enrich", "st05_stream_asof",
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
-      "d10_dedup_incremental", "k04_fastq_ingest")
+      "d10_dedup_incremental", "k04_fastq_ingest",
+      "st06_stream_sink")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString

@@ -157,6 +157,8 @@ object SparkEntry {
     "k04_fastq_ingest" -> ((s, d) =>
       graft.sources.TextIngest.fastqSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "st06_stream_sink" -> ((s, d) =>
+      StreamOps.streamSink(s, d, cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -966,5 +968,13 @@ object SparkEntry {
                          THEN 1 ELSE 0 END) AS BIGINT) AS gc_count,
                 CAST(sum(33 + (doc_id + p) % 40) AS BIGINT) AS qual_sum
          FROM pos GROUP BY 1, 2""",
+    "st06_stream_sink" ->
+      """SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(event_id) AS BIGINT) AS id_checksum,
+                sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0
+                  AS sum_value
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1""",
   )
 }

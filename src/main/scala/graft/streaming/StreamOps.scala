@@ -201,6 +201,57 @@ object StreamOps {
     spark.table(sink)
   }
 
+  /** st06_stream_sink — the streaming DURABLE sink: events stream →
+    * partitioned parquet tree with a checkpoint, the landing-zone
+    * writer a 24/7 ingest runs (the reference's per-sample durable
+    * move, /root/reference/tools.py:677, as a continuous process).
+    * Exactly-once comes from the file sink's transaction log
+    * (`_spark_metadata`): a batch's files count only once it commits,
+    * and a RESTART with the same checkpoint reprocesses nothing — the
+    * memoized (output, checkpoint) pair means repeat calls re-open
+    * the stream, discover zero new files, write nothing, and the
+    * read-back still equals the batch aggregate (spec asserts the
+    * file count is STABLE across reruns — the exactly-once proof,
+    * q22's resume contract in streaming form).
+    *
+    * Returned summary reads the tree back through the sink's own
+    * metadata log — what a downstream consumer would see.
+    */
+  private val stagedSink =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Spec access: (outputDir, checkpointDir) for a memoized sink. */
+  private[graft] def sinkDirs(cacheKey: String): Option[(String, String)] =
+    stagedSink.get(cacheKey)
+
+  def streamSink(spark: SparkSession, dir: String,
+      cacheKey: String = ""): DataFrame = {
+    def fresh(): (String, String) = {
+      val base = Files.createTempDirectory("graft_st06_").toString
+      (s"$base/out", s"$base/chk")
+    }
+    val (out, chk) =
+      if (cacheKey.isEmpty) fresh()
+      else stagedSink.getOrElseUpdate(cacheKey, fresh())
+    val q = eventStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .partitionBy("event_type")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("id_checksum"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
+  }
+
   /** st03_stream_dedup — streaming ingest deduplication, the
     * streaming edition of d01: drop repeat (user_id, event_type)
     * observations as they arrive, so downstream stages see each key

@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("st01_stream_window", "st02_stream_session", "st03_stream_dedup",
       "st04_stream_enrich", "st05_stream_asof",
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
-      "d10_dedup_incremental", "k04_fastq_ingest")
+      "d10_dedup_incremental", "k04_fastq_ingest",
+      "st06_stream_sink")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a

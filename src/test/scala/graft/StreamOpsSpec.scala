@@ -149,6 +149,34 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st06: streaming sink round trip equals batch; rerun writes nothing") {
+    val key = s"st06spec_${System.nanoTime()}"
+    val first = StreamOps.streamSink(spark, sf, cacheKey = key).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).cast("long").as("id_checksum"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
+      .collect()
+    assert(sortedRows(first) === sortedRows(batch))
+    // exactly-once resume: same checkpoint, no new input — the rerun
+    // must add ZERO files to the tree and return the same summary
+    val (out, _) = StreamOps.sinkDirs(key).get
+    def parquetFiles(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .map(_.getPath).filter(_.endsWith(".parquet")).sorted
+    }
+    val before = parquetFiles()
+    val second = StreamOps.streamSink(spark, sf, cacheKey = key).collect()
+    assert(sortedRows(second) === sortedRows(first),
+      "rerun with the same checkpoint must be a no-op")
+    assert(parquetFiles() === before,
+      "exactly-once: the rerun must not write or rewrite any file")
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
