@@ -159,6 +159,8 @@ object SparkEntry {
         cacheKey = d)),
     "st06_stream_sink" -> ((s, d) =>
       StreamOps.streamSink(s, d, cacheKey = d)),
+    "d11_snapshot_diff" -> ((s, d) =>
+      Dedup.snapshotDiffDemo(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -976,5 +978,26 @@ object SparkEntry {
                   AS sum_value
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          GROUP BY 1""",
+    // d11: the oracle rebuilds both snapshots with the same
+    // arithmetic and diffs NORMALIZED STRINGS where the engine diffs
+    // xxhash64 of them (d01's documented probabilistic gap).
+    "d11_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+           FROM documents WHERE doc_id % 11 <> 3),
+         newsnap AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                         ELSE text END)), '\s+', ' ', 'g') AS k
+           FROM documents WHERE doc_id % 13 <> 5)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     ELSE 'changed' END AS status
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+            OR o.k IS DISTINCT FROM n.k""",
   )
 }

@@ -370,6 +370,50 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** d11_snapshot_diff — dataset-version diffing: which documents
+    * were ADDED, REMOVED, or CHANGED between two corpus snapshots —
+    * the bookkeeping every versioned training set needs before
+    * retraining (what moved since the last cut?), and the corpus
+    * analog of the reference's per-sample progress comparison
+    * (/root/reference/tools.py:28-56 decides redo-vs-skip by
+    * comparing recorded state).
+    *
+    * Full outer join on the key of (key, content-hash) projections:
+    * each side shuffles 16 bytes per document, never text; status is
+    * a null-pattern CASE. UNCHANGED rows (the overwhelming majority
+    * between adjacent snapshots) are filtered before the result
+    * materializes. Hash-compare is d01's documented probabilistic
+    * gap (the oracle diffs the normalized strings).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def slim(df: DataFrame, h: String) = df.select(
+      col("doc_id"), xxhash64(TextOps.normText(col("text"))).as(h))
+    slim(oldSnap, "h_old")
+      .join(slim(newSnap, "h_new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** Driver entry: two snapshots derived deterministically from the
+    * documents table — the old cut is missing `doc_id ≡ 3 (mod 11)`,
+    * the new cut dropped `doc_id ≡ 5 (mod 13)` and re-edited
+    * `doc_id ≡ 0 (mod 7)` (a marker suffix) — so the oracle can
+    * rebuild both sides with the same arithmetic.
+    */
+  def snapshotDiffDemo(documents: DataFrame): DataFrame = {
+    val oldSnap = documents.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+    val newSnap = documents.filter(pmod(col("doc_id"), lit(13L)) =!= 5L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    snapshotDiff(oldSnap, newSnap)
+  }
+
   /** d10_dedup_incremental — dedup ARRIVING documents against a
     * build-once corpus index, the continuous-ingest shape: a corpus
     * that grows daily cannot re-run all-pairs dedup per batch, so the

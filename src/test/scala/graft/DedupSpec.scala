@@ -307,6 +307,20 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("d11: snapshot diff — planted add/remove/change, null text unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "  SAME   text "), // normalizes equal -> unchanged
+      (2L, "has changed"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("d10: incremental probe equals the cross-slice subset of d04 pairs") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.dedupIncremental(docs).collect()
