@@ -92,7 +92,10 @@ object Compaction {
     val fragDir =
       if (cacheKey.isEmpty) stage()
       else staged.getOrElseUpdate(cacheKey, stage())
-    val outDir = Files.createTempDirectory("graft_k03_out_").toString
+    // one output tree per staged input, OVERWRITTEN per call — the
+    // production shape (compaction rewrites in place-ish), and no
+    // temp-dir leak across bench repetitions.
+    val outDir = s"$fragDir-compacted"
     compact(spark, fragDir, outDir, "lang")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
