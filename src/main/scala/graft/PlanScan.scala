@@ -28,13 +28,14 @@ import org.apache.spark.sql.SparkSession
   *    entire semantics, partitioned by user.
   *  - t07/p05 Window: per-stratum running sums / per-bucket ranks;
   *    p05's ONLY order-all window runs on ≤`buckets` metadata rows.
-  *  - q26 Window: final exact rank over ≤ salt·k pruned candidates
-  *    per group (spec-pinned lossless), never the full aggregate.
+  *  - q26 Window: per-(group, salt) spillable local top-k, then the
+  *    exact rank over ≤ salt·k pruned candidates (spec-pinned
+  *    lossless) — never one sort of the full aggregate per group.
   *  - s01/s02/d08 BNLJ: broadcast handful of query vectors (or k-row
   *    centroid table) against the corpus scan, by design.
-  *  - q20/s02/q26 ObjectHashAggregate: TypedImperativeAggregate
-  *    buffers (GK percentile sketch, collect_list centroids / local
-  *    top-k arrays) — still hash keyed, no per-group sort.
+  *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers
+  *    (GK percentile sketch, collect_list centroids) — still hash
+  *    keyed, no per-group sort.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {

@@ -368,14 +368,17 @@ object Pipeline {
     * 100 TB of customers that is 5 tasks sorting everything.
     *
     * Scalable shape: two-phase top-k. Phase 1 computes per-(group,
-    * SALT-bucket) local top-k via `sort_array ∘ collect_list` over
-    * the pre-aggregated rows — any global top-k row is necessarily
-    * top-k in its own bucket, so the prune is LOSSLESS (spec-pinned
-    * against the naive window). Phase 2 ranks only the surviving
-    * ≤ salt·k candidates per group — a window over bounded
-    * cardinality, the same justification class as q07's. Ordering is
-    * total (cents desc, custkey asc) via the struct sort key
-    * (-cents, custkey), so ranks are deterministic on both engines.
+    * SALT-bucket) local top-k with a row_number window over the
+    * pre-aggregated rows — any global top-k row is necessarily top-k
+    * in its own bucket, so the prune is LOSSLESS (spec-pinned
+    * against the naive window). A window, NOT `collect_list` +
+    * `slice`: an aggregation buffer holds the whole bucket in
+    * memory before slicing (OOM at a billion customers), while the
+    * window's per-partition sort is external and spills. Phase 2
+    * ranks only the surviving ≤ salt·k candidates per group — a
+    * window over bounded cardinality, the same justification class
+    * as q07's. Ordering is total (cents desc, custkey asc), so ranks
+    * are deterministic on both engines.
     */
   def groupedTopk(orders: DataFrame, k: Int = 3,
       saltBuckets: Int = 32): DataFrame = {
@@ -383,16 +386,15 @@ object Pipeline {
       .groupBy(col("o_orderpriority"), col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("cents"))
+    val localW = Window
+      .partitionBy(col("o_orderpriority"), col("_salt"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
     val local = spend
-      .groupBy(col("o_orderpriority"),
-        pmod(xxhash64(col("o_custkey")), lit(saltBuckets)).as("_salt"))
-      .agg(slice(
-        sort_array(collect_list(
-          struct((-col("cents")).as("nc"), col("o_custkey")))),
-        1, k).as("top"))
-      .select(col("o_orderpriority"), explode(col("top")).as("t"))
-      .select(col("o_orderpriority"), col("t.o_custkey").as("o_custkey"),
-        (-col("t.nc")).as("cents"))
+      .withColumn("_salt",
+        pmod(xxhash64(col("o_custkey")), lit(saltBuckets)))
+      .withColumn("_lrnk", row_number().over(localW))
+      .filter(col("_lrnk") <= k)
+      .drop("_salt", "_lrnk")
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("cents").desc, col("o_custkey").asc)
     local

@@ -199,11 +199,15 @@ class PipelineSpec extends AnyFunSuite {
   test("q26: the exact-rank window runs on pruned candidates only") {
     val df = SparkEntry.queries("q26_grouped_topk")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    // the window's input must be the post-explode candidate set (at
-    // most salt*k rows per group), i.e. an aggregation runs BELOW it
-    assert(plan.contains("Window"))
-    val winIdx = plan.indexOf("Window")
-    assert(plan.indexOf("Generate", winIdx) > winIdx,
-      "explode of local top-k arrays must feed the window, not raw rows")
+    // two windows: the per-(group, salt) local top-k below, the
+    // per-group exact rank above, with the local-rank filter between
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) >= 2
+      || plan.split("Window").length > 2,
+      "local salt-bucket window must prune before the exact-rank window")
+    assert(plan.contains("_salt"),
+      "phase 1 must partition by (group, salt)")
+    // and no whole-bucket aggregation buffer anywhere
+    assert(!plan.contains("collect_list"),
+      "local top-k must be a spillable window sort, not an in-memory buffer")
   }
 }
