@@ -29,14 +29,29 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Rewrite the parquet tree at `inDir` (partitioned by
-    * `partitionCol`) into `outDir` with at most one file per
-    * partition value per `maxRecordsPerFile` rows. Returns the
-    * compacted tree as a DataFrame.
+    * `partitionCol`) into `outDir` with at most `writersPerPartition`
+    * files per partition value per `maxRecordsPerFile` rows. Returns
+    * the compacted tree as a DataFrame.
+    *
+    * `writersPerPartition` is k01's salted-writer discipline: a bare
+    * `repartition(partitionCol)` funnels each VALUE through one task
+    * — at 100 TB a 20 TB partition value would be rewritten by a
+    * single writer. The salt (hash of the whole row's stable id
+    * column set is unnecessary — any per-row column works; we hash
+    * the input_file_name so rows co-located in a small file stay
+    * together) bounds the file count at writers × ceil(rows/cap)
+    * while keeping the rewrite parallel. writers = 1 gives the
+    * one-file-per-value layout for metadata-sized partitions.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      partitionCol: String, maxRecordsPerFile: Long = 5000000L): DataFrame = {
-    spark.read.parquet(inDir)
-      .repartition(col(partitionCol))
+      partitionCol: String, maxRecordsPerFile: Long = 5000000L,
+      writersPerPartition: Int = 1): DataFrame = {
+    val tree = spark.read.parquet(inDir)
+    val salted =
+      if (writersPerPartition <= 1) tree.repartition(col(partitionCol))
+      else tree.repartition(col(partitionCol),
+        pmod(xxhash64(input_file_name()), lit(writersPerPartition)))
+    salted
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)

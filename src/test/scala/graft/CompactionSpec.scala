@@ -52,4 +52,24 @@ class CompactionSpec extends AnyFunSuite {
         s"$dir: $files files for $rows rows at cap 25")
     }
   }
+
+  test("k03: salted writers parallelize a value's rewrite, file count bounded") {
+    val docs = Tables.documents(spark, sf)
+    val frag = Files.createTempDirectory("k03_spec_frag3_").toString
+    docs.repartition(8, col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(frag)
+    val out = Files.createTempDirectory("k03_spec_out3_").toString
+    val writers = 4
+    Compaction.compact(spark, frag, out, "lang",
+      writersPerPartition = writers)
+    val before = Compaction.fileCounts(spark, frag)
+    val after = Compaction.fileCounts(spark, out)
+    assert(after.keySet === before.keySet)
+    after.foreach { case (dir, files) =>
+      assert(files <= writers && files >= 1,
+        s"$dir: $files files with $writers salted writers")
+      assert(files <= before(dir), s"$dir must not gain files")
+    }
+  }
 }
