@@ -161,6 +161,8 @@ object SparkEntry {
       StreamOps.streamSink(s, d, cacheKey = d)),
     "d11_snapshot_diff" -> ((s, d) =>
       Dedup.snapshotDiffDemo(Tables.documents(s, d))),
+    "q28_changelog_merge" -> ((s, d) =>
+      Relational.changelogMergeDemo(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -999,5 +1001,27 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
          WHERE o.doc_id IS NULL OR n.doc_id IS NULL
             OR o.k IS DISTINCT FROM n.k""",
+    // q28: struct-wrapped arg_max so a delete's null payload is not
+    // skipped (both engines' arg-max ignore null ARGUMENTS only).
+    "q28_changelog_merge" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         changes AS (
+           SELECT doc_id, 1 AS seq, 'upsert' AS op, text || ' v2' AS nt
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 2 AS seq, 'delete' AS op, NULL AS nt
+           FROM documents WHERE doc_id % 11 = 4),
+         latest AS (
+           SELECT doc_id,
+                  arg_max(struct_pack(o := op, t := nt), seq) AS c
+           FROM changes GROUP BY 1)
+         SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+                CASE WHEN l.c.o = 'upsert' THEN 'upsert'
+                     ELSE 'base' END AS origin,
+                CAST(length(CASE WHEN l.c.o = 'upsert' THEN l.c.t
+                            ELSE b.text END) AS BIGINT) AS n_chars_out
+         FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+         WHERE COALESCE(l.c.o, 'keep') <> 'delete'""",
   )
 }

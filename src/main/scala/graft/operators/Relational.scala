@@ -190,4 +190,54 @@ object Relational {
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
         col("l_linenumber").asc)
       .limit(n)
+
+  /** q28_changelog_merge — MERGE INTO semantics without a table
+    * format: apply an ordered changelog (upserts + deletes) to a
+    * base snapshot, producing the next snapshot — the reference's
+    * redo-a-step-then-update-the-record loop (/root/reference/
+    * tools.py:28-56 rewrites a sample's status row per step) at
+    * corpus scale, and the APPLY side of d11's diff.
+    *
+    * Two stages, both shuffle-minimal: (1) changelog COMPACTION —
+    * latest change per key via `max_by(struct(...), seq)` partial
+    * aggregation (no window, no sort; a key touched 1000× in one
+    * day's log reduces map-side); (2) the MERGE — one full outer
+    * join of base and compacted changes on the key; delete drops the
+    * row, upsert replaces-or-inserts, absent keeps base. The struct
+    * wrapper in max_by is load-bearing: a delete's null payload must
+    * not make the aggregate skip it (both engines' arg-max ignore
+    * null ARGUMENTS, never null struct FIELDS).
+    */
+  def changelogMerge(base: DataFrame, changes: DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max_by(struct(col("op"), col("new_text")), col("seq")).as("c"))
+      .select(col(key), col("c.op").as("op"), col("c.new_text").as("nt"))
+    base.select(col(key), col("text"))
+      .join(latest, Seq(key), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col(key),
+        when(col("op") === "upsert", lit("upsert")).otherwise(lit("base"))
+          .as("origin"),
+        length(when(col("op") === "upsert", col("nt"))
+          .otherwise(col("text"))).cast("long").as("n_chars_out"))
+  }
+
+  /** Driver entry: base and changelog derived deterministically from
+    * the documents table so the oracle rebuilds both — base is
+    * missing `doc_id ≡ 7 (mod 10)`; every `doc_id ≡ 0 (mod 3)` gets
+    * an upsert (text + " v2", seq 1) and every `doc_id ≡ 4 (mod 11)`
+    * a LATER delete (seq 2), so keys hit by both prove latest-wins.
+    */
+  def changelogMergeDemo(documents: DataFrame): DataFrame = {
+    val base = documents.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+    val upserts = documents.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      .select(col("doc_id"), lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    val deletes = documents.filter(pmod(col("doc_id"), lit(11L)) === 4L)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"))
+    changelogMerge(base, upserts.unionByName(deletes))
+  }
 }

@@ -115,4 +115,33 @@ class RelationalSpec extends AnyFunSuite {
   test("entry: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q28: merge semantics — upsert, insert, delete, latest-wins") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, 1L, "upsert", "two-v2"),   // update existing
+      (5L, 1L, "upsert", "five"),     // insert new key
+      (3L, 1L, "delete", null),       // delete existing
+      (4L, 1L, "upsert", "four-v2"),  // ...then deleted later:
+      (4L, 2L, "delete", null),       // latest wins -> gone
+      (6L, 1L, "delete", null),       // delete of absent key: no row
+      (7L, 1L, "upsert", "seven-a"),  // two upserts: later wins
+      (7L, 2L, "upsert", "seven-b"))
+      .toDF("doc_id", "seq", "op", "new_text")
+    val out = graft.operators.Relational.changelogMerge(base, changes)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> (("base", 3L)), 2L -> (("upsert", 6L)),
+      5L -> (("upsert", 4L)), 7L -> (("upsert", 7L))))
+  }
+
+  test("q28: changelog compaction is an aggregation, not a window sort") {
+    val plan = SparkEntry.queries("q28_changelog_merge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "latest-per-key must be max_by partial aggregation")
+  }
 }
