@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   *   sbt 'runMain graft.PlanScan' | grep PLANSCAN
   *
   * Current expected output (justifications):
-  *  - p01 SortAggregate: min_by carries strings (can't hash-agg);
-  *    sort key is the 8-byte dedup hash, partial agg still combines.
+  *  - p01/q28 SortAggregate: min_by/max_by carry string payloads
+  *    (can't hash-agg); sort keys are the 8-byte hash / changelog
+  *    key, partial aggregation still combines map-side.
   *  - q04/q07/q12/q13/q16/q17/q21/q24 + ANN Window: rank /
   *    gaps-and-islands / local-lambda range frames / BH running-min —
   *    the semantics ARE windows; all partition by high-cardinality
