@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Asof, Dedup, Relational}
+
+/** Generative correctness: the newest relational/graph operators
+  * checked against independent in-memory reference implementations
+  * over random inputs — the cases a planted fixture can't enumerate
+  * (random tie patterns, chains of upserts/deletes, odd component
+  * shapes). Few iterations per property (each runs a Spark job), but
+  * each iteration covers hundreds of random rows.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def check(name: String, prop: Prop, n: Int = 8): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("q28 property: merge equals an in-memory replay of the changelog") {
+    import spark.implicits._
+    val genChange = for {
+      key <- Gen.choose(0L, 30L)
+      seq <- Gen.choose(1L, 5L)
+      op <- Gen.oneOf("upsert", "delete")
+      payload <- Gen.alphaStr.map(_.take(8))
+    } yield (key, seq, op, if (op == "delete") null else payload)
+    val genCase = for {
+      baseKeys <- Gen.listOfN(20, Gen.choose(0L, 30L)).map(_.distinct)
+      changes <- Gen.listOfN(40, genChange)
+    } yield (baseKeys, changes)
+    check("q28", Prop.forAll(genCase) { case (baseKeys, changes) =>
+      // dedupe (key, seq) collisions: a real changelog has unique
+      // sequence numbers per key
+      val log = changes.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+      val base = baseKeys.map(k => (k, s"base$k")).toDF("doc_id", "text")
+      val out = Relational.changelogMerge(base,
+        log.toDF("doc_id", "seq", "op", "new_text"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+      // reference: replay per key in seq order over a map
+      val expected = {
+        val m = scala.collection.mutable.Map[Long, (String, Option[Long])]()
+        baseKeys.foreach(k => m(k) = ("base", Some(s"base$k".length.toLong)))
+        log.groupBy(_._1).foreach { case (k, cs) =>
+          cs.maxBy(_._2) match {
+            case (_, _, "delete", _) => m.remove(k)
+            case (_, _, "upsert", p) =>
+              m(k) = ("upsert", Option(p).map(_.length.toLong))
+            case _ =>
+          }
+        }
+        m.toMap
+      }
+      out == expected
+    }, n = 6)
+  }
+
+  test("q25 property: as-of join equals per-row brute force") {
+    import spark.implicits._
+    val genRows = for {
+      facts <- Gen.listOfN(60, Gen.zip(Gen.choose(0L, 5L),
+        Gen.choose(0L, 50L)))
+      anchors <- Gen.listOfN(12, Gen.zip(Gen.choose(0L, 5L),
+        Gen.choose(0L, 50L)))
+    } yield (facts.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, i.toLong)
+    }, anchors)
+    check("q25", Prop.forAll(genRows) { case (facts, anchors) =>
+      val f = facts.toDF("k", "t", "id")
+      val a = anchors.toDF("k", "t")
+      val out = Asof.asofJoin(f, a, "k", "t", "a_ts").collect()
+        .map(r => r.getLong(2) ->
+          Option(r.getAs[java.lang.Long]("a_ts")).map(_.longValue)).toMap
+      val byKey = anchors.groupBy(_._1)
+        .map { case (k, ts) => k -> ts.map(_._2).sorted }
+      facts.forall { case (k, t, id) =>
+        out(id) == byKey.getOrElse(k, Nil).takeWhile(_ <= t).lastOption
+      }
+    }, n = 6)
+  }
+
+  test("d07 property: components equal an in-memory union-find") {
+    import spark.implicits._
+    val genEdges = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+      .map(_.filter(e => e._1 != e._2))
+      .suchThat(_.nonEmpty)
+    check("d07", Prop.forAll(genEdges) { edges =>
+      val out = Dedup.dedupGroups(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      // reference union-find with min-id representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.forall(n => out(n) == find(n))
+    }, n = 6)
+  }
+
+  test("d09 property: spans equal a brute-force common-run scan") {
+    import spark.implicits._
+    // tiny vocabulary forces coincidental shared runs
+    val genDoc = Gen.listOfN(18, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    val genDocs = Gen.listOfN(3, genDoc)
+    check("d09", Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val L = 4
+      val out = Dedup.dupSpans(docs.toDF("doc_id", "text"),
+        spanTokens = L, maxDf = Int.MaxValue)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // brute force: maximal equal runs >= L along every diagonal
+      val toks = docs.map { case (_, t) => t.split("\\s+") }
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        d <- -(toks(j).length) to toks(i).length
+      } yield {
+        val runs = scala.collection.mutable.Buffer[(Long, Long, Long, Long, Long)]()
+        var p = math.max(0, d)
+        while (p < toks(i).length) {
+          if (p - d >= 0 && p - d < toks(j).length &&
+            toks(i)(p) == toks(j)(p - d)) {
+            val start = p
+            while (p < toks(i).length && p - d < toks(j).length &&
+              toks(i)(p) == toks(j)(p - d)) p += 1
+            val len = p - start
+            if (len >= L) runs += ((i.toLong, j.toLong, start.toLong,
+              (start - d).toLong, len.toLong))
+          } else p += 1
+        }
+        runs
+      }).flatten.toSet
+      out == expected
+    }, n = 5)
+  }
+}
