@@ -119,22 +119,43 @@ object Corpus {
     * corpus deduper: `documents ⋉ dedupCorpus(documents)` IS the
     * deduplicated corpus.
     *
-    * Scale shape: the exact layer is d01's hash-groupBy (8-byte
-    * shuffle key); the fuzzy layer's `dropped`/`reps` sides are
-    * DUP-GRAPH-sized (documents with ≥1 near-dup — a tiny fraction
-    * of any real corpus), so the final anti/left joins broadcast;
-    * the corpus-side work is the d04 candidate join, already bounded
-    * by maxDf + length pruning.
+    * Scale shape — ONE corpus scan: a single projection computes
+    * (doc_id, exact-dedup hash, shingle digests) per document and the
+    * raw text is dropped immediately; everything downstream shuffles
+    * hashes only. The exact layer is a min-doc_id window over the
+    * 8-byte normText hash (high-cardinality partition key; survivors
+    * can't be a groupBy+join-back without re-reading the corpus —
+    * the naive composition `d01 → semi-join → d04` scans the corpus
+    * three times and ships full TEXT through the semi-join exchange).
+    * Survivor shingle sets then feed d04's candidate pipeline
+    * directly (`ngramJaccardFromSets`); the fuzzy layer's
+    * `dropped`/`reps` sides are DUP-GRAPH-sized (documents with ≥1
+    * near-dup — a tiny fraction of any real corpus), so the final
+    * anti/left joins broadcast; the pair join is bounded by maxDf +
+    * length pruning as in d04.
     */
   def dedupCorpus(documents: DataFrame): DataFrame = {
-    val exactSurvivors = Dedup.dedupExact(documents).select(col("doc_id"))
-    val docsE = documents.join(exactSurvivors, Seq("doc_id"), "left_semi")
-    val groups = Dedup.dedupGroups(Dedup.ngramJaccard(docsE))
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{ShingleExprs, TextOps}
+    // one scan: text reduced to (normText hash, shingle digests);
+    // short docs (< n tokens) keep an empty sh — they participate in
+    // exact dedup but can never fuzzy-pair.
+    val enriched = documents.select(
+      col("doc_id"),
+      xxhash64(TextOps.normText(col("text"))).as("nh"),
+      ShingleExprs.shingleHashSet(col("text"), 3).as("sh"))
+    val surv = Window.partitionBy(col("nh"))
+    val sets = enriched
+      .withColumn("_min", min(col("doc_id")).over(surv))
+      .filter(col("doc_id") === col("_min"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    val groups = Dedup.dedupGroups(Dedup.ngramJaccardFromSets(
+      sets.filter(col("nsh") > 0)))
     val dropped = groups.filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
     val reps = groups.filter(col("doc_id") === col("cluster_rep"))
       .select(col("doc_id"), col("cluster_rep"))
-    docsE.select(col("doc_id"))
+    sets.select(col("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
       .join(reps, Seq("doc_id"), "left")
   }

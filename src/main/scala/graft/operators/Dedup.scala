@@ -232,8 +232,17 @@ object Dedup {
     *    legitimate boundary pair.
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.6,
-      maxDf: Int = 128, lengthPrune: Boolean = true): DataFrame = {
-    val sets = shingleSets(documents, n)
+      maxDf: Int = 128, lengthPrune: Boolean = true): DataFrame =
+    ngramJaccardFromSets(shingleSets(documents, n), tau, maxDf, lengthPrune)
+
+  /** Pair pipeline over PRE-BUILT (doc_id, sh, nsh) digest sets —
+    * lets compositions (p03) that already materialized per-doc
+    * shingle sets for another purpose feed the candidate join
+    * without a second corpus scan.
+    */
+  private[operators] def ngramJaccardFromSets(sets: DataFrame,
+      tau: Double = 0.6, maxDf: Int = 128,
+      lengthPrune: Boolean = true): DataFrame = {
     // ONE exchange on gh that every consumer reuses: the df filter,
     // the df-posting join, and both self-join sides all need
     // hash(gh) partitioning, so materializing the exploded posting
