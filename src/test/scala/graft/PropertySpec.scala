@@ -113,6 +113,62 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("d11 property: diff equals an in-memory map comparison") {
+    import spark.implicits._
+    val genDoc = Gen.zip(Gen.choose(0L, 25L),
+      Gen.option(Gen.oneOf("alpha", "beta", "gamma", "delta")))
+    val genCase = for {
+      o <- Gen.listOfN(18, genDoc)
+      n <- Gen.listOfN(18, genDoc)
+    } yield (o.distinctBy(_._1), n.distinctBy(_._1))
+    check("d11", Prop.forAll(genCase) { case (o, n) =>
+      val out = Dedup.snapshotDiff(
+        o.map { case (k, t) => (k, t.orNull) }.toDF("doc_id", "text"),
+        n.map { case (k, t) => (k, t.orNull) }.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val om = o.toMap
+      val nm = n.toMap
+      val expected = (om.keySet ++ nm.keySet).flatMap { k =>
+        (om.get(k), nm.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "changed")
+          case _ => None
+        }
+      }.toMap
+      out == expected
+    }, n = 6)
+  }
+
+  test("t07 property: packing equals an in-memory cumulative layout") {
+    import spark.implicits._
+    val genDocs = Gen.listOfN(20, Gen.zip(
+      Gen.oneOf("A", "B"), Gen.choose(1, 7))).map(_.zipWithIndex.map {
+      case ((src, ntok), i) =>
+        (i.toLong, src, Seq.fill(ntok)("w").mkString(" "))
+    })
+    check("t07", Prop.forAll(genDocs) { docs =>
+      val budget = 8L
+      val out = graft.operators.Corpus.seqPack(
+        docs.toDF("doc_id", "source", "text"), budgetTokens = budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens"))).toMap
+      val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (_, _, text) =>
+          val ntok = text.split(" ").length.toLong
+          val seq = cum / budget
+          cum += ntok
+          (src, seq) -> ntok
+        }.groupBy(_._1).map { case (k, vs) =>
+          k -> (vs.size.toLong, vs.map(_._2).sum)
+        }
+      }
+      out == expected
+    }, n = 6)
+  }
+
   test("d09 property: spans equal a brute-force common-run scan") {
     import spark.implicits._
     // tiny vocabulary forces coincidental shared runs
