@@ -163,6 +163,12 @@ object SparkEntry {
       Dedup.snapshotDiffDemo(Tables.documents(s, d))),
     "q28_changelog_merge" -> ((s, d) =>
       Relational.changelogMergeDemo(Tables.documents(s, d))),
+    "p06_profile" -> ((s, d) =>
+      Corpus.profile(Tables.documents(s, d))),
+    "p07_source_cap" -> ((s, d) =>
+      Corpus.sourceCap(Tables.documents(s, d))),
+    "t08_vocab" -> ((s, d) =>
+      TextAnalysis.vocab(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1023,5 +1029,94 @@ object SparkEntry {
                             ELSE b.text END) AS BIGINT) AS n_chars_out
          FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
          WHERE COALESCE(l.c.o, 'keep') <> 'delete'""",
+    // p06: averages divide exact integer sums by exact counts — both
+    // engines compute the identical IEEE double before the round.
+    "p06_profile" ->
+      """WITH a AS (
+           SELECT count(*)                                  AS v_rows,
+                  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS v_id_nulls,
+                  min(doc_id)                               AS v_id_min,
+                  max(doc_id)                               AS v_id_max,
+                  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS v_text_nulls,
+                  max(length(text))                         AS v_text_maxlen,
+                  round(CAST(sum(length(text)) AS DOUBLE) / count(text), 4)
+                    AS v_text_avglen,
+                  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS v_lang_nulls,
+                  sum(CASE WHEN lang = '' THEN 1 ELSE 0 END)
+                    AS v_lang_empty,
+                  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS v_src_nulls,
+                  sum(CASE WHEN source = '' THEN 1 ELSE 0 END)
+                    AS v_src_empty,
+                  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                    AS v_nc_nulls,
+                  min(n_chars)                              AS v_nc_min,
+                  max(n_chars)                              AS v_nc_max,
+                  round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4)
+                    AS v_nc_avg
+           FROM documents)
+         SELECT col_name, metric, CAST(value AS DOUBLE) AS value FROM (
+           SELECT '__table__' AS col_name, 'n_rows' AS metric,
+                  v_rows AS value FROM a
+           UNION ALL SELECT 'doc_id', 'n_nulls', v_id_nulls FROM a
+           UNION ALL SELECT 'doc_id', 'min',     v_id_min FROM a
+           UNION ALL SELECT 'doc_id', 'max',     v_id_max FROM a
+           UNION ALL SELECT 'text',   'n_nulls', v_text_nulls FROM a
+           UNION ALL SELECT 'text',   'max_len', v_text_maxlen FROM a
+           UNION ALL SELECT 'text',   'avg_len', v_text_avglen FROM a
+           UNION ALL SELECT 'lang',   'n_nulls', v_lang_nulls FROM a
+           UNION ALL SELECT 'lang',   'n_empty', v_lang_empty FROM a
+           UNION ALL SELECT 'source', 'n_nulls', v_src_nulls FROM a
+           UNION ALL SELECT 'source', 'n_empty', v_src_empty FROM a
+           UNION ALL SELECT 'n_chars','n_nulls', v_nc_nulls FROM a
+           UNION ALL SELECT 'n_chars','min',     v_nc_min FROM a
+           UNION ALL SELECT 'n_chars','max',     v_nc_max FROM a
+           UNION ALL SELECT 'n_chars','avg',     v_nc_avg FROM a)""",
+    // p07: the oracle is the PLAIN per-source row_number — the
+    // salted two-phase plan must be value-identical to it.
+    "p07_source_cap" ->
+      """WITH pri AS (
+           SELECT doc_id, source,
+                  (((doc_id + 271) % 1000000007) * 2654435761) % 1000000
+                    AS priority
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, source, priority,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY priority, doc_id) AS rnk
+           FROM pri)
+         SELECT doc_id, source, CAST(priority AS BIGINT) AS priority,
+                CAST(rnk AS BIGINT) AS rnk
+         FROM ranked WHERE rnk <= 10""",
+    // t08: shares divide exact longs (identical IEEE quotient both
+    // engines); the top-100 boundary is totally ordered.
+    "t08_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS token
+           FROM documents),
+         counts AS (
+           SELECT token, count(*) AS n_occurrences FROM toks
+           WHERE token <> '' GROUP BY 1),
+         total AS (SELECT sum(n_occurrences) AS t FROM counts),
+         top AS (
+           SELECT token, n_occurrences FROM counts
+           ORDER BY n_occurrences DESC, token LIMIT 100),
+         ranked AS (
+           SELECT token, n_occurrences,
+                  row_number() OVER
+                    (ORDER BY n_occurrences DESC, token) AS rnk,
+                  sum(n_occurrences) OVER
+                    (ORDER BY n_occurrences DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM top)
+         SELECT token, n_occurrences, CAST(rnk AS BIGINT) AS rnk,
+                round(n_occurrences * 1.0 / t, 6) AS share,
+                round(cum * 1.0 / t, 6) AS cum_share
+         FROM ranked, total""",
   )
 }

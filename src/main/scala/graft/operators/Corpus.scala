@@ -223,6 +223,108 @@ object Corpus {
           lit(2654435761L), lit(1000L)) < permille)
   }
 
+  /** p06_profile — the dataset stats card every training-data drop
+    * ships with (row counts, null rates, value ranges, length
+    * distribution), emitted as a tall (col_name, metric, value)
+    * table. One corpus scan, one partial+final hash aggregate —
+    * every metric here is ALGEBRAIC (count/sum/min/max), so the
+    * map-side combine reduces each partition to a single row and the
+    * exchange is metadata-sized regardless of corpus size.
+    * Deliberately NO exact count(DISTINCT): multiple exact distincts
+    * Expand-multiply every scanned row; cardinality profiling at
+    * 100 TB is q19's HLL-sketch path. Averages divide two exact
+    * integers (sum of lengths / count), so both engines derive the
+    * identical IEEE double before the 4dp round.
+    */
+  def profile(documents: DataFrame): DataFrame =
+    documents
+      .agg(
+        count(lit(1)).cast("double").as("v_rows"),
+        sum(col("doc_id").isNull.cast("long")).cast("double")
+          .as("v_id_nulls"),
+        min(col("doc_id")).cast("double").as("v_id_min"),
+        max(col("doc_id")).cast("double").as("v_id_max"),
+        sum(col("text").isNull.cast("long")).cast("double")
+          .as("v_text_nulls"),
+        max(length(col("text"))).cast("double").as("v_text_maxlen"),
+        round(sum(length(col("text"))) / count(col("text")), 4)
+          .as("v_text_avglen"),
+        sum(col("lang").isNull.cast("long")).cast("double")
+          .as("v_lang_nulls"),
+        sum((col("lang") === "").cast("long")).cast("double")
+          .as("v_lang_empty"),
+        sum(col("source").isNull.cast("long")).cast("double")
+          .as("v_src_nulls"),
+        sum((col("source") === "").cast("long")).cast("double")
+          .as("v_src_empty"),
+        sum(col("n_chars").isNull.cast("long")).cast("double")
+          .as("v_nc_nulls"),
+        min(col("n_chars")).cast("double").as("v_nc_min"),
+        max(col("n_chars")).cast("double").as("v_nc_max"),
+        round(sum(col("n_chars")) / count(col("n_chars")), 4)
+          .as("v_nc_avg"))
+      .selectExpr(
+        """stack(15,
+             '__table__', 'n_rows',   v_rows,
+             'doc_id',    'n_nulls',  v_id_nulls,
+             'doc_id',    'min',      v_id_min,
+             'doc_id',    'max',      v_id_max,
+             'text',      'n_nulls',  v_text_nulls,
+             'text',      'max_len',  v_text_maxlen,
+             'text',      'avg_len',  v_text_avglen,
+             'lang',      'n_nulls',  v_lang_nulls,
+             'lang',      'n_empty',  v_lang_empty,
+             'source',    'n_nulls',  v_src_nulls,
+             'source',    'n_empty',  v_src_empty,
+             'n_chars',   'n_nulls',  v_nc_nulls,
+             'n_chars',   'min',      v_nc_min,
+             'n_chars',   'max',      v_nc_max,
+             'n_chars',   'avg',      v_nc_avg
+           ) as (col_name, metric, value)""")
+
+  /** p07_source_cap — keep at most `cap` documents per source, the
+    * per-domain cap every pretraining mixture applies so one
+    * crawl-heavy domain can't dominate the corpus. Selection order is
+    * a SALTED multiplicative hash of the stable doc_id (ties broken
+    * by doc_id), so the kept set is deterministic across reruns and
+    * partitionings, independent of the p02/p04 sampling layers
+    * (different salt — composed layers must select independently),
+    * and reproducible by the SQL oracle.
+    *
+    * Scale shape: q26's two-phase top-k. A plain per-source
+    * row_number window funnels each source's ENTIRE document set
+    * through one task (a crawl corpus has few sources and billions
+    * of docs — exactly the skew case). Phase 1 takes per-(source,
+    * salt-bucket) local top-`cap` with a spillable row_number window
+    * — any globally-kept row is top-`cap` in its own bucket, so the
+    * prune is lossless; phase 2 ranks the ≤ saltBuckets·cap
+    * survivors per source.
+    */
+  def sourceCap(documents: DataFrame, cap: Int = 10,
+      saltBuckets: Int = 16, salt: Long = 271L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = documents
+      .select(col("doc_id"), col("source"))
+      // same overflow discipline as p02/p04: reduce mod 1e9+7 before
+      // the Knuth multiply so the product stays under 2^63.
+      .withColumn("priority", pmod(
+        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
+          lit(2654435761L), lit(1000000L)))
+    val localW = Window
+      .partitionBy(col("source"), col("_b"))
+      .orderBy(col("priority"), col("doc_id"))
+    val local = pri
+      .withColumn("_b", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+      .withColumn("_lr", row_number().over(localW))
+      .filter(col("_lr") <= cap)
+      .drop("_b", "_lr")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    local
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= cap)
+  }
+
   /** p05_batch_assembly — deterministic corpus shuffle + fixed-size
     * training-batch assembly (the pretraining dataloader's layout
     * contract: every rerun, on any cluster size, must produce the

@@ -184,4 +184,47 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       RollingHash.rollingFingerprint(col("text"), window).as("fp"))
+
+  /** t08_vocab — corpus vocabulary construction: the top-`topN`
+    * tokens by frequency with rank, share-of-corpus, and cumulative
+    * coverage — the seed table every tokenizer build (BPE/unigram)
+    * starts from, and the coverage curve that decides vocab size.
+    *
+    * Scale shape: one corpus scan → explode → (token) hash
+    * aggregation. The grand total and the top-N candidates both hang
+    * off the SAME groupBy exchange, so the tokenize→explode pipeline
+    * runs once (ReuseExchange — the d02/d04 subtree-identity
+    * discipline). Top-N collapses to TakeOrderedAndProject (no
+    * global sort materialization); the only partition-less window
+    * (rank + running coverage) runs AFTER the limit, on `topN` rows.
+    * The grand total joins back as a broadcast single-row cross —
+    * the scalar-subquery shape (flagged BNLJ by the audit,
+    * by-design: the build side is exactly one row).
+    *
+    * Ordering is total (count desc, token asc) so the top-N boundary
+    * and every rank are deterministic on both engines; shares divide
+    * two exact longs, so the IEEE quotient is identical pre-round.
+    */
+  def vocab(documents: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("_total"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    counts
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("share",
+        round(col("n_occurrences") / col("_total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_occurrences")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("_total"), 6))
+      .drop("_total")
+  }
 }

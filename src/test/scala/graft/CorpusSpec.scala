@@ -230,4 +230,57 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(a === b, "batch layout must not depend on physical partitioning")
   }
+
+  test("p06: profile metrics match independently computed values") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.profile(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 15)
+    val n = docs.count().toDouble
+    assert(out(("__table__", "n_rows")) === n)
+    assert(out(("doc_id", "n_nulls")) === 0.0)
+    assert(out(("text", "n_nulls")) === 0.0)
+    val lens = docs.select(length(col("text"))).collect().map(_.getInt(0))
+    assert(out(("text", "max_len")) === lens.max.toDouble)
+    assert(math.abs(out(("text", "avg_len")) -
+      lens.map(_.toLong).sum.toDouble / lens.length) < 1e-3)
+    val nc = docs.select(col("n_chars")).collect().map(_.getLong(0))
+    assert(out(("n_chars", "min")) === nc.min.toDouble)
+    assert(out(("n_chars", "max")) === nc.max.toDouble)
+  }
+
+  test("p06: one scan, one hash aggregate — no window, no expand") {
+    val plan = Corpus.profile(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "profile must be pure aggregation")
+    assert(!plan.contains("Expand"),
+      "no exact count(DISTINCT) — cardinality is q19's sketch path")
+    assert(!plan.contains("SortAggregate"), "all metrics hash-aggregable")
+  }
+
+  test("p07: two-phase cap equals the naive per-source window, bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.sourceCap(docs, cap = 7, saltBuckets = 8)
+    val got = out.collect().map(_.toSeq).toSet
+    // naive single-window reference over the same priority hash
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    val naive = docs.select(col("doc_id"), col("source"))
+      .withColumn("priority", pmod(
+        pmod(col("doc_id") + lit(271L), lit(1000000007L)) *
+          lit(2654435761L), lit(1000000L)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 7)
+      .collect().map(_.toSeq).toSet
+    assert(got === naive, "salted two-phase prune must be lossless")
+    // cap respected per source
+    out.collect().groupBy(_.getAs[String]("source")).foreach {
+      case (src, rows) => assert(rows.length <= 7, s"source $src over cap")
+    }
+    // deterministic under re-partitioning
+    val again = Corpus.sourceCap(docs.repartition(5), cap = 7,
+      saltBuckets = 8).collect().map(_.toSeq).toSet
+    assert(again === got)
+  }
 }

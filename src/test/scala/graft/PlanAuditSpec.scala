@@ -26,8 +26,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * once, map-side). s02/d08's k-means assignment likewise crosses
     * the corpus with the BROADCAST k-row centroid table map-side.
     */
+  /** t08's grand-total join is the scalar-subquery shape: the
+    * broadcast side is exactly ONE row (sum over the vocab).
+    */
   private val bnljByDesign =
-    Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto")
+    Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
+      "t08_vocab")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>

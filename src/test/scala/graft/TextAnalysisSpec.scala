@@ -176,6 +176,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === 3L, "every occurrence counts; nulls don't")
   }
 
+  test("t08: vocab ranks, shares, and coverage match a flat recompute") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("t08_vocab")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(out.nonEmpty && out.length <= 100)
+    // rank is contiguous 1..N; coverage is monotone and ≤ 1
+    assert(out.map(_.getAs[Long]("rnk")).toSeq === (1L to out.length.toLong))
+    val cum = out.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last <= 1.0 && cum.last > 0.0)
+    // counts and the top boundary match a driver-side flat recompute
+    val freq = docs.collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expTop = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(out.length)
+    val gotTop = out.map(r =>
+      (r.getAs[String]("token"), r.getAs[Long]("n_occurrences"))).toSeq
+    assert(gotTop === expTop)
+    // share denominator is the WHOLE corpus, not the top-100 slice
+    val total = freq.values.sum.toDouble
+    val first = out.head
+    assert(math.abs(first.getAs[Double]("share") -
+      first.getAs[Long]("n_occurrences") / total) < 1e-6)
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
