@@ -88,6 +88,8 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, d), cacheKey = d)),
     "s03_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d))),
+    "s04_ann_pq" -> ((s, d) =>
+      Similarity.annPq(Tables.embeddings(s, d), cacheKey = d)),
     "t01_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) =>

@@ -50,6 +50,14 @@ object VectorOps {
   def hyperplaneSig(v: Column, seed: Column, nBits: Int): Column =
     Shim.column(HyperplaneSig(
       Shim.expression(v), Shim.expression(seed.cast("long")), nBits))
+
+  /** Product-quantization asymmetric-distance lookup (s04): sums, per
+    * subspace m, the lookup-table slot `m·ks + codes[m]` — the
+    * classic ADC inner loop, M additions per corpus row instead of a
+    * dim-length multiply-accumulate.
+    */
+  def pqAdc(codes: Column, lut: Column, ks: Int): Column =
+    Shim.column(PqAdc(Shim.expression(codes), Shim.expression(lut), ks))
 }
 
 /** Left-fold dot product of two `array<double>` columns. Null when
@@ -149,6 +157,75 @@ case class HyperplaneSig(vec: Expression, seed: Expression, nBits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HyperplaneSig =
     copy(vec = newLeft, seed = newRight)
+}
+
+/** Asymmetric-distance computation for product quantization (s04):
+  * given a corpus row's PQ codes (`array<bigint>`, one codeword id
+  * per subspace) and a query's positional lookup table
+  * (`array<double>`, slot `m·ks + j` = dot(query subvector m,
+  * codeword j of subspace m)), returns Σ_m lut[m·ks + codes[m]] —
+  * the approximate query·vector dot product. Null when either input
+  * is null, any code is null, or a code indexes outside the table
+  * (a malformed index artifact must fail loudly as null, not fake a
+  * score).
+  */
+case class PqAdc(codes: Expression, lut: Expression, ks: Int)
+  extends BinaryExpression {
+
+  require(ks > 0, "ks must be positive")
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<double>), " +
+          s"got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    PqAdc.compute(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val kernel = PqAdc.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val boxed = ctx.freshName("adcRes")
+      s"""
+         |Object $boxed = $kernel.compute($c, $l, $ks);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $boxed).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(codes = newLeft, lut = newRight)
+}
+
+object PqAdc {
+  /** Boxed so codegen/eval share one null contract. */
+  def compute(codes: ArrayData, lut: ArrayData, ks: Int): java.lang.Double = {
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val idx = i * ks + codes.getLong(i).toInt
+      if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      i += 1
+    }
+    acc
+  }
 }
 
 object HyperplaneSig {

@@ -241,6 +241,189 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** (vec_id, nrm, sub_id, sv): each vector cut into `subspaces`
+    * contiguous `subDim`-wide subvectors — the PQ decomposition.
+    */
+  private def subVecs(df: DataFrame, subspaces: Int,
+      subDim: Int): DataFrame =
+    df.select(col("vec_id"), col("nrm"),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        i => slice(col("v"), i * lit(subDim) + lit(1), lit(subDim)))))
+      .withColumnRenamed("pos", "sub_id")
+      .withColumnRenamed("col", "sv")
+
+  /** Nearest codeword per (vector, subspace) under EUCLIDEAN distance
+    * — the PQ metric (unlike the coarse quantizer's spherical
+    * k-means): argmin ‖x−c‖² = argmax (2·x·c − ‖c‖²), so the scan
+    * needs only the codegen'd dot kernel plus the precomputed ‖c‖².
+    * The broadcast side is the whole codebook (≤ subspaces·ks rows);
+    * the groupBy's k crossed rows per (vector, subspace) are adjacent
+    * in one partition, so partial aggregation completes map-side.
+    * Ties break to the smallest code.
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub_id"))
+      .withColumn("score",
+        lit(2.0) * VectorOps.dot(col("sv"), col("cv")) - col("cn2"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(
+        max_by(col("code"),
+          struct(col("score"), (-col("code")).as("tb"))).as("code"),
+        first(col("sv")).as("sv"), first(col("nrm")).as("nrm"))
+
+  /** Euclidean Lloyd recenter per (subspace, code): decimal-exact
+    * elementwise means (same bit-determinism argument as meanByKey).
+    */
+  private def pqRecenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub_id"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub_id"), col("code"), col("pos"))
+      .agg(avg(col("col").cast("decimal(30,15)")).cast("double").as("c"))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn2", VectorOps.dot(col("cv"), col("cv")))
+
+  /** PQ codebook: `ks` hash-seeded vectors sliced into per-subspace
+    * seed codewords (one distributed top-k by hash — no per-subspace
+    * corpus window), then `iters` Euclidean Lloyd rounds per
+    * subspace, trained jointly (one assign/recenter pass covers all
+    * subspaces — the (sub_id, code) key keeps them independent).
+    * Codes are re-numbered contiguous per subspace afterwards
+    * (row_number over ≤ subspaces·ks codebook rows) so a query's
+    * lookup table can be a flat positional array of size
+    * subspaces·ks with slot = sub_id·ks + code.
+    */
+  def pqCodebook(e: DataFrame, subspaces: Int, subDim: Int, ks: Int,
+      iters: Int, seed: Long = 0xC0DE): DataFrame = {
+    val picked = e
+      .select(col("v"), xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h")).limit(ks)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("h"), col("v"))) - 1)
+          .cast("long"))
+    var cb = picked
+      .select(col("code"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          i => slice(col("v"), i * lit(subDim) + lit(1), lit(subDim)))))
+      .withColumnRenamed("pos", "sub_id")
+      .select(col("sub_id"), col("code"), col("col").as("cv"))
+      .withColumn("cn2", VectorOps.dot(col("cv"), col("cv")))
+    val sv = subVecs(e, subspaces, subDim)
+    (1 to iters).foreach { _ =>
+      cb = pqRecenter(pqAssign(sv, cb))
+    }
+    val dense = Window.partitionBy(col("sub_id")).orderBy(col("code"))
+    cb.withColumn("code", (row_number().over(dense) - 1).cast("long"))
+  }
+
+  /** PQ index memo: codebook + corpus codes are build-once artifacts
+    * (the same train-once-serve-many argument as the IVF centroid
+    * memo); the codes table is the index — `subspaces` bytes of
+    * payload per vector in production, against 4·dim for raw floats.
+    */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int), (DataFrame, DataFrame)]
+
+  private def pqIndex(e: DataFrame, subspaces: Int, subDim: Int,
+      ks: Int, iters: Int, cacheKey: String): (DataFrame, DataFrame) = {
+    def build(): (DataFrame, DataFrame) = {
+      val cb = pqCodebook(e, subspaces, subDim, ks, iters)
+      val codes = pqAssign(subVecs(e, subspaces, subDim), cb)
+        .groupBy(col("vec_id"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("sub_id"), col("code")))),
+            x => x.getField("code")).as("codes"),
+          first(col("nrm")).as("nrm"))
+      (cb, codes)
+    }
+    if (cacheKey.isEmpty) build()
+    else pqMemo.getOrElseUpdate((cacheKey, subspaces, subDim, ks, iters), {
+      val (cb, codes) = build()
+      (cb.localCheckpoint(true), codes.localCheckpoint(true))
+    })
+  }
+
+  /** s04_ann_pq — product-quantization ANN, the memory-bandwidth
+    * scale path: each vector is compressed to `subspaces` codeword
+    * ids (codebook learned per subspace by Euclidean k-means), and
+    * query scoring reads ONLY the code arrays — the classic
+    * IVF-less ADC scan. Per query the codebook collapses to a
+    * positional lookup table (subspaces·ks doubles, slot =
+    * sub_id·ks + code, broadcast); the PqAdc kernel then scores a
+    * corpus row with `subspaces` additions instead of a dim-wide
+    * multiply-accumulate, and the scan never touches the float
+    * vectors. The top `rerankDepth` ADC candidates per query are
+    * re-scored EXACTLY against the full vectors (two-phase sharded
+    * top-k, same as s01), so output precision is s01's on every
+    * true neighbor the ADC pass retains. Recall < 1 by design,
+    * rising with rerankDepth; rerankDepth ≥ |corpus| reproduces s01
+    * exactly (spec-pinned).
+    *
+    * Empty-slot fill: a Lloyd round can drop a codeword (standard
+    * empty-cluster behavior), leaving a hole in the positional LUT;
+    * holes are filled with 0.0 and are unreachable — no corpus row
+    * carries a dropped code, because codes and LUT come from the
+    * SAME densified codebook.
+    */
+  def annPq(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
+      subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
+      iters: Int = 2, rerankDepth: Int = 32,
+      cacheKey: String = ""): DataFrame = {
+    val e = normed(embeddings).repartition(col("vec_id"))
+    val (cb, codes) = pqIndex(e, subspaces, subDim, ks, iters, cacheKey)
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // per-query LUT: dot(query subvector m, codeword j) at slot m·ks+j
+    val qSub = q.select(col("q_id"),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        i => slice(col("qv"), i * lit(subDim) + lit(1), lit(subDim)))))
+      .withColumnRenamed("pos", "sub_id")
+      .withColumnRenamed("col", "qsv")
+    val entries = qSub.join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"),
+        (col("sub_id") * ks + col("code")).as("slot"),
+        VectorOps.dot(col("qsv"), col("cv")).as("lv"))
+    val grid = q.select(col("q_id"), col("qn"),
+      explode(sequence(lit(0), lit(subspaces * ks - 1))).as("slot"))
+    val lut = grid.join(entries, Seq("q_id", "slot"), "left")
+      .groupBy(col("q_id"))
+      .agg(first(col("qn")).as("qn"),
+        transform(array_sort(collect_list(struct(col("slot"),
+          coalesce(col("lv"), lit(0.0)).as("lv")))),
+          x => x.getField("lv")).as("lut"))
+    // ADC scan: codes-only corpus side, broadcast LUT, kernel scoring
+    val adc = codes
+      .join(broadcast(lut), col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        VectorOps.pqAdc(col("codes"), col("lut"), ks) /
+          nullif(col("nrm") * col("qn"), lit(0.0d)))
+      .filter(col("approx_cos").isNotNull)
+    val localW = Window
+      .partitionBy(col("q_id"), pmod(xxhash64(col("vec_id")), lit(shards)))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val cand = adc
+      .withColumn("rl", row_number().over(localW))
+      .filter(col("rl") <= rerankDepth)
+      .withColumn("rg", row_number().over(globalW))
+      .filter(col("rg") <= rerankDepth)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the surviving candidates
+    val scoredCand = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+    topK(scoredCand, k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** s02_ann_ivf — IVF ANN with a LEARNED coarse quantizer: spherical
     * k-means centroids (kmeansCentroids — no dependence on any given
     * label column, the thing a real 100 TB embedding corpus lacks),

@@ -29,9 +29,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** t08's grand-total join is the scalar-subquery shape: the
     * broadcast side is exactly ONE row (sum over the vocab).
     */
+  /** s04's ADC scan crosses the codes-only corpus with the BROADCAST
+    * per-query lookup tables (a handful of rows, like s01's queries).
+    */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab")
+      "t08_vocab", "s04_ann_pq")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>

@@ -105,6 +105,88 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s04: ADC recall rises with rerank depth; full depth IS s01") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(depth: Int): Double = {
+      val got = Similarity.annPq(e, rerankDepth = depth).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    // depth 32 measures 0.70 on this (near-random, PQ-hostile)
+    // corpus; 0.4 is the regression floor, not the expectation.
+    val r32 = recall(32)
+    assert(r32 >= 0.4, s"recall@5 at depth 32 was $r32")
+    assert(recall(64) >= r32 - 0.02,
+      "recall must not collapse as rerank depth grows")
+    // rerank depth ≥ |corpus| keeps every candidate → the exact
+    // rerank reproduces brute force bit-for-bit, rounded cosines
+    // included.
+    val s01 = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val full = Similarity.annPq(e, rerankDepth = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(full === s01, "rerankDepth >= corpus must equal brute force")
+    // hash seeding + decimal Lloyd means → bit-deterministic rerun
+    val a = Similarity.annPq(e).collect().map(_.toSeq).toSet
+    val b = Similarity.annPq(e).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("s04: codes are dense per-subspace ids; output shape is s01's") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val en = e.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+    val cb = Similarity.pqCodebook(en,
+      subspaces = 8, subDim = 8, ks = 16, iters = 2)
+    val perSub = cb.groupBy(col("sub_id"))
+      .agg(count(lit(1)).as("n"), min("code").as("lo"), max("code").as("hi"))
+      .collect()
+    assert(perSub.length === 8)
+    perSub.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"))
+      assert(lo === 0L && hi === n - 1, "codes must be contiguous from 0")
+      assert(n <= 16L)
+    }
+    val rows = Similarity.annPq(e).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, ns) =>
+      assert(ns.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to ns.length).toSeq)
+      assert(!ns.exists(_.getAs[Long]("n_id") == q))
+      assert(ns.length === 5)
+    }
+  }
+
+  test("pq_adc: kernel sums the coded slots; malformed input is null") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    import spark.implicits._
+    // ks=3, two subspaces: codes (1, 2) over lut slots 0..5
+    val df = Seq((Seq(1L, 2L), Seq(10.0, 20.0, 30.0, 1.0, 2.0, 3.0)))
+      .toDF("codes", "lut")
+    val got = df.select(VectorOps.pqAdc(col("codes"), col("lut"), 3))
+      .head.getDouble(0)
+    assert(got === 20.0 + 3.0)
+    // out-of-range code → null, not a wrong score
+    val bad = Seq((Seq(1L, 5L), Seq(10.0, 20.0, 30.0, 1.0, 2.0, 3.0)))
+      .toDF("codes", "lut")
+    assert(bad.select(VectorOps.pqAdc(col("codes"), col("lut"), 3))
+      .head.isNullAt(0))
+    // interpreted path agrees with codegen
+    val arr = (xs: Array[Any]) =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+    val v = graft.functions.PqAdc.compute(
+      arr(Array[Any](1L, 2L)),
+      arr(Array[Any](10.0, 20.0, 30.0, 1.0, 2.0, 3.0)), 3)
+    assert(v === 23.0)
+  }
+
   test("hyperplane_sig: codegen equals kernel; signature is scale-invariant") {
     import org.apache.spark.sql.functions._
     import graft.functions.{HyperplaneSig, VectorOps}
