@@ -171,6 +171,8 @@ object SparkEntry {
       Corpus.sourceCap(Tables.documents(s, d))),
     "t08_vocab" -> ((s, d) =>
       TextAnalysis.vocab(Tables.documents(s, d))),
+    "d12_span_scrub" -> ((s, d) =>
+      Dedup.spanScrub(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1120,5 +1122,56 @@ object SparkEntry {
                 round(n_occurrences * 1.0 / t, 6) AS share,
                 round(cum * 1.0 / t, 6) AS cum_share
          FROM ranked, total""",
+    // d12: d09's span CTE (oracle on shingle STRINGS, engine on
+    // xxhash64 — d01's documented gap) exploded to removal
+    // positions; string_agg skips the removed tokens. COALESCE('')
+    // matches concat_ws on a fully-scrubbed document.
+    "d12_span_scrub" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS i
+           FROM t WHERE len(tk) >= 10),
+         s AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(list_slice(tk, i, i + 9), ' ') AS g
+           FROM p),
+         capped AS (SELECT g FROM s GROUP BY g HAVING count(*) <= 128),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+           FROM s a JOIN capped USING (g) JOIN s b USING (g)
+           WHERE a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diag, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                    ORDER BY pa) AS grp
+           FROM m),
+         spans AS (
+           SELECT doc_b, min(pb) AS b_start,
+                  CAST(max(pa) - min(pa) + 10 AS BIGINT) AS span_tokens
+           FROM isl GROUP BY doc_a, doc_b, diag, grp),
+         removed AS (
+           SELECT DISTINCT doc_b AS doc_id,
+                  unnest(range(b_start, b_start + span_tokens)) AS pos
+           FROM spans),
+         toks AS (
+           SELECT t.doc_id, unnest(t.tk) AS tok,
+                  CAST(unnest(range(len(t.tk))) AS BIGINT) AS pos
+           FROM t
+           WHERE t.doc_id IN (SELECT doc_id FROM removed)),
+         marked AS (
+           SELECT k.doc_id, k.pos, k.tok, r.pos IS NOT NULL AS rm
+           FROM toks k LEFT JOIN removed r
+             ON k.doc_id = r.doc_id AND k.pos = r.pos)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                  ORDER BY pos), '') AS scrubbed,
+                CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed_tokens,
+                count(*) AS n_tokens
+         FROM marked GROUP BY 1""",
   )
 }

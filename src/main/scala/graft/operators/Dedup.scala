@@ -379,6 +379,55 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** d12_span_scrub — REMOVE the cross-document duplicated token
+    * spans d09 detects, the substring-level dedup fix-up (the doc
+    * keeps its unique content, loses the boilerplate run) — the
+    * corpus-scale generalization of the reference's trim step, which
+    * cuts matched adapter subsequences out of otherwise-kept records
+    * (/root/reference/tools.py:145) rather than dropping the record.
+    * Convention: in each (doc_a < doc_b) pair the HIGHER id loses its
+    * copy, so one canonical occurrence always survives. Output: one
+    * row per AFFECTED document with the scrubbed text (rebuilt from
+    * the normalized token stream the span detector saw), the removed
+    * count, and the original token count; a fully-duplicated document
+    * scrubs to ''.
+    *
+    * Scale shape: spans explode to (doc, pos) removal rows — output
+    * is bounded by total duplicated tokens, and the distinct + joins
+    * all key on doc_id (high cardinality). The corpus is semi-joined
+    * to AFFECTED doc ids BEFORE the token explode, so reassembly
+    * touches only dup-bearing documents (a sliver of any real
+    * corpus), not the corpus. Per-doc reassembly is one
+    * collect_list(struct(pos, tok)) buffer — bounded by a single
+    * document's length, the same envelope as t05's per-doc grams.
+    */
+  def spanScrub(documents: DataFrame, spanTokens: Int = 10,
+      maxDf: Int = 128): DataFrame = {
+    val removed = dupSpans(documents, spanTokens, maxDf)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val affected = removed.select(col("doc_id")).distinct()
+    val toks = documents
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    toks
+      .join(removed.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rm").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("scrubbed"),
+        sum(coalesce(col("rm"), lit(0))).cast("long")
+          .as("n_removed_tokens"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** d11_snapshot_diff — dataset-version diffing: which documents
     * were ADDED, REMOVED, or CHANGED between two corpus snapshots —
     * the bookkeeping every versioned training set needs before

@@ -246,6 +246,51 @@ class DedupSpec extends AnyFunSuite {
       "differing gap must split the diagonal into two maximal spans")
   }
 
+  test("d12: planted span scrubbed from the higher id only; full dup -> ''") {
+    import spark.implicits._
+    def run(from: Int, until: Int, tag: String) =
+      (from until until).map(i => s"$tag$i").mkString(" ")
+    val shared = run(0, 12, "shared")
+    val docs = Seq(
+      (1L, run(0, 5, "ax") + " " + shared + " " + run(0, 5, "ay")),
+      (2L, run(0, 5, "bx") + " " + shared + " " + run(0, 5, "by")),
+      (3L, shared), // exact copy of the shared run alone
+      (4L, run(0, 40, "cz")) // unrelated, must not appear
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // doc 1 is the canonical copy (lowest id): untouched, absent
+    assert(!out.contains(1L) && !out.contains(4L))
+    // doc 2 loses exactly the shared run, keeps its unique flanks
+    assert(out(2L) === (run(0, 5, "bx") + " " + run(0, 5, "by"), 12L, 22L))
+    // doc 3 was nothing but the duplicated run: scrubs to empty
+    assert(out(3L) === ("", 12L, 12L))
+  }
+
+  test("d12: overlapping spans from different pairs remove a union, once") {
+    import spark.implicits._
+    // doc 3 shares tokens 0..11 with doc 1 and 2..13 with doc 2 —
+    // overlapping removal ranges must union, not double-count.
+    val toks = (0 until 14).map(i => s"s$i")
+    val docs = Seq(
+      (1L, toks.slice(0, 12).mkString(" ")),
+      (2L, toks.slice(2, 14).mkString(" ")),
+      (3L, toks.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // doc 3 loses all 14 tokens (union of [0,12) and [2,14)), exactly once
+    assert(out(3L)._1 === "")
+    assert(out(3L)._2 === 14L)
+    // doc 2 shares s2..s13 with doc 1? no — doc1 is s0..s11, doc2 is
+    // s2..s13: their overlap s2..s11 is 10 tokens at doc2 positions
+    // 0..9, so doc 2 (higher id than 1) is also scrubbed.
+    assert(out(2L)._2 === 10L)
+    assert(out(2L)._1 === "s12 s13")
+  }
+
   test("d09: df cap drops boilerplate fan-out; lossless on real data") {
     import spark.implicits._
     val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
