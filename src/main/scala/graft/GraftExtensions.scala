@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -123,6 +123,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           HyperplaneSig(asDoubleArray(v), asLong(s), intArg(n, "nBits"))
         case _ => throw new IllegalArgumentException(
           "hyperplane_sig(vec, seed, nBits)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(codes, lut, ks) =>
+          PqAdc(Cast(codes, ArrayType(LongType)), asDoubleArray(lut),
+            intArg(ks, "ks"))
+        case _ => throw new IllegalArgumentException(
+          "pq_adc(codes, lut, ks)")
       }))
     ext.injectFunction((
       FunctionIdentifier("stopword_hits"),

@@ -48,7 +48,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
                vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS dp,
                hyperplane_sig(array(1.0, -2.0, 0.5), 0, 6) AS hs,
                stopword_hits(split(lower(text), '\\s+'),
-                             array('the', 'my', 'with')) AS sw
+                             array('the', 'my', 'with')) AS sw,
+               pq_adc(array(1, 2), array(10.0, 20.0, 30.0,
+                                         1.0, 2.0, 3.0), 3) AS adc
          FROM t""").collect()
     viaSql.foreach { r =>
       val text = if (r.getLong(0) == 1L)
@@ -62,6 +64,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("hs") >= 0L && r.getAs[Long]("hs") < 64L)
       // "the … the …" has 2 hits; "… my … with …" has 2 hits
       assert(r.getAs[Long]("sw") === 2L)
+      // slots 0·3+1 and 1·3+2 → 20 + 3
+      assert(r.getAs[Double]("adc") === 23.0)
     }
   }
 

@@ -169,6 +169,58 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("p07 property: source cap equals an in-memory priority sort") {
+    import spark.implicits._
+    val genDocs = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 500L), Gen.oneOf("sa", "sb", "sc")))
+      .map(_.distinctBy(_._1))
+    check("p07", Prop.forAll(genDocs) { docs =>
+      val cap = 4
+      val out = graft.operators.Corpus.sourceCap(
+        docs.toDF("doc_id", "source"), cap = cap, saltBuckets = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("rnk")))
+        .toSet
+      def pri(id: Long): Long =
+        (((id + 271L) % 1000000007L) * 2654435761L) % 1000000L
+      val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
+        ds.sortBy(d => (pri(d._1), d._1)).take(cap).zipWithIndex
+          .map { case ((id, _), i) => (id, src, i.toLong + 1) }
+      }.toSet
+      out == expected
+    }, n = 6)
+  }
+
+  test("t08 property: vocab equals an in-memory frequency table") {
+    import spark.implicits._
+    val genDocs = Gen.listOfN(12,
+      Gen.listOfN(10, Gen.oneOf("x", "y", "z", "w", "v")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check("t08", Prop.forAll(genDocs) { docs =>
+      val topN = 3
+      val out = graft.operators.TextAnalysis.vocab(
+        docs.toDF("doc_id", "text"), topN = topN)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_occurrences"),
+          r.getAs[Long]("rnk"), r.getAs[Double]("cum_share")))
+        .sortBy(_._3).toSeq
+      val freq = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }
+      val total = freq.map(_._2).sum.toDouble
+      val expected = freq.take(topN).zipWithIndex.map { case ((t, c), i) =>
+        val cum = freq.take(i + 1).map(_._2).sum
+        // same rounding path as Spark's round(): valueOf (canonical
+        // string) then HALF_UP — BigDecimal(double) would round the
+        // exact binary expansion instead and can differ at ties.
+        (t, c, i.toLong + 1,
+          java.math.BigDecimal.valueOf(cum / total)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+      out == expected
+    }, n = 6)
+  }
+
   test("d09 property: spans equal a brute-force common-run scan") {
     import spark.implicits._
     // tiny vocabulary forces coincidental shared runs
