@@ -173,6 +173,8 @@ object SparkEntry {
       TextAnalysis.vocab(Tables.documents(s, d))),
     "d12_span_scrub" -> ((s, d) =>
       Dedup.spanScrub(Tables.documents(s, d))),
+    "t09_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLm(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1173,5 +1175,32 @@ object SparkEntry {
                   AS n_removed_tokens,
                 count(*) AS n_tokens
          FROM marked GROUP BY 1""",
+    // t09: oracle counts bigram STRINGS where the engine counts
+    // xxhash64 digests (d01's documented gap); each probability is
+    // one long·1e6/long division (identical IEEE both engines),
+    // micro-rounded to a LONG before the order-insensitive sum.
+    "t09_bigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+           FROM t WHERE len(tk) >= 2),
+         b AS (
+           SELECT doc_id, tk[i] AS pre,
+                  tk[i] || ' ' || tk[i + 1] AS bg
+           FROM p),
+         c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+         c1 AS (SELECT pre, count(*) AS c1 FROM b GROUP BY 1),
+         s AS (
+           SELECT doc_id,
+                  CAST(round(c2.c2 * 1000000.0 / c1.c1, 0) AS BIGINT)
+                    AS pm
+           FROM b JOIN c2 USING (bg) JOIN c1 USING (pre))
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(pm) AS BIGINT) AS typ_sum,
+                round(CAST(sum(pm) AS DOUBLE) / count(*), 4) AS avg_typ
+         FROM s GROUP BY 1""",
   )
 }

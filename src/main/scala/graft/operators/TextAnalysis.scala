@@ -185,6 +185,54 @@ object TextAnalysis {
       col("doc_id"),
       RollingHash.rollingFingerprint(col("text"), window).as("fp"))
 
+  /** t09_bigram_lm — self-trained bigram LM typicality score, the
+    * in-engine analog of LM-based quality filtering (CCNet-style:
+    * score each document against a language model of the corpus
+    * itself; low typicality = novel/rare constructions, high =
+    * boilerplate). The "model" is the maximum-likelihood bigram
+    * estimate p(w2|w1) = c(w1 w2) / c(w1·) over the whole corpus —
+    * no smoothing needed, every scored bigram was counted. Emits,
+    * per document with ≥ 1 bigram: the bigram count, the summed
+    * per-bigram probability in integer MICRO-units, and its mean.
+    * Micro-unit rounding before the sum makes the aggregate
+    * order-insensitive (a bare double sum of varying-denominator
+    * rationals would differ per partitioning and per engine in the
+    * last ulp); each p is one long·1e6/long division — identical
+    * IEEE on both engines.
+    *
+    * Scale shape: a linear pipeline over the corpus bigram stream —
+    * (bigram digest, prefix digest) via the one-pass ShingleHashes
+    * kernel, corpus counts as COUNT WINDOWS over the two digest
+    * exchanges (the d02/d04 df-guard discipline: high-cardinality
+    * partition keys, no join build sides), then one groupBy(doc).
+    * Engine counts hash digests where the oracle counts strings —
+    * d01's documented probabilistic gap.
+    */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ShingleExprs
+    val z = documents
+      .select(col("doc_id"),
+        ShingleExprs.shingleHashSeq(col("text"), 2).as("bh"),
+        ShingleExprs.shingleHashSeq(col("text"), 1).as("uh"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("bh"),
+          slice(col("uh"), lit(1), size(col("bh"))).as("pre"))).as("g"))
+      .select(col("doc_id"), col("g.bh").as("bg"),
+        col("g.pre").as("pre"))
+    z
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("pre"))))
+      .withColumn("pm",
+        round(col("c2") * lit(1000000.0) / col("c1"), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pm")).as("typ_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("typ_sum"),
+        round(col("typ_sum") / col("n_bigrams"), 4).as("avg_typ"))
+  }
+
   /** t08_vocab — corpus vocabulary construction: the top-`topN`
     * tokens by frequency with rank, share-of-corpus, and cumulative
     * coverage — the seed table every tokenizer build (BPE/unigram)

@@ -204,6 +204,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       first.getAs[Long]("n_occurrences") / total) < 1e-6)
   }
 
+  test("t09: bigram typicality matches hand-computed ML estimates") {
+    import spark.implicits._
+    // corpus: c("a b")=2, c("b a")=1, c("a c")=1; prefix counts a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("typ_sum"), r.getAs[Double]("avg_typ"))).toMap
+    // doc 1: p(a b)=2/3 twice, p(b a)=1/1 → 666667+1000000+666667
+    assert(out(1L) === ((3L, 2333334L, 777778.0)))
+    // doc 2: p(a c)=1/3 → 333333
+    assert(out(2L) === ((1L, 333333L, 333333.0)))
+    // doc 3 has no bigram: absent, not zero-scored
+    assert(!out.contains(3L))
+    // partitioning must not change the integer sums
+    val again = graft.operators.TextAnalysis.bigramLm(docs.repartition(7))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("typ_sum"), r.getAs[Double]("avg_typ"))).toMap
+    assert(again === out)
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
