@@ -175,6 +175,8 @@ object SparkEntry {
       Dedup.spanScrub(Tables.documents(s, d))),
     "t09_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLm(Tables.documents(s, d))),
+    "q29_funnel" -> ((s, d) =>
+      Pipeline.funnel(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1202,5 +1204,50 @@ object SparkEntry {
                 CAST(sum(pm) AS BIGINT) AS typ_sum,
                 round(CAST(sum(pm) AS DOUBLE) / count(*), 4) AS avg_typ
          FROM s GROUP BY 1""",
+    // q29: sequential conditional-min recurrence, one CTE per step;
+    // a NULL t_{k-1} poisons the comparison so deeper steps stay
+    // NULL on both engines.
+    "q29_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         s1 AS (
+           SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT s1.user_id, t1,
+                  min(CASE WHEN v.ts_us > t1
+                       AND v.ts_us <= t1 + 604800000000
+                      THEN v.ts_us END) AS t2
+           FROM s1 LEFT JOIN e v ON v.user_id = s1.user_id
+             AND v.event_type = 'view'
+           GROUP BY 1, 2),
+         s3 AS (
+           SELECT s2.user_id, t1, t2,
+                  min(CASE WHEN c.ts_us > t2
+                       AND c.ts_us <= t1 + 604800000000
+                      THEN c.ts_us END) AS t3
+           FROM s2 LEFT JOIN e c ON c.user_id = s2.user_id
+             AND c.event_type = 'click'
+           GROUP BY 1, 2, 3),
+         s4 AS (
+           SELECT s3.user_id, t1, t2, t3,
+                  min(CASE WHEN p.ts_us > t3
+                       AND p.ts_us <= t1 + 604800000000
+                      THEN p.ts_us END) AS t4
+           FROM s3 LEFT JOIN e p ON p.user_id = s3.user_id
+             AND p.event_type = 'purchase'
+           GROUP BY 1, 2, 3, 4)
+         SELECT step_reached,
+                CASE step_reached WHEN 1 THEN 'signup'
+                     WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                     ELSE 'purchase' END AS step_name,
+                count(*) AS n_users
+         FROM (SELECT CASE WHEN t4 IS NOT NULL THEN 4
+                           WHEN t3 IS NOT NULL THEN 3
+                           WHEN t2 IS NOT NULL THEN 2
+                           ELSE 1 END AS step_reached
+               FROM s4)
+         GROUP BY 1""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -402,6 +402,62 @@ object Pipeline {
       .filter(col("rnk") <= k)
       .select(col("o_orderpriority"), col("o_custkey"),
         (col("cents") / 100.0).as("spend"), col("rnk"))
+  }
+
+  /** q29_funnel — ordered multi-step conversion within a time window
+    * (the reference's per-sample progress semantics — how far down
+    * the step DAG did each sample get, `tools.py:8-56` — generalized
+    * to the classic event funnel). Step k's timestamp is the
+    * EARLIEST step-k event strictly after step k−1 and within
+    * `windowUs` of step 1; a user's depth is the longest satisfied
+    * prefix. Emits (step_reached, step_name, n_users) — all-integer,
+    * hash-exact.
+    *
+    * Shape: one aggregation per step — min(ts) per user for step 1,
+    * then per further step a LEFT join of that step's (pushed-down)
+    * event slice followed by a conditional-min re-aggregation. The
+    * order constraint makes the recurrence inherently sequential
+    * (step k's candidates depend on t_{k−1}), so `steps.length`
+    * passes over per-step event slices IS the funnel plan — every
+    * shuffle keys on user_id (high cardinality), every filter
+    * reaches the scan, and the running state per user is one row of
+    * step timestamps. A per-type global min can NOT replace it: a
+    * view before the signup must not count.
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"))
+    var acc = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    (2 to steps.length).foreach { k =>
+      val nxt = ev.filter(col("event_type") === steps(k - 1))
+        .select(col("user_id"), col("ts_us").as(s"e$k"))
+      val carried = (1 until k).map(i => col(s"t$i"))
+      acc = acc.join(nxt, Seq("user_id"), "left")
+        .groupBy(col("user_id") +: carried: _*)
+        .agg(min(when(col(s"e$k") > col(s"t${k - 1}") &&
+          col(s"e$k") <= col("t1") + windowUs, col(s"e$k")))
+          .as(s"t$k"))
+    }
+    // foldRight over (L..2): builds when(tL)… outermost so the
+    // DEEPEST satisfied step wins (tk non-null implies t_{k-1} is)
+    val depth = (steps.length to 2 by -1).foldRight(lit(1): Column) {
+      case (k, els) => when(col(s"t$k").isNotNull, lit(k)).otherwise(els)
+    }
+    val names = steps.zipWithIndex.foldLeft(lit(steps.head)) {
+      case (els, (s, i)) => when(col("step_reached") === i + 1, lit(s))
+        .otherwise(els)
+    }
+    acc
+      .withColumn("step_reached", depth.cast("long"))
+      .groupBy(col("step_reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("step_name", names)
+      .select(col("step_reached"), col("step_name"), col("n_users"))
   }
 
   /** q16_sessionize — gap-based session assembly over the event

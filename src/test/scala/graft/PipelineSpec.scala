@@ -145,6 +145,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(revs.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("q29: funnel depth honors order, window, and missing steps") {
+    import spark.implicits._
+    // (user, type, micros): 1 converts fully; 2's click precedes its
+    // view (order violation -> depth 2); 4 stops at signup; 5's view
+    // lands outside the window; 6's purchase precedes signup; 3
+    // never signs up and must not appear at all.
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "view", 10L), (1L, "click", 20L),
+      (1L, "purchase", 30L),
+      (2L, "signup", 0L), (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 5L),
+      (4L, "signup", 0L),
+      (5L, "signup", 0L), (5L, "view", 101L),
+      (6L, "purchase", 5L), (6L, "signup", 10L)
+    ).toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.operators.Pipeline.funnel(ev, windowUs = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map(
+      4L -> (("purchase", 1L)), // user 1
+      2L -> (("view", 1L)),     // user 2: click@5 < view@10 doesn't count
+      1L -> (("signup", 3L))))  // users 4, 5, 6
+  }
+
   test("q16_sessionize: sessions partition events, gaps respected") {
     val df = SparkEntry.queries("q16_sessionize")(spark, sf)
     val total = df.collect().map(_.getAs[Long]("n_events")).sum
