@@ -177,6 +177,8 @@ object SparkEntry {
       TextAnalysis.bigramLm(Tables.documents(s, d))),
     "q29_funnel" -> ((s, d) =>
       Pipeline.funnel(Tables.events(s, d))),
+    "q30_retention" -> ((s, d) =>
+      Pipeline.retention(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1249,5 +1251,17 @@ object SparkEntry {
                            ELSE 1 END AS step_reached
                FROM s4)
          GROUP BY 1""",
+    // q30: integer week ids (floor-divided epochs) and exact counts
+    // — hash-exact on both engines.
+    "q30_retention" ->
+      """WITH w AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS wk
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (
+           SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+         SELECT cohort_wk, wk - cohort_wk AS week_offset,
+                count(*) AS n_users
+         FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
   )
 }

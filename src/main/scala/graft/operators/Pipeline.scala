@@ -460,6 +460,37 @@ object Pipeline {
       .select(col("step_reached"), col("step_name"), col("n_users"))
   }
 
+  /** q30_retention — cohort retention matrix: users grouped by
+    * first-active week, counted in each subsequent week they remain
+    * active (the batch-cohort view of the reference's sample-over-
+    * time progress table). Pure integer arithmetic — week ids are
+    * floor-divided epochs, counts are exact — so the oracle is
+    * hash-exact.
+    *
+    * Shape: distinct (user, week) → per-user min week (cohort) →
+    * join back → count per (cohort, offset). The distinct and the
+    * min-agg both key on user_id-led grouping; the final aggregate's
+    * cardinality is #cohorts × #offsets (bounded by the time range,
+    * not the data). No windows, no skew keys (user_id is high-
+    * cardinality; week alone is never a shuffle key).
+    */
+  def retention(events: DataFrame,
+      weekUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    val weeks = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"))
+      .select(col("user_id"), expr(s"ts_us DIV $weekUs").as("wk"))
+      .distinct()
+    val first = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    weeks
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
     * Gaps-and-islands: lag per user, flag gaps > gapSeconds,

@@ -171,6 +171,28 @@ class PipelineSpec extends AnyFunSuite {
       1L -> (("signup", 3L))))  // users 4, 5, 6
   }
 
+  test("q30: retention counts conserve users and offset-0 is the cohort") {
+    val df = SparkEntry.queries("q30_retention")(spark, sf).collect()
+    assert(df.nonEmpty)
+    val users = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select("user_id").distinct.count()
+    // every user appears exactly once at offset 0 (their cohort week)
+    val atZero = df.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(atZero === users)
+    // offsets are non-negative and retained counts never exceed cohort
+    val cohortSize = df.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort_wk") -> r.getAs[Long]("n_users"))
+      .toMap
+    df.foreach { r =>
+      val off = r.getAs[Long]("week_offset")
+      assert(off >= 0L)
+      assert(r.getAs[Long]("n_users") <=
+        cohortSize(r.getAs[Long]("cohort_wk")))
+    }
+  }
+
   test("q16_sessionize: sessions partition events, gaps respected") {
     val df = SparkEntry.queries("q16_sessionize")(spark, sf)
     val total = df.collect().map(_.getAs[Long]("n_events")).sum
