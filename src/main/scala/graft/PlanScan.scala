@@ -32,6 +32,18 @@ import org.apache.spark.sql.SparkSession
   *  - q26 Window: per-(group, salt) spillable local top-k, then the
   *    exact rank over ≤ salt·k pruned candidates (spec-pinned
   *    lossless) — never one sort of the full aggregate per group.
+  *  - p07 Window: q26's shape verbatim (per-(source, salt) local
+  *    top-cap, then rank over ≤ buckets·cap survivors).
+  *  - t08 Window: rank + running coverage AFTER the limit — runs on
+  *    topN rows; the top-N itself is TakeOrderedAndProject.
+  *  - t09 Window: corpus bigram/prefix counts as count windows over
+  *    the two digest exchanges (d02/d04 df-guard discipline,
+  *    high-cardinality keys) — no join build sides.
+  *  - s04 Window: two-phase sharded candidate top-k by ADC score
+  *    (s01's topK shape) plus the ≤ subspaces·ks-row codebook
+  *    densify window.
+  *  - d12 Window: inherits d09's guard/islands windows; per-doc
+  *    reassembly is an aggregation, not a window.
   *  - s01/s02/d08 BNLJ: broadcast handful of query vectors (or k-row
   *    centroid table) against the corpus scan, by design.
   *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers
@@ -52,7 +64,7 @@ object PlanScan {
       "st03_stream_dedup", "st04_stream_enrich", "st05_stream_asof",
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
       "d10_dedup_incremental", "k04_fastq_ingest",
-      "st06_stream_sink")
+      "st06_stream_sink", "st07_stream_funnel")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString

@@ -179,6 +179,8 @@ object SparkEntry {
       Pipeline.funnel(Tables.events(s, d))),
     "q30_retention" -> ((s, d) =>
       Pipeline.retention(Tables.events(s, d))),
+    "st07_stream_funnel" -> ((s, d) =>
+      StreamOps.streamFunnel(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -225,6 +227,54 @@ object SparkEntry {
               a.ts_us AS anchor_ts_us, f.ts_us - a.ts_us AS gap_us
        FROM f ASOF LEFT JOIN a
          ON f.user_id = a.user_id AND f.ts_us >= a.ts_us"""
+
+  /** Shared by q29 (batch funnel) and st07 (streaming funnel):
+    * the streaming stateful funnel must reproduce the batch
+    * conditional-min recurrence bit-for-bit on the finite
+    * harness, so both keys get the identical oracle.
+    */
+  private val funnelSql: String =
+    """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         s1 AS (
+           SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT s1.user_id, t1,
+                  min(CASE WHEN v.ts_us > t1
+                       AND v.ts_us <= t1 + 604800000000
+                      THEN v.ts_us END) AS t2
+           FROM s1 LEFT JOIN e v ON v.user_id = s1.user_id
+             AND v.event_type = 'view'
+           GROUP BY 1, 2),
+         s3 AS (
+           SELECT s2.user_id, t1, t2,
+                  min(CASE WHEN c.ts_us > t2
+                       AND c.ts_us <= t1 + 604800000000
+                      THEN c.ts_us END) AS t3
+           FROM s2 LEFT JOIN e c ON c.user_id = s2.user_id
+             AND c.event_type = 'click'
+           GROUP BY 1, 2, 3),
+         s4 AS (
+           SELECT s3.user_id, t1, t2, t3,
+                  min(CASE WHEN p.ts_us > t3
+                       AND p.ts_us <= t1 + 604800000000
+                      THEN p.ts_us END) AS t4
+           FROM s3 LEFT JOIN e p ON p.user_id = s3.user_id
+             AND p.event_type = 'purchase'
+           GROUP BY 1, 2, 3, 4)
+         SELECT step_reached,
+                CASE step_reached WHEN 1 THEN 'signup'
+                     WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                     ELSE 'purchase' END AS step_name,
+                count(*) AS n_users
+         FROM (SELECT CASE WHEN t4 IS NOT NULL THEN 4
+                           WHEN t3 IS NOT NULL THEN 3
+                           WHEN t2 IS NOT NULL THEN 2
+                           ELSE 1 END AS step_reached
+               FROM s4)
+         GROUP BY 1"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_qc_summary" ->
@@ -1208,49 +1258,11 @@ object SparkEntry {
          FROM s GROUP BY 1""",
     // q29: sequential conditional-min recurrence, one CTE per step;
     // a NULL t_{k-1} poisons the comparison so deeper steps stay
-    // NULL on both engines.
-    "q29_funnel" ->
-      """WITH e AS (
-           SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         s1 AS (
-           SELECT user_id, min(ts_us) AS t1 FROM e
-           WHERE event_type = 'signup' GROUP BY 1),
-         s2 AS (
-           SELECT s1.user_id, t1,
-                  min(CASE WHEN v.ts_us > t1
-                       AND v.ts_us <= t1 + 604800000000
-                      THEN v.ts_us END) AS t2
-           FROM s1 LEFT JOIN e v ON v.user_id = s1.user_id
-             AND v.event_type = 'view'
-           GROUP BY 1, 2),
-         s3 AS (
-           SELECT s2.user_id, t1, t2,
-                  min(CASE WHEN c.ts_us > t2
-                       AND c.ts_us <= t1 + 604800000000
-                      THEN c.ts_us END) AS t3
-           FROM s2 LEFT JOIN e c ON c.user_id = s2.user_id
-             AND c.event_type = 'click'
-           GROUP BY 1, 2, 3),
-         s4 AS (
-           SELECT s3.user_id, t1, t2, t3,
-                  min(CASE WHEN p.ts_us > t3
-                       AND p.ts_us <= t1 + 604800000000
-                      THEN p.ts_us END) AS t4
-           FROM s3 LEFT JOIN e p ON p.user_id = s3.user_id
-             AND p.event_type = 'purchase'
-           GROUP BY 1, 2, 3, 4)
-         SELECT step_reached,
-                CASE step_reached WHEN 1 THEN 'signup'
-                     WHEN 2 THEN 'view' WHEN 3 THEN 'click'
-                     ELSE 'purchase' END AS step_name,
-                count(*) AS n_users
-         FROM (SELECT CASE WHEN t4 IS NOT NULL THEN 4
-                           WHEN t3 IS NOT NULL THEN 3
-                           WHEN t2 IS NOT NULL THEN 2
-                           ELSE 1 END AS step_reached
-               FROM s4)
-         GROUP BY 1""",
+    // NULL on both engines. st07 is the streaming edition (per-user
+    // step-timestamp GroupState) — identical result on the
+    // single-batch harness, so it shares the oracle.
+    "q29_funnel" -> funnelSql,
+    "st07_stream_funnel" -> funnelSql,
     // q30: integer week ids (floor-divided epochs) and exact counts
     // — hash-exact on both engines.
     "q30_retention" ->

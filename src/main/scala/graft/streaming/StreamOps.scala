@@ -48,6 +48,13 @@ object StreamOps {
       event_type: String, ts_us: Long, anchor_ts_us: Option[Long],
       gap_us: Option[Long])
 
+  /** Typed event + per-user depth row for the streaming funnel
+    * (st07).
+    */
+  final case class EvF(user_id: Long, ts_us: Long, event_type: String)
+
+  final case class FunnelDepth(user_id: Long, step_reached: Long)
+
   /** Stage `$dir/events.parquet` (a single file) into a temp DIRECTORY
     * and open it as a file-source stream — Spark's FileStreamSource
     * monitors directories, not files. Staging goes through
@@ -199,6 +206,76 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(sink)
+  }
+
+  /** st07_stream_funnel — q29's conversion funnel as a STATEFUL
+    * stream: per-user `GroupState` carries one timestamp per step
+    * (steps.length longs — bounded state, like st05's single
+    * anchor). Each micro-batch processes its user's events in
+    * event-time order and fills steps greedily: step k takes the
+    * first step-k event strictly after t_{k-1} within the window of
+    * t1 — on ts-sorted input the first qualifying event IS the
+    * conditional min, so batch parity is exact. Depth is MONOTONE
+    * non-decreasing, so Append mode with one depth row per (user,
+    * batch) is safe: the summary takes each user's MAX emitted depth
+    * before counting — bit-equal to q29 on the finite harness, and
+    * the same late-data caveat as st05 (an event-time watermark
+    * bounds out-of-order arrivals in production; the harness's
+    * single AvailableNow batch sees everything in order).
+    */
+  def streamFunnel(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    import spark.implicits._
+    val UNSET = Long.MinValue
+    val nSteps = steps.length
+    val src = eventStream(spark, dir)
+      .select(col("user_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .as[EvF]
+    val depths = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[EvF], state: GroupState[Array[Long]]) =>
+          val ts = state.getOption.getOrElse(Array.fill(nSteps)(UNSET))
+          events.toVector.filter(_.event_type != null)
+            .sortBy(_.ts_us).foreach { e =>
+              val k = steps.indexOf(e.event_type)
+              if (k == 0) {
+                if (ts(0) == UNSET) ts(0) = e.ts_us
+              } else if (k > 0 && ts(k) == UNSET && ts(k - 1) != UNSET &&
+                e.ts_us > ts(k - 1) && e.ts_us <= ts(0) + windowUs) {
+                ts(k) = e.ts_us
+              }
+            }
+          state.update(ts)
+          val depth = ts.indexWhere(_ == UNSET) match {
+            case -1 => nSteps
+            case d => d
+          }
+          if (depth == 0) Iterator.empty
+          else Iterator.single(FunnelDepth(uid, depth.toLong))
+      }
+    val sink = s"st07_mem_${System.nanoTime()}"
+    val q = depths.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val names = steps.zipWithIndex.foldLeft(lit(steps.head)) {
+      case (els, (s, i)) => when(col("step_reached") === i + 1, lit(s))
+        .otherwise(els)
+    }
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(col("step_reached")).as("step_reached"))
+      .groupBy(col("step_reached"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("step_name", names)
+      .select(col("step_reached"), col("step_name"), col("n_users"))
   }
 
   /** st06_stream_sink — the streaming DURABLE sink: events stream →

@@ -130,6 +130,13 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st07: streaming funnel equals batch q29 exactly") {
+    val stream = StreamOps.streamFunnel(spark, sf).collect()
+    val batch = SparkEntry.queries("q29_funnel")(spark, sf).collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("st05: anchor state carries within a user and never leaks across") {
     val out = StreamOps.streamAsof(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
