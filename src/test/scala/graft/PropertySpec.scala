@@ -221,6 +221,51 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("d12 property: scrub equals an in-memory span-removal replay") {
+    import spark.implicits._
+    val genDoc = Gen.listOfN(14, Gen.oneOf("a", "b")).map(_.mkString(" "))
+    val genDocs = Gen.listOfN(3, genDoc)
+    val L = 4
+    check("d12", Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = Dedup.spanScrub(docs.toDF("doc_id", "text"),
+        spanTokens = L, maxDf = Int.MaxValue)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+          r.getLong(3))).toMap
+      // reference: brute-force maximal runs >= L, removal union on
+      // the HIGHER doc of each pair, reassemble remaining tokens
+      val toks = docs.map { case (_, t) => t.split("\\s+") }
+      val removed = scala.collection.mutable
+        .Map[Long, scala.collection.mutable.Set[Int]]()
+      for {
+        i <- docs.indices; j <- docs.indices if i < j
+        d <- -(toks(j).length) to toks(i).length
+      } {
+        var p = math.max(0, d)
+        while (p < toks(i).length) {
+          if (p - d >= 0 && p - d < toks(j).length &&
+            toks(i)(p) == toks(j)(p - d)) {
+            val start = p
+            while (p < toks(i).length && p - d < toks(j).length &&
+              toks(i)(p) == toks(j)(p - d)) p += 1
+            if (p - start >= L) {
+              val s = removed.getOrElseUpdate(j.toLong,
+                scala.collection.mutable.Set[Int]())
+              ((start - d) until (p - d)).foreach(s.add)
+            }
+          } else p += 1
+        }
+      }
+      val expected = removed.map { case (docId, poss) =>
+        val tk = toks(docId.toInt)
+        docId -> ((tk.indices.filterNot(poss).map(tk).mkString(" "),
+          poss.size.toLong, tk.length.toLong))
+      }.toMap
+      out == expected
+    }, n = 5)
+  }
+
   test("d09 property: spans equal a brute-force common-run scan") {
     import spark.implicits._
     // tiny vocabulary forces coincidental shared runs
