@@ -181,6 +181,8 @@ object SparkEntry {
       Pipeline.retention(Tables.events(s, d))),
     "st07_stream_funnel" -> ((s, d) =>
       StreamOps.streamFunnel(s, d)),
+    "m05_media_dedup" -> ((s, d) =>
+      Multimodal.mediaDedup(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1275,5 +1277,14 @@ object SparkEntry {
          SELECT cohort_wk, wk - cohort_wk AS week_offset,
                 count(*) AS n_users
          FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    // m05: md5 is bit-identical in both engines (DuckDB hashes the
+    // VARCHAR's UTF-8 bytes, Spark the UTF-8 cast-to-binary) — the
+    // one dedup oracle with NO hash gap.
+    "m05_media_dedup" ->
+      """SELECT md5(text) AS content_md5,
+                min(doc_id) AS rep_id,
+                count(*) AS n_copies,
+                CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
   )
 }

@@ -172,4 +172,24 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** m05_media_dedup — exact content dedup over the BINARY payload
+    * column: the image/audio analog of d01 (a crawl's media set is
+    * full of byte-identical copies under different ids/URLs). Groups
+    * by md5 of the payload — a REAL cryptographic digest both
+    * engines implement bit-identically, so unlike the xxhash64
+    * dedup family this oracle has no engine-vs-oracle hash gap —
+    * keeping the min-id representative and the copy count. At scale
+    * the shuffle carries (16-byte digest, id, length) per payload,
+    * never the blob; the digest itself is computed map-side in one
+    * pass over the bytes.
+    */
+  def mediaDedup(documents: DataFrame): DataFrame =
+    payloads(documents)
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("n_bytes"))
 }

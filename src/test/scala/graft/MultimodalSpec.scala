@@ -99,4 +99,25 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toMap
     assert(a === b)
   }
+
+  test("m05: byte-identical payloads collapse to the min-id representative") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "same bytes"), (3L, "same bytes"), (9L, "same bytes"),
+      (5L, "unique"), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Multimodal.mediaDedup(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.size === 2, "null payload dropped; two distinct contents")
+    val dup = out.values.find(_._2 == 3L).get
+    assert(dup._1 === 3L, "representative must be the min doc_id")
+    assert(dup._3 === "same bytes".getBytes("UTF-8").length.toLong)
+    assert(out.values.exists(v => v._2 == 1L && v._1 == 5L))
+    // md5 here is the REAL digest — no xxhash engine/oracle gap
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("same bytes".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(out.contains(md))
+  }
 }
