@@ -183,6 +183,8 @@ object SparkEntry {
       StreamOps.streamFunnel(s, d)),
     "m05_media_dedup" -> ((s, d) =>
       Multimodal.mediaDedup(Tables.documents(s, d))),
+    "t10_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1286,5 +1288,26 @@ object SparkEntry {
                 count(*) AS n_copies,
                 CAST(min(strlen(text)) AS BIGINT) AS n_bytes
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // t10: the vocab CTE replays t08's top-100 boundary (totally
+    // ordered); the rate divides two exact longs.
+    "t10_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS token
+           FROM documents),
+         tt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         counts AS (
+           SELECT token, count(*) AS c FROM tt GROUP BY 1),
+         vocab AS (
+           SELECT token FROM counts
+           ORDER BY c DESC, token LIMIT 100)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  * 1.0 / count(*), 4) AS oov_rate
+         FROM tt LEFT JOIN vocab v USING (token)
+         GROUP BY 1""",
   )
 }

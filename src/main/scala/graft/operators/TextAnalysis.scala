@@ -185,6 +185,37 @@ object TextAnalysis {
       col("doc_id"),
       RollingHash.rollingFingerprint(col("text"), window).as("fp"))
 
+  /** t10_oov_rate — per-document out-of-vocabulary rate against the
+    * t08 top-N vocabulary: the fraction of a document's tokens that
+    * a tokenizer built from this corpus would treat as rare/unknown
+    * — the standard gibberish/coverage filter applied before
+    * training. Composes t08 (the vocab is a derived BROADCAST table
+    * of topN rows); the corpus side is one scan → explode → map-side
+    * broadcast left join → per-doc aggregation. The rate divides two
+    * exact longs (identical IEEE quotient both engines) before the
+    * 4dp round.
+    */
+  def oovRate(documents: DataFrame, topN: Int = 100): DataFrame = {
+    // top-N boundary only (same total ordering as t08) — skips t08's
+    // share/coverage columns so no scalar-total cross join enters
+    // this plan; the limit collapses to TakeOrdered.
+    val inVocab = tokenCounts(documents)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topN)
+      .select(col("token")).withColumn("in_v", lit(1))
+    documents
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(inVocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens"), 4))
+  }
+
   /** t09_bigram_lm — self-trained bigram LM typicality score, the
     * in-engine analog of LM-based quality filtering (CCNet-style:
     * score each document against a language model of the corpus
@@ -253,13 +284,20 @@ object TextAnalysis {
     * and every rank are deterministic on both engines; shares divide
     * two exact longs, so the IEEE quotient is identical pre-round.
     */
-  def vocab(documents: DataFrame, topN: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = documents
+  /** (token, n_occurrences) corpus counts — the shared subtree under
+    * t08's vocabulary and t10's OOV boundary (one scan → explode →
+    * token hash-agg).
+    */
+  private def tokenCounts(documents: DataFrame): DataFrame =
+    documents
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
+
+  def vocab(documents: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenCounts(documents)
     val total = counts.agg(sum(col("n_occurrences")).as("_total"))
     val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
     counts

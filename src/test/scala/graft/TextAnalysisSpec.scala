@@ -226,6 +226,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again === out)
   }
 
+  test("t10: OOV counts are exact on a planted corpus with vocab ties") {
+    import spark.implicits._
+    // corpus counts: a=3, q=3, b=1, z=1; topN=2 keeps (a, q) — the
+    // tie at c=3 is broken by token asc, and b/z fall outside even
+    // though b < q lexically (count dominates token).
+    val docs = Seq((1L, "a a b"), (2L, "a z"), (3L, "q q q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, topN = 2).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toMap
+    assert(out(1L) === ((3L, 1L, 0.3333)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("t10: matches a driver-side recompute; vocab join stays broadcast") {
+    val docs = Tables.documents(spark, sf)
+    val df = TextAnalysis.oovRate(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    val freq = docs.collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(100).map(_._1).toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    df.collect().foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_oov") ===
+        toks.count(t => !vocab.contains(t)).toLong)
+    }
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
