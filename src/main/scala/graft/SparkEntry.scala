@@ -185,6 +185,8 @@ object SparkEntry {
       Multimodal.mediaDedup(Tables.documents(s, d))),
     "t10_oov_rate" -> ((s, d) =>
       TextAnalysis.oovRate(Tables.documents(s, d))),
+    "p08_split" -> ((s, d) =>
+      Corpus.split(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -911,9 +913,13 @@ object SparkEntry {
                 CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2""",
+    // p04/p08: the double mod-p reduction between the two Knuth
+    // multiplies is load-bearing — one multiply would make the salted
+    // hash a constant shift of p02's, nesting the layers.
     "p04_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (((doc_id + 137) % 1000000007) * 2654435761) % 1000 <
+         WHERE (((((doc_id + 137) % 1000000007) * 2654435761)
+                   % 1000000007) * 2654435761) % 1000 <
                CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
                            WHEN 'src2' THEN 250 ELSE 100 END""",
     "st04_stream_enrich" ->
@@ -982,8 +988,8 @@ object SparkEntry {
     "p05_batch_assembly" ->
       """WITH pairs AS (
            SELECT d.doc_id, d.source,
-                  (((d.doc_id + 911) % 1000000007) * 2654435761)
-                    % 1048576 AS h
+                  (((((d.doc_id + 911) % 1000000007) * 2654435761)
+                      % 1000000007) * 2654435761) % 1048576 AS h
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
          ordered AS (
            SELECT doc_id, source,
@@ -1144,8 +1150,8 @@ object SparkEntry {
     "p07_source_cap" ->
       """WITH pri AS (
            SELECT doc_id, source,
-                  (((doc_id + 271) % 1000000007) * 2654435761) % 1000000
-                    AS priority
+                  (((((doc_id + 271) % 1000000007) * 2654435761)
+                      % 1000000007) * 2654435761) % 1000000 AS priority
            FROM documents),
          ranked AS (
            SELECT doc_id, source, priority,
@@ -1309,5 +1315,17 @@ object SparkEntry {
                   * 1.0 / count(*), 4) AS oov_rate
          FROM tt LEFT JOIN vocab v USING (token)
          GROUP BY 1""",
+    // p08: the split hash is exact integer arithmetic (p04's salted
+    // double-multiply, own salt) — both engines compute the identical
+    // bucket, so assignment is value-exact.
+    "p08_split" ->
+      """SELECT doc_id, lang, source,
+                CASE WHEN h < 10 THEN 'test'
+                     WHEN h < 60 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM (SELECT doc_id, lang, source,
+                      (((((doc_id + 9176) % 1000000007) * 2654435761)
+                          % 1000000007) * 2654435761) % 1000 AS h
+               FROM documents)""",
   )
 }

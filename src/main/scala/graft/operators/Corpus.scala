@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -195,14 +195,36 @@ object Corpus {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Salted bucket hash for INDEPENDENT sampling/splitting layers:
+    * ((id+salt) mod p · K) mod p · K mod buckets, p = 1e9+7,
+    * K = Knuth's 2654435761. The middle mod-p reduction is what buys
+    * independence — with a SINGLE multiply (p02's form), adding a
+    * salt is just `(h_p02 + salt·K) mod buckets`, a constant SHIFT of
+    * the unsalted hash whenever `id + salt < p` (i.e. any corpus
+    * under ~1e9 docs), so "salted" layers would select rotations of
+    * the SAME residue classes, not independent subsets. Wrapping the
+    * first product back through mod p breaks that affinity: the
+    * second multiply sees a pseudorandom residue, and threshold sets
+    * under different salts intersect at ≈ the product of their rates
+    * (spec-measured). Each factor stays < p ≈ 2^30 so both products
+    * stay under 2^63 — overflow-free in ANSI mode at billion-doc ids,
+    * and exactly reproducible in plain SQL on any engine.
+    */
+  private[graft] def saltedBucket(id: Column, salt: Long,
+      buckets: Long): Column = {
+    val P = lit(1000000007L)
+    val K = lit(2654435761L)
+    pmod(pmod(pmod(id + lit(salt), P) * K, P) * K, lit(buckets))
+  }
+
   /** p04_mixture_sample — corpus mixture construction: each source
     * gets its own deterministic keep rate (per-mille), the
     * multi-stratum generalization of p02 (high-quality sources
-    * upsampled, the long tail floored at `defaultPermille`). Same
-    * multiplicative-hash threshold as p02 but SALTED: without the
-    * salt the two operators would select nested subsets (the same
-    * low-hash documents every time), and composed sampling layers
-    * must be independent for their rates to multiply. Pure map-side
+    * upsampled, the long tail floored at `defaultPermille`).
+    * Membership thresholds `saltedBucket` (see above): genuinely
+    * independent of p02's unsalted hash, so composed sampling layers
+    * multiply their rates — a single salted multiply only SHIFTS
+    * p02's hash and nests/rotates the selections. Pure map-side
     * filter; the predicate pushes to the scan.
     */
   def mixtureSample(documents: DataFrame,
@@ -215,12 +237,29 @@ object Corpus {
       }
     documents
       .select(col("doc_id"), col("lang"), col("source"))
-      // same overflow discipline as p02: reduce mod 1e9+7 BEFORE the
-      // Knuth multiply so the product stays under 2^63 (ANSI-fatal
-      // otherwise at billion-doc ids).
-      .filter(pmod(
-        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
-          lit(2654435761L), lit(1000L)) < permille)
+      .filter(saltedBucket(col("doc_id"), salt, 1000L) < permille)
+  }
+
+  /** p08_split — deterministic train/val/test assignment: every
+    * document lands in exactly ONE split by thresholding the same
+    * salted multiplicative hash the sampling layers use (p02/p04),
+    * under its own salt so membership is independent of both — a
+    * held-out set must not correlate with what sampling kept. The
+    * assignment is a pure map-side projection (no shuffle, no state,
+    * no RNG): reruns, backfills, and late-arriving shards all agree
+    * on every document's split, which is the property that makes a
+    * held-out set trustworthy — `sample()`-style splits depend on
+    * partitioning and are unrepeatable.
+    */
+  def split(documents: DataFrame, testPermille: Int = 10,
+      valPermille: Int = 50, salt: Long = 9176L): DataFrame = {
+    val h = saltedBucket(col("doc_id"), salt, 1000L)
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("split",
+        when(h < testPermille, lit("test"))
+          .when(h < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
   }
 
   /** p06_profile — the dataset stats card every training-data drop
@@ -305,11 +344,8 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val pri = documents
       .select(col("doc_id"), col("source"))
-      // same overflow discipline as p02/p04: reduce mod 1e9+7 before
-      // the Knuth multiply so the product stays under 2^63.
-      .withColumn("priority", pmod(
-        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
-          lit(2654435761L), lit(1000000L)))
+      .withColumn("priority",
+        saltedBucket(col("doc_id"), salt, 1000000L))
     val localW = Window
       .partitionBy(col("source"), col("_b"))
       .orderBy(col("priority"), col("doc_id"))
@@ -355,9 +391,7 @@ object Corpus {
     val pairs = documents.select(col("doc_id"), col("source"))
       .join(embeddings.select(col("vec_id").as("doc_id"), col("label")),
         Seq("doc_id"))
-      .withColumn("h", pmod(
-        pmod(col("doc_id") + lit(salt), lit(1000000007L)) *
-          lit(2654435761L), lit(hashSpace)))
+      .withColumn("h", saltedBucket(col("doc_id"), salt, hashSpace))
       .withColumn("bkt", (col("h") / (hashSpace / buckets)).cast("long"))
     // per-bucket start offsets: |buckets| metadata rows — the window
     // below runs on bounded cardinality (≤ `buckets`), never data.

@@ -170,9 +170,11 @@ class CorpusSpec extends AnyFunSuite {
     val b = Corpus.mixtureSample(docs.repartition(7)).collect()
       .map(_.getLong(0)).toSet
     assert(a === b, "mixture must not depend on partitioning")
-    // exact recompute of the salted-hash contract
+    // exact recompute of the salted-hash contract (double mod-p
+    // reduction between the multiplies — see Corpus.saltedBucket)
     val expected = docs.select("doc_id", "source").collect().filter { r =>
-      val h = ((r.getLong(0) + 137L) % 1000000007L) * 2654435761L % 1000L
+      val h = ((r.getLong(0) + 137L) % 1000000007L) * 2654435761L %
+        1000000007L * 2654435761L % 1000L
       h < (r.getString(1) match {
         case "src0" => 800; case "src1" => 500; case "src2" => 250
         case _ => 100
@@ -180,12 +182,15 @@ class CorpusSpec extends AnyFunSuite {
     }.map(_.getLong(0)).toSet
     assert(a === expected)
     // independence from p02's unsalted hash: overlap ≈ product of
-    // rates, NOT nesting (nested would make overlap = min of the two)
+    // rates, NOT nesting (nested would make overlap = min of the two;
+    // a single salted multiply — a constant shift of p02's hash —
+    // would rotate the kept residue window and push the overlap to a
+    // source-dependent extreme)
     val p02 = Corpus.stratifiedSample(docs).collect()
       .map(_.getLong(0)).toSet
     val overlap = (a & p02).size.toDouble / docs.count()
     val product = (a.size.toDouble / docs.count()) * 0.2
-    assert(math.abs(overlap - product) < 0.05,
+    assert(math.abs(overlap - product) < 0.02,
       s"salted layers must compose independently: $overlap vs $product")
   }
 
@@ -200,9 +205,9 @@ class CorpusSpec extends AnyFunSuite {
     val flatW = Window.orderBy(col("h"), col("doc_id"))
     val naive = docs.select(col("doc_id"), col("source"))
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
-      .withColumn("h", pmod(
+      .withColumn("h", pmod(pmod(
         pmod(col("doc_id") + 911L, lit(1000000007L)) * 2654435761L,
-        lit(1L << 20)))
+        lit(1000000007L)) * 2654435761L, lit(1L << 20)))
       .withColumn("idx", row_number().over(flatW).cast("long") - 1)
       .withColumn("batch_id", expr("idx DIV 32"))
       .groupBy("batch_id")
@@ -267,9 +272,10 @@ class CorpusSpec extends AnyFunSuite {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority"), col("doc_id"))
     val naive = docs.select(col("doc_id"), col("source"))
-      .withColumn("priority", pmod(
+      .withColumn("priority", pmod(pmod(
         pmod(col("doc_id") + lit(271L), lit(1000000007L)) *
-          lit(2654435761L), lit(1000000L)))
+          lit(2654435761L), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000L)))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 7)
       .collect().map(_.toSeq).toSet
@@ -282,5 +288,44 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.sourceCap(docs.repartition(5), cap = 7,
       saltBuckets = 8).collect().map(_.toSeq).toSet
     assert(again === got)
+  }
+
+  test("p08: split is exhaustive, disjoint, hash-exact, repartition-stable") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.split(docs).collect()
+    assert(out.length.toLong === docs.count(),
+      "every document gets exactly one split row")
+    // assignment matches the driver-side hash, so splits are disjoint
+    // by construction and the boundaries are exactly 10/50 permille
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    got.foreach { case (id, s) =>
+      val h = ((id + 9176L) % 1000000007L) * 2654435761L %
+        1000000007L * 2654435761L % 1000L
+      val want = if (h < 10) "test" else if (h < 60) "val" else "train"
+      assert(s === want, s"doc $id: got $s want $want (h=$h)")
+    }
+    // all three splits are non-empty at this sf and sum to the corpus
+    val sizes = out.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.length).toMap
+    assert(Set("train", "val", "test").subsetOf(sizes.keySet))
+    assert(sizes.values.sum === out.length)
+    // stable under re-partitioning (no RNG, no partition dependence)
+    val again = Corpus.split(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(again === got)
+    // held-out membership is independent of the p02 sampling layer:
+    // the test+val fraction WITHIN p02's sample tracks the global
+    // 6% (same salt would nest them — all of p02's low-hash rows
+    // would also be low-hash here)
+    val sampled = Corpus.stratifiedSample(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val heldInSample = sampled.count(id => got(id) != "train").toDouble /
+      sampled.size
+    assert(heldInSample > 0.02 && heldInSample < 0.12,
+      s"held-out rate inside p02 sample drifted: $heldInSample")
+    // pure map-side: no exchange anywhere in the plan
+    val plan = Corpus.split(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "split must not shuffle")
   }
 }

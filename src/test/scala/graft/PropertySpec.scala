@@ -182,7 +182,8 @@ class PropertySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("rnk")))
         .toSet
       def pri(id: Long): Long =
-        (((id + 271L) % 1000000007L) * 2654435761L) % 1000000L
+        ((id + 271L) % 1000000007L) * 2654435761L %
+          1000000007L * 2654435761L % 1000000L
       val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
         ds.sortBy(d => (pri(d._1), d._1)).take(cap).zipWithIndex
           .map { case ((id, _), i) => (id, src, i.toLong + 1) }
