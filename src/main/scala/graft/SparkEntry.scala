@@ -90,6 +90,8 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, d))),
     "s04_ann_pq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), cacheKey = d)),
+    "s05_ann_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPq(Tables.embeddings(s, d), cacheKey = d)),
     "t01_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) =>

@@ -424,6 +424,101 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** s05_ann_ivfpq — the composed billion-scale ANN shape: s02's
+    * learned IVF quantizer decides WHICH vectors get scanned (nprobe
+    * clusters per query instead of the whole corpus), s04's PQ codes
+    * decide how CHEAPLY each one is scored (`subspaces` LUT adds per
+    * row, codes-only — the scan touches no float vectors), and the
+    * exact rerank of the top `rerankDepth` ADC survivors restores
+    * s01's precision on everything the two pruning layers retained.
+    * This is the FAISS IVFADC layout re-expressed as DataFrames: both
+    * index artifacts (centroid table, codebook+codes) are the
+    * build-once memos the component operators already maintain, and
+    * the composition adds NO new shuffle — the probe table and the
+    * per-query LUT are both broadcast, so the scan side remains one
+    * pass over the (cluster_id, codes) index rows.
+    *
+    * Codes here encode the raw vectors, not the residuals x−c(x):
+    * residual PQ couples the codebook to the quantizer (retrain both
+    * on any recluster) for accuracy this corpus can't measure — the
+    * spec pins the lossless contract (nprobe=all × rerank=corpus ≡
+    * s01) and the recall floor instead.
+    *
+    * Recall < 1 by design, rising with BOTH dials independently:
+    * nprobe bounds what the IVF layer can see, rerankDepth bounds
+    * what survives the ADC approximation.
+    */
+  def annIvfPq(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
+      nprobe: Int = 3, kClusters: Int = 10, lloydIters: Int = 3,
+      subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
+      pqIters: Int = 2, rerankDepth: Int = 32,
+      cacheKey: String = ""): DataFrame = {
+    val e = normed(embeddings).repartition(col("vec_id"))
+    val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
+    val (cb, codes) = pqIndex(e, subspaces, subDim, ks, pqIters, cacheKey)
+    // the IVF-PQ index: one row per vector, (cluster_id, codes, nrm)
+    val indexed = codes.join(
+      assignTo(e, cent).select(col("vec_id"), col("cluster_id")), "vec_id")
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("cluster_id").asc)
+    val probe = q.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cluster_id").as("probe_cluster"))
+    // per-query positional LUT, exactly s04's construction
+    val qSub = q.select(col("q_id"),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        i => slice(col("qv"), i * lit(subDim) + lit(1), lit(subDim)))))
+      .withColumnRenamed("pos", "sub_id")
+      .withColumnRenamed("col", "qsv")
+    val entries = qSub.join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"),
+        (col("sub_id") * ks + col("code")).as("slot"),
+        VectorOps.dot(col("qsv"), col("cv")).as("lv"))
+    val grid = q.select(col("q_id"), col("qn"),
+      explode(sequence(lit(0), lit(subspaces * ks - 1))).as("slot"))
+    val lut = grid.join(entries, Seq("q_id", "slot"), "left")
+      .groupBy(col("q_id"))
+      .agg(first(col("qn")).as("qn2"),
+        transform(array_sort(collect_list(struct(col("slot"),
+          coalesce(col("lv"), lit(0.0)).as("lv")))),
+          x => x.getField("lv")).as("lut"))
+    // probed-clusters-only ADC scan: the probe prunes rows, the LUT
+    // prices them — both arrive broadcast on the one index pass
+    val adc = indexed
+      .join(broadcast(probe.join(lut, "q_id")),
+        col("cluster_id") === col("probe_cluster") &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        VectorOps.pqAdc(col("codes"), col("lut"), ks) /
+          nullif(col("nrm") * col("qn2"), lit(0.0d)))
+      .filter(col("approx_cos").isNotNull)
+    val localW = Window
+      .partitionBy(col("q_id"), pmod(xxhash64(col("vec_id")), lit(shards)))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val globalW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val cand = adc
+      .withColumn("rl", row_number().over(localW))
+      .filter(col("rl") <= rerankDepth)
+      .withColumn("rg", row_number().over(globalW))
+      .filter(col("rg") <= rerankDepth)
+      .select(col("q_id"), col("vec_id"))
+    val scoredCand = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+    topK(scoredCand, k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** s02_ann_ivf — IVF ANN with a LEARNED coarse quantizer: spherical
     * k-means centroids (kmeansCentroids — no dependence on any given
     * label column, the thing a real 100 TB embedding corpus lacks),

@@ -163,6 +163,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s05: both pruning dials lift recall; all-clusters × full depth IS s01") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int, depth: Int): Double = {
+      val got = Similarity.annIvfPq(e, nprobe = nprobe,
+        rerankDepth = depth).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val base = recall(3, 32)
+    info(s"recall@5 nprobe=3 depth=32: $base")
+    assert(base >= 0.3, s"composed recall floor: $base")
+    // each dial widens what its layer retains — recall must not drop
+    val moreProbe = recall(6, 32)
+    val moreDepth = recall(3, 64)
+    info(s"nprobe=6: $moreProbe, depth=64: $moreDepth")
+    assert(moreProbe >= base - 0.02, "recall collapsed as nprobe grew")
+    assert(moreDepth >= base - 0.02, "recall collapsed as depth grew")
+    // losslessness: probe everything, keep every ADC candidate → the
+    // exact rerank reproduces brute force bit-for-bit
+    val s01 = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val full = Similarity.annIvfPq(e, nprobe = 10, rerankDepth = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(full === s01, "nprobe=all x rerank>=corpus must equal s01")
+    // bit-deterministic rerun (hash seeds + decimal Lloyd means)
+    val a = Similarity.annIvfPq(e).collect().map(_.toSeq).toSet
+    val b = Similarity.annIvfPq(e).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("s05: index side enters hash joins; scan carries codes, not vectors") {
+    val df = Similarity.annIvfPq(Tables.embeddings(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, ns) =>
+      assert(ns.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to ns.length).toSeq)
+      assert(!ns.exists(_.getAs[Long]("n_id") == q))
+    }
+  }
+
   test("pq_adc: kernel sums the coded slots; malformed input is null") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
