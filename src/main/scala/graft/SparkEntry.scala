@@ -189,6 +189,8 @@ object SparkEntry {
       TextAnalysis.oovRate(Tables.documents(s, d))),
     "p08_split" -> ((s, d) =>
       Corpus.split(Tables.documents(s, d))),
+    "m06_phash_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1317,6 +1319,53 @@ object SparkEntry {
                   * 1.0 / count(*), 4) AS oov_rate
          FROM tt LEFT JOIN vocab v USING (token)
          GROUP BY 1""",
+    // m06: full byte-level aHash replay (t04's hex-pair idiom), the
+    // same integer cross-product bit rule, the same ≤256 bucket
+    // guard, pigeonhole bands, and bit_count(xor) verification — the
+    // whole near-dup path is integer-exact, so unlike the xxhash
+    // dedup family this fuzzy oracle has NO hash gap.
+    "m06_phash_dedup" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) >= 64),
+         bv AS (
+           SELECT doc_id, n, t,
+                  strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
+                  + strpos('123456789ABCDEF', hx[CAST(2*t+2 AS INT)])
+                    AS byte
+           FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS t FROM b)),
+         blocks AS (
+           SELECT doc_id, n, (t*64)//n AS j,
+                  sum(byte) AS bs, count(*) AS bc
+           FROM bv GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, sum(bs) AS ts FROM blocks GROUP BY 1),
+         bits AS (
+           SELECT blocks.doc_id, j,
+                  CASE WHEN bs*n > ts*bc THEN 1 ELSE 0 END AS bit
+           FROM blocks JOIN tot USING (doc_id)),
+         chunks AS (
+           SELECT doc_id, j//8 AS chunk_id,
+                  CAST(sum(bit * (1<<(j%8))) AS BIGINT) AS cv
+           FROM bits GROUP BY 1, 2),
+         ok AS (SELECT chunk_id, cv FROM chunks
+                GROUP BY 1, 2 HAVING count(*) <= 256),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM chunks x
+           JOIN ok USING (chunk_id, cv)
+           JOIN chunks y USING (chunk_id, cv)
+           WHERE x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b,
+                CAST(sum(bit_count(xor(xa.cv, xb.cv))) AS BIGINT)
+                  AS hamming
+         FROM cand c
+         JOIN chunks xa ON xa.doc_id = c.doc_a
+         JOIN chunks xb ON xb.doc_id = c.doc_b
+           AND xb.chunk_id = xa.chunk_id
+         GROUP BY 1, 2
+         HAVING sum(bit_count(xor(xa.cv, xb.cv))) <= 6""",
     // p08: the split hash is exact integer arithmetic (p04's salted
     // double-multiply, own salt) — both engines compute the identical
     // bucket, so assignment is value-exact.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators m01–m02: image/audio/video payloads as
@@ -192,4 +193,104 @@ object Multimodal {
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).as("n_copies"),
         min(col("n_bytes")).as("n_bytes"))
+
+  /** Per-payload perceptual hash record: the 64-bit aHash as eight
+    * 8-bit chunk values (chunk k = bits [8k, 8k+8)) — stored split
+    * so the band join keys on a chunk directly and no signed-64
+    * edge case exists.
+    */
+  final case class PHash(doc_id: Long, n_bytes: Long, chunks: Seq[Long])
+
+  /** Payload → blockwise average hash, the perceptual fingerprint a
+    * real pipeline computes from decoded pixels (aHash: downsample,
+    * threshold each cell at the global mean). STUB decode per the
+    * module contract: the "image" is the raw byte sequence, cut into
+    * 64 balanced blocks (block of byte i = i·64/n); bit j is set iff
+    * block j's mean exceeds the payload mean — compared as the exact
+    * integer cross-product blocksum·n > totalsum·blockcount, so both
+    * engines agree bit-for-bit with no division. One batch-iterator
+    * pass per payload, map-side only. Payloads under 64 bytes have no
+    * 64-cell grid and are not fingerprintable (filtered, like a real
+    * decoder rejecting a truncated image). Exact up to payloads of
+    * ~1.9e8 bytes (blocksum·n < 2^63 at byte values ≤ 255).
+    */
+  def phashChunks(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    payloads(documents).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          if (n < 64) None
+          else {
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val j = ((i.toLong * 64L) / n).toInt
+              val v = (bytes(i) & 0xff).toLong
+              sums(j) += v; cnts(j) += 1L; total += v
+              i += 1
+            }
+            val chunks = new Array[Long](8)
+            var j = 0
+            while (j < 64) {
+              if (sums(j) * n > total * cnts(j))
+                chunks(j >> 3) |= (1L << (j & 7))
+              j += 1
+            }
+            Some(PHash(id, n.toLong, chunks.toIndexedSeq))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** m06_phash_dedup — NEAR-dup detection over the binary payload
+    * column (m05 catches byte-identical copies; this catches
+    * re-encodes/minor edits whose perceptual hash stays close).
+    * Candidates are pairs sharing any of the eight 8-bit hash chunks
+    * — the pigeonhole band join (d03's shape): a pair within Hamming
+    * distance 7 differs in at most 7 of 8 chunks, so it MUST agree on
+    * one; for `maxHamming` ≤ 7 banding is lossless. The shuffle
+    * carries (chunk_id, chunk_value, doc_id) — never payloads.
+    * Buckets larger than `maxBucket` docs are dropped before the
+    * self-join (a degenerate constant-ish corpus would otherwise go
+    * quadratic); the ORACLE replicates the guard identically, so the
+    * comparison stays exact — and byte-identical clique mass belongs
+    * to m05's exact layer anyway, which runs first in any real
+    * pipeline. Survivor pairs verify on the full 8 chunks:
+    * hamming = Σ bit_count(chunk_a XOR chunk_b), integer-exact in
+    * both engines.
+    */
+  def phashDedup(documents: DataFrame, maxHamming: Int = 6,
+      maxBucket: Int = 256): DataFrame = {
+    val ph = phashChunks(documents)
+    val chunkRows = ph.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("chunk_id", "cv")))
+    // hot-bucket guard as a window over the one chunk exchange (no
+    // second scan): bucket size per (chunk_id, cv)
+    val bw = Window.partitionBy(col("chunk_id"), col("cv"))
+    val inBucket = chunkRows
+      .withColumn("bn", count(lit(1)).over(bw))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val cand = inBucket.as("x")
+      .join(inBucket.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b") // same pair, several chunks
+    val a = ph.select(col("doc_id").as("doc_a"), col("chunks").as("ca"))
+    val b = ph.select(col("doc_id").as("doc_b"), col("chunks").as("cb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("ca"), col("cb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -120,4 +120,95 @@ class MultimodalSpec extends AnyFunSuite {
       .map(b => f"${b & 0xff}%02x").mkString
     assert(out.contains(md))
   }
+
+  // independent in-memory replay of the m06 pipeline, for planted data
+  private def refChunks(bytes: Array[Byte]): Option[Seq[Long]] = {
+    val n = bytes.length
+    if (n < 64) None
+    else {
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      var total = 0L
+      bytes.indices.foreach { i =>
+        val j = ((i.toLong * 64L) / n).toInt
+        sums(j) += (bytes(i) & 0xff).toLong; cnts(j) += 1
+        total += (bytes(i) & 0xff).toLong
+      }
+      val cs = new Array[Long](8)
+      (0 until 64).foreach { j =>
+        if (sums(j) * n > total * cnts(j)) cs(j >> 3) |= (1L << (j & 7))
+      }
+      Some(cs.toIndexedSeq)
+    }
+  }
+
+  private def refPairs(docs: Map[Long, Array[Byte]], maxH: Int,
+      maxBucket: Int): Set[(Long, Long, Long)] = {
+    val ch = docs.flatMap { case (id, b) => refChunks(b).map(id -> _) }
+    val bucketN = ch.toSeq
+      .flatMap { case (_, cs) => cs.zipWithIndex.map(_.swap) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    (for {
+      (a, ca) <- ch; (b, cb) <- ch if a < b
+      shared = (0 until 8).exists(k =>
+        ca(k) == cb(k) && bucketN((k, ca(k))) <= maxBucket)
+      if shared
+      h = (0 until 8).map(k =>
+        java.lang.Long.bitCount(ca(k) ^ cb(k)).toLong).sum
+      if h <= maxH
+    } yield (a, b, h)).toSet
+  }
+
+  test("m06: planted near payloads pair with exact hammings; far ones don't") {
+    import spark.implicits._
+    // 64 blocks x 4 chars; block j's mean is exactly 'a'+j%26, so the
+    // bit pattern is hand-checkable: bit j = (j%26 >= 12). Rewriting
+    // block 0 (the lowest mean) to 'z' flips ONLY bit 0 — the new
+    // global mean (+100/256) crosses no other block's margin (blocks
+    // sit >= 1 full byte from the threshold, the shift is 0.39).
+    val base = (0 until 64)
+      .flatMap(j => Seq.fill(4)(('a' + j % 26).toChar)).mkString
+    val oneBlockEdit = "zzzz" + base.drop(4)
+    val far = (0 until 64)
+      .flatMap(j => Seq.fill(4)(('a' + (25 - j % 26)).toChar)).mkString
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> oneBlockEdit, 4L -> far,
+      5L -> "short", 6L -> null.asInstanceOf[String])
+    val df = docs.toDF("doc_id", "text")
+    val got = Multimodal.phashDedup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = refPairs(
+      docs.collect { case (id, t) if t != null => id -> t.getBytes("UTF-8") }
+        .toMap, maxH = 6, maxBucket = 256)
+    assert(got === want, "engine pairs must equal the in-memory replay")
+    assert(got.contains((1L, 2L, 0L)), "identical payloads pair at hamming 0")
+    assert(got.contains((1L, 3L, 1L)),
+      "the one-block edit pairs at exactly hamming 1")
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L },
+      "the far payload pairs with nothing")
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L },
+      "sub-grid payloads are not fingerprintable")
+    // the bucket guard is a real knob: at maxBucket=1 every shared
+    // bucket is 'hot' (the identical docs share all 8), so no
+    // candidates survive
+    assert(Multimodal.phashDedup(df, maxBucket = 1).collect().isEmpty)
+  }
+
+  test("m06: corpus fingerprints cover every eligible payload; empty is correct") {
+    val docs = Tables.documents(spark, sf)
+    val ph = Multimodal.phashChunks(docs).collect()
+    val eligible = docs.filter(
+      org.apache.spark.sql.functions.col("text").isNotNull &&
+      org.apache.spark.sql.functions
+        .octet_length(org.apache.spark.sql.functions.col("text")) >= 64)
+      .count()
+    assert(ph.length.toLong === eligible)
+    ph.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Long]]("chunks")
+      assert(cs.length === 8 && cs.forall(c => c >= 0L && c <= 255L))
+    }
+    // this corpus's near-dups are word-level edits — >7/64 block bits
+    // apart, correctly NOT phash-near (the oracle independently
+    // derives the same empty set through the full hash pipeline)
+    assert(Multimodal.phashDedup(docs).collect().isEmpty)
+  }
 }
