@@ -191,6 +191,11 @@ object SparkEntry {
       Corpus.split(Tables.documents(s, d))),
     "m06_phash_dedup" -> ((s, d) =>
       Multimodal.phashDedup(Tables.documents(s, d))),
+    "k05_orc_roundtrip" -> ((s, d) =>
+      graft.sources.Formats.orcRoundtrip(Tables.documents(s, d),
+        cacheKey = d)),
+    "q31_outlier" -> ((s, d) =>
+      Pipeline.outliers(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1366,6 +1371,35 @@ object SparkEntry {
            AND xb.chunk_id = xa.chunk_id
          GROUP BY 1, 2
          HAVING sum(bit_count(xor(xa.cv, xb.cv))) <= 6""",
+    // k05: the oracle reads the ORIGINAL parquet — equality proves
+    // the ORC hop lost/duplicated/corrupted nothing.
+    "k05_orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1, 2""",
+    // q31: the z²>9 test as an exact integer cross-product (HUGEINT
+    // here, decimal(38) in the engine) — no float moment anywhere,
+    // so borderline events can't flip on an ulp.
+    "q31_outlier" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  CAST(round(value*100, 0) AS BIGINT) AS cents
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND value IS NOT NULL),
+         agg AS (
+           SELECT user_id, count(*) AS n, sum(cents) AS s,
+                  sum(cents*cents) AS q
+           FROM e GROUP BY 1)
+         SELECT e.user_id, e.event_id, e.cents, agg.n AS n_user
+         FROM e JOIN agg USING (user_id)
+         WHERE n >= 2 AND
+           CAST(n*e.cents - s AS HUGEINT)
+             * CAST(n*e.cents - s AS HUGEINT) * (n-1)
+           > 9 * CAST(n AS HUGEINT)
+             * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)""",
     // p08: the split hash is exact integer arithmetic (p04's salted
     // double-multiply, own salt) — both engines compute the identical
     // bucket, so assignment is value-exact.

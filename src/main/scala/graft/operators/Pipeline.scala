@@ -491,6 +491,44 @@ object Pipeline {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** q31_outlier — per-user z-score anomaly detection over event
+    * values, with the z²>9 test evaluated as an EXACT integer
+    * cross-product so the flag is bit-identical in every engine:
+    * |v − μ| > 3σ ⇔ (n·c − S)²·(n−1) > 9·n·(n·Q − S²) with c the
+    * value in cents, S = Σc, Q = Σc² — no float mean, no float
+    * variance, no sqrt, so there is no ulp anywhere a borderline
+    * event could flip on (the same discipline as q13's integer-cents
+    * averages, extended to second moments). Products run in
+    * decimal(38) (the oracle uses 128-bit integers): at n events per
+    * user and c ≤ 10^5 cents the terms reach n²·c² ≈ 10^28 at
+    * n = 10^9 — inside decimal(38), far outside int64.
+    *
+    * Plan shape: one shuffle on user_id; the moments are unordered
+    * partition-wide window aggregates over that exchange (no
+    * groupBy+join back, no second exchange), then the flag is a
+    * map-side filter. Skew-safe: user_id is high-cardinality, and
+    * the window needs no sort (unbounded frame).
+    */
+  def outliers(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val dec = "decimal(38,0)"
+    val e = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s", sum(col("cents")).over(byUser))
+      .withColumn("q", sum(col("cents") * col("cents")).over(byUser))
+    val d = (col("n") * col("cents") - col("s")).cast(dec)
+    val lhs = d * d * (col("n") - 1).cast(dec)
+    val rhs = lit(9L).cast(dec) * col("n").cast(dec) *
+      (col("n").cast(dec) * col("q").cast(dec) -
+        col("s").cast(dec) * col("s").cast(dec))
+    e.filter(col("n") >= 2 && lhs > rhs)
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n").as("n_user"))
+  }
+
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
     * Gaps-and-islands: lag per user, flag gaps > gapSeconds,

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Columnar-format round trips beyond parquet — a real lake holds
+  * more than one format, and an engine that claims to replace the
+  * reference must read and write the other big columnar layout
+  * (ORC) with the same partition-pruning behavior it gets from
+  * parquet. The reference's durable tree is format-fixed
+  * (/root/reference/tools.py:677-736 consolidates outputs into one
+  * layout); this operator is the migration/interop surface.
+  */
+object Formats {
+
+  /** k05_orc_roundtrip — write the documents table as an ORC tree
+    * partitioned by `lang`, read it back with a partition-pruned
+    * scan, and summarize per (lang, source) — row counts plus two
+    * checksums, so any row lost, duplicated, or corrupted by the
+    * format hop flips the result. The WHERE on the partition column
+    * must prune at the DIRECTORY level (spec asserts PartitionFilters
+    * in the scan, the same contract k01 pins for the parquet sink):
+    * at 100 TB the pruned scan reads two language subtrees, not the
+    * corpus. The ORC write runs on every call — the round trip IS
+    * the operator (k03's discipline); one output tree per staged
+    * input, overwritten per call, no temp-dir churn across bench
+    * repetitions.
+    */
+  private val outDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def orcRoundtrip(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val outDir = outDirs.getOrElseUpdate(cacheKey,
+      Files.createTempDirectory("graft_k05_orc_").toString + "/tree")
+    documents
+      .repartition(col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("lang")
+      .orc(outDir)
+    spark.read.orc(outDir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        sum(col("doc_id")).cast("long").as("key_checksum"))
+  }
+}

@@ -258,4 +258,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"),
       "local top-k must be a spillable window sort, not an in-memory buffer")
   }
+
+  test("q31: planted spike is the one flagged event; real data matches BigInt replay") {
+    import spark.implicits._
+    // 20 quiet events + one spike: z = 94286/21603 ≈ 4.4 > 3; the
+    // quiet ones sit at z ≈ 0.22. With only a handful of events a
+    // single spike inflates sigma past its own deviation (max z ≈
+    // sqrt(n)), so the planted user needs n = 21 for the spike to
+    // clear 3 — that arithmetic fact is itself worth pinning here.
+    val ev = ((1 to 20).map(i => (7L, i.toLong, 10.0)) :+ (7L, 99L, 1000.0))
+      .toDF("user_id", "event_id", "value")
+    val flagged = graft.operators.Pipeline.outliers(ev).collect()
+    assert(flagged.length === 1)
+    assert(flagged.head.getLong(1) === 99L &&
+      flagged.head.getLong(2) === 100000L &&
+      flagged.head.getLong(3) === 21L)
+    // real corpus: every flag agrees with an exact BigInt replay
+    val events = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val byUser = events.groupBy(_._1)
+    val want = byUser.flatMap { case (u, es) =>
+      val n = BigInt(es.length)
+      val s = BigInt(es.map(_._3).sum)
+      val q = es.map(e => BigInt(e._3) * BigInt(e._3)).sum
+      es.filter { case (_, _, c) =>
+        val d = n * c - s
+        n >= 2 && d * d * (n - 1) > 9 * n * (n * q - s * s)
+      }.map(e => (u, e._2, e._3, es.length.toLong)).toSeq
+    }.toSet
+    val got = SparkEntry.queries("q31_outlier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty, "the corpus must exercise the non-empty path")
+    // one exchange (user_id), no join back for the moments
+    val plan = SparkEntry.queries("q31_outlier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length == 2,
+      "moments must ride ONE user_id exchange as window aggregates")
+    assert(!plan.contains("Join"), "no groupBy+join-back")
+  }
 }
