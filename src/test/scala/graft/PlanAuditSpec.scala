@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "st04_stream_enrich", "st05_stream_asof",
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
       "d10_dedup_incremental", "k04_fastq_ingest",
-      "st06_stream_sink", "st07_stream_funnel")
+      "st06_stream_sink", "st07_stream_funnel", "k05_orc_roundtrip")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a
@@ -32,9 +32,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** s04's ADC scan crosses the codes-only corpus with the BROADCAST
     * per-query lookup tables (a handful of rows, like s01's queries).
     */
+  /** s05 composes s02's probe cross (queries × broadcast centroids)
+    * with s04's LUT broadcast — the same by-design tiny sides.
+    */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab", "s04_ann_pq")
+      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
