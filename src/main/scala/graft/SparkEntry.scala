@@ -196,6 +196,10 @@ object SparkEntry {
         cacheKey = d)),
     "q31_outlier" -> ((s, d) =>
       Pipeline.outliers(Tables.events(s, d))),
+    "q32_online_outlier" -> ((s, d) =>
+      Pipeline.onlineOutliers(Tables.events(s, d))),
+    "st08_stream_outlier" -> ((s, d) =>
+      StreamOps.streamOutliers(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -291,7 +295,38 @@ object SparkEntry {
                FROM s4)
          GROUP BY 1"""
 
+  /** Shared by q32 (batch window) and st08 (stateful stream): the
+    * online detector must reproduce the batch prefix-moment flags
+    * bit-for-bit on the finite harness — the z²>9 test is an exact
+    * integer cross-product on both paths, so both keys get the
+    * identical HUGEINT oracle.
+    */
+  private val onlineOutlierSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                CAST(round(value*100, 0) AS BIGINT) AS cents
+         FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           AND value IS NOT NULL),
+       w AS (
+         SELECT user_id, event_id, cents,
+                count(*) OVER pw AS n, sum(cents) OVER pw AS s,
+                sum(cents*cents) OVER pw AS q
+         FROM e
+         WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+       SELECT user_id, event_id, cents, CAST(n AS BIGINT) AS n_prior
+       FROM w
+       WHERE n >= 10 AND
+         CAST(n*cents - s AS HUGEINT)
+           * CAST(n*cents - s AS HUGEINT) * (n-1)
+         > 9 * CAST(n AS HUGEINT)
+           * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)"""
+
   def oracleSql: Map[String, String] = Map(
+    "q32_online_outlier" -> onlineOutlierSql,
+    "st08_stream_outlier" -> onlineOutlierSql,
     "q01_qc_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,

@@ -529,6 +529,46 @@ object Pipeline {
         col("n").as("n_user"))
   }
 
+  /** q32_online_outlier — the ONLINE form of q31: each event is
+    * tested against the moments of its user's PRIOR events only
+    * (ordered by event time, ties broken by event_id — a total
+    * order, so both engines accumulate identically), which is what
+    * a live monitor can actually compute at arrival time; q31's
+    * full-corpus test is the retrospective view. Same exact integer
+    * cross-product as q31 — prefix counts/sums/sums-of-squares are
+    * longs, the z²>9 comparison runs in decimal(38) — so the flag
+    * has no float anywhere. `minPrior` suppresses flags until the
+    * baseline has data (an online detector's warm-up rule),
+    * deterministically on both engines.
+    *
+    * Plan: one user_id exchange; the three prefix moments share one
+    * window sort; the flag is a map-side filter. st08 is this
+    * operator as a stateful stream (the state is just (n, S, Q) per
+    * user — three longs), spec- and oracle-pinned equal.
+    */
+  def onlineOutliers(events: DataFrame, minPrior: Long = 10L): DataFrame = {
+    val pw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    val e = events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(pw))
+      .withColumn("s", sum(col("cents")).over(pw))
+      .withColumn("q", sum(col("cents") * col("cents")).over(pw))
+    val d = (col("n") * col("cents") - col("s")).cast(dec)
+    val lhs = d * d * (col("n") - 1).cast(dec)
+    val rhs = lit(9L).cast(dec) * col("n").cast(dec) *
+      (col("n").cast(dec) * col("q").cast(dec) -
+        col("s").cast(dec) * col("s").cast(dec))
+    e.filter(col("n") >= minPrior && lhs > rhs)
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n").as("n_prior"))
+  }
+
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
     * Gaps-and-islands: lag per user, flag gaps > gapSeconds,

@@ -278,6 +278,69 @@ object StreamOps {
       .select(col("step_reached"), col("step_name"), col("n_users"))
   }
 
+  /** Typed event + flagged-outlier row for st08. */
+  final case class EvO(user_id: Long, event_id: Long, ts_us: Long,
+      cents: Long)
+
+  final case class OutlierFlag(user_id: Long, event_id: Long,
+      cents: Long, n_prior: Long)
+
+  /** st08_stream_outlier — ONLINE anomaly detection as a stateful
+    * stream: per user the state is exactly three longs (count, sum,
+    * sum of squares of cents); each arriving event is tested against
+    * the state BEFORE being folded in — the same prior-moments
+    * contract as q32, which shares its oracle. The z²>9 test is the
+    * exact integer cross-product (BigInt here — the state longs are
+    * exact, the products exceed int64 at scale), so stream and batch
+    * agree bit-for-bit on the finite harness, and the state size is
+    * O(users)·24 bytes — the smallest state of any stateful operator
+    * here. Same late-data caveat as st05/st07: the harness's single
+    * AvailableNow batch sees event order exactly; a 24/7 deployment
+    * bounds reordering with a watermark.
+    */
+  def streamOutliers(spark: SparkSession, dir: String,
+      minPrior: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.Tables.epochUs(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .as[EvO]
+    val flags = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[EvO],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, s, q) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = Vector.newBuilder[OutlierFlag]
+          events.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val c = e.cents
+            if (n >= minPrior) {
+              val d = BigInt(n) * c - s
+              val lhs = d * d * (n - 1)
+              val rhs = BigInt(9) * n * (BigInt(n) * q - BigInt(s) * s)
+              if (lhs > rhs) out += OutlierFlag(uid, e.event_id, c, n)
+            }
+            n += 1L; s += c; q += c * c
+          }
+          state.update((n, s, q))
+          out.result().iterator
+      }
+    val sink = s"st08_mem_${System.nanoTime()}"
+    val query = flags.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n_prior"))
+  }
+
   /** st06_stream_sink — the streaming DURABLE sink: events stream →
     * partitioned parquet tree with a checkpoint, the landing-zone
     * writer a 24/7 ingest runs (the reference's per-sample durable

@@ -184,6 +184,34 @@ class StreamOpsSpec extends AnyFunSuite {
       "exactly-once: the rerun must not write or rewrite any file")
   }
 
+  test("st08: streaming online outliers equal batch q32 exactly") {
+    val batch = SparkEntry.queries("q32_online_outlier")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st08_stream_outlier")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty, "the corpus must exercise the non-empty path")
+  }
+
+  test("q32/st08: prior-moments contract — planted spike flags online only after warm-up") {
+    import spark.implicits._
+    // 15 quiet events then a spike, then more quiet ones: the spike
+    // is flagged (prior n=15 ≥ 10, prior variance tiny); the quiet
+    // events after it are NOT (sigma now inflated); the quiet events
+    // before it are NOT (zero deviation); nothing before index 10
+    // can flag (warm-up).
+    val ev = ((1 to 15).map(i => (3L, i.toLong, 1000L + i, 10.0 + (i % 2))) ++
+      Seq((3L, 99L, 1100L, 500.0)) ++
+      (1 to 5).map(i => (3L, 200L + i, 1200L + i, 10.0)))
+      .toDF("user_id", "event_id", "ts_us", "value")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(ts_us)").as("ts"), col("value"))
+    val got = graft.operators.Pipeline.onlineOutliers(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((99L, 15L)),
+      s"only the spike flags, against 15 priors; got ${got.toSeq}")
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
