@@ -266,26 +266,30 @@ object Multimodal {
     */
   def phashDedup(documents: DataFrame, maxHamming: Int = 6,
       maxBucket: Int = 256): DataFrame = {
-    val ph = phashChunks(documents)
-    val chunkRows = ph.select(col("doc_id"),
-      posexplode(col("chunks")).as(Seq("chunk_id", "cv")))
-    // hot-bucket guard as a window over the one chunk exchange (no
-    // second scan): bucket size per (chunk_id, cv)
+    // Postings CARRY the 8-chunk array (64 bytes/row): the verify
+    // step then reads both sides' hashes off the band join itself —
+    // no join-back to the fingerprint table, so the batch decode runs
+    // ONCE and the band self-join probes one exchange twice
+    // (ReusedExchange; the alternative — slim postings + two
+    // verify-side rejoins — re-decodes the corpus per branch, the
+    // d02 lesson).
+    val postings = phashChunks(documents)
+      .select(col("doc_id"), col("chunks"),
+        posexplode(col("chunks")).as(Seq("chunk_id", "cv")))
+    // hot-bucket guard as a window over that same exchange
     val bw = Window.partitionBy(col("chunk_id"), col("cv"))
-    val inBucket = chunkRows
+    val inBucket = postings
       .withColumn("bn", count(lit(1)).over(bw))
       .filter(col("bn") <= maxBucket)
       .drop("bn")
-    val cand = inBucket.as("x")
+    inBucket.as("x")
       .join(inBucket.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.chunks").as("ca"), col("y.chunks").as("cb"))
       .dropDuplicates("doc_a", "doc_b") // same pair, several chunks
-    val a = ph.select(col("doc_id").as("doc_a"), col("chunks").as("ca"))
-    val b = ph.select(col("doc_id").as("doc_b"), col("chunks").as("cb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("hamming",
         aggregate(zip_with(col("ca"), col("cb"),
           (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
