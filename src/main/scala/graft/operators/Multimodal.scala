@@ -282,19 +282,25 @@ object Multimodal {
       .withColumn("bn", count(lit(1)).over(bw))
       .filter(col("bn") <= maxBucket)
       .drop("bn")
+    // hamming verifies MAP-SIDE straight off the band join and the
+    // ≤ maxHamming filter runs BEFORE the pair dedup — the dedup
+    // exchange then carries only true near-dup pairs, not the
+    // candidate blowup. The 8-term popcount sum is UNROLLED (fixed
+    // chunk count): an HOF aggregate/zip_with here is interpreted
+    // per element and runs once per CANDIDATE — the hot spot — while
+    // the unrolled form stays inside whole-stage codegen.
+    val hamming = (0 until 8)
+      .map(i => bit_count(element_at(col("x.chunks"), i + 1)
+        .bitwiseXOR(element_at(col("y.chunks"), i + 1))).cast("long"))
+      .reduce(_ + _)
     inBucket.as("x")
       .join(inBucket.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.chunks").as("ca"), col("y.chunks").as("cb"))
-      .dropDuplicates("doc_a", "doc_b") // same pair, several chunks
-      .withColumn("hamming",
-        aggregate(zip_with(col("ca"), col("cb"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, v) => acc + v))
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b") // same pair, several chunks
   }
 }

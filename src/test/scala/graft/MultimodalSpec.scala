@@ -191,6 +191,20 @@ class MultimodalSpec extends AnyFunSuite {
     // bucket is 'hot' (the identical docs share all 8), so no
     // candidates survive
     assert(Multimodal.phashDedup(df, maxBucket = 1).collect().isEmpty)
+    // the band self-join must probe ONE decoded-postings exchange
+    // twice — the batch decode runs once, not per join side. AQE's
+    // toString prints final then initial plan; only the final
+    // section reflects stage reuse (checked on this NON-empty result
+    // — an empty one collapses to EmptyRelation and erases the
+    // evidence)
+    val executed = Multimodal.phashDedup(df)
+    assert(executed.collect().nonEmpty)
+    val finalPlan = executed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      "band join sides must share the postings exchange")
+    assert(finalPlan.split("SerializeFromObject").length == 2,
+      "the mapPartitions decode must appear exactly once in the final plan")
   }
 
   test("m06: corpus fingerprints cover every eligible payload; empty is correct") {
@@ -209,17 +223,6 @@ class MultimodalSpec extends AnyFunSuite {
     // this corpus's near-dups are word-level edits — >7/64 block bits
     // apart, correctly NOT phash-near (the oracle independently
     // derives the same empty set through the full hash pipeline)
-    val df = Multimodal.phashDedup(docs)
-    assert(df.collect().isEmpty)
-    // the band self-join must probe ONE decoded-postings exchange
-    // twice — the batch decode runs once, not per join side
-    // AQE's toString prints the final plan first, then the initial
-    // plan — only the final section reflects the reuse
-    val finalPlan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(finalPlan.contains("ReusedExchange"),
-      "band join sides must share the postings exchange")
-    assert(finalPlan.split("SerializeFromObject").length == 2,
-      "the mapPartitions decode must appear exactly once in the final plan")
+    assert(Multimodal.phashDedup(docs).collect().isEmpty)
   }
 }
