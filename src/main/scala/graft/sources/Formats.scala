@@ -41,7 +41,10 @@ object Formats {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("lang")
       .orc(outDir)
-    spark.read.orc(outDir)
+    // schema passed explicitly: an EMPTY tree (a legitimately
+    // pruned-to-nothing shard) has no files to infer from and would
+    // otherwise throw UNABLE_TO_INFER_SCHEMA
+    spark.read.schema(documents.schema).orc(outDir)
       .filter(col("lang").isin("en", "de"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

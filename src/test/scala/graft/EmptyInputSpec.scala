@@ -56,4 +56,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.groupedTopk(emptyOrders).count() === 0)
     assert(Asof.eventAsofAnchor(emptyEvents).count() === 0)
   }
+
+  test("late round-7 operators yield empty, not errors") {
+    import graft.operators.{Corpus, Pipeline}
+    val emptyEvents = Tables.events(spark, sf).filter("event_id < 0")
+    assert(TextAnalysis.oovRate(emptyDocs).count() === 0)
+    assert(Corpus.split(emptyDocs).count() === 0)
+    assert(Multimodal.phashChunks(emptyDocs).count() === 0)
+    assert(Multimodal.phashDedup(emptyDocs).count() === 0)
+    assert(Similarity.annIvfPq(emptyEmb).count() === 0)
+    assert(Pipeline.outliers(emptyEvents).count() === 0)
+    assert(Pipeline.onlineOutliers(emptyEvents).count() === 0)
+    assert(graft.sources.Formats.orcRoundtrip(emptyDocs).count() === 0)
+  }
 }
