@@ -962,7 +962,7 @@ object SparkEntry {
     // hash a constant shift of p02's, nesting the layers.
     "p04_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
-         WHERE (((((doc_id + 137) % 1000000007) * 2654435761)
+         WHERE (((((doc_id % 1000000007 + 137) % 1000000007) * 2654435761)
                    % 1000000007) * 2654435761) % 1000 <
                CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
                            WHEN 'src2' THEN 250 ELSE 100 END""",
@@ -1032,7 +1032,7 @@ object SparkEntry {
     "p05_batch_assembly" ->
       """WITH pairs AS (
            SELECT d.doc_id, d.source,
-                  (((((d.doc_id + 911) % 1000000007) * 2654435761)
+                  (((((d.doc_id % 1000000007 + 911) % 1000000007) * 2654435761)
                       % 1000000007) * 2654435761) % 1048576 AS h
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
          ordered AS (
@@ -1194,7 +1194,7 @@ object SparkEntry {
     "p07_source_cap" ->
       """WITH pri AS (
            SELECT doc_id, source,
-                  (((((doc_id + 271) % 1000000007) * 2654435761)
+                  (((((doc_id % 1000000007 + 271) % 1000000007) * 2654435761)
                       % 1000000007) * 2654435761) % 1000000 AS priority
            FROM documents),
          ranked AS (
@@ -1444,7 +1444,7 @@ object SparkEntry {
                      WHEN h < 60 THEN 'val'
                      ELSE 'train' END AS split
          FROM (SELECT doc_id, lang, source,
-                      (((((doc_id + 9176) % 1000000007) * 2654435761)
+                      (((((doc_id % 1000000007 + 9176) % 1000000007) * 2654435761)
                           % 1000000007) * 2654435761) % 1000 AS h
                FROM documents)""",
   )

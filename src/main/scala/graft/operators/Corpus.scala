@@ -206,15 +206,18 @@ object Corpus {
     * first product back through mod p breaks that affinity: the
     * second multiply sees a pseudorandom residue, and threshold sets
     * under different salts intersect at ≈ the product of their rates
-    * (spec-measured). Each factor stays < p ≈ 2^30 so both products
-    * stay under 2^63 — overflow-free in ANSI mode at billion-doc ids,
-    * and exactly reproducible in plain SQL on any engine.
+    * (spec-measured). The id reduces mod p BEFORE the salt is added
+    * (not after), so the function is TOTAL over int64 — `id + salt`
+    * would overflow ANSI-fatally for ids within `salt` of Long.Max —
+    * and each factor stays < p ≈ 2^30 so both products stay under
+    * 2^63: overflow-free at any id, exactly reproducible in plain
+    * SQL on any engine.
     */
   private[graft] def saltedBucket(id: Column, salt: Long,
       buckets: Long): Column = {
     val P = lit(1000000007L)
     val K = lit(2654435761L)
-    pmod(pmod(pmod(id + lit(salt), P) * K, P) * K, lit(buckets))
+    pmod(pmod(pmod(pmod(id, P) + lit(salt), P) * K, P) * K, lit(buckets))
   }
 
   /** p04_mixture_sample — corpus mixture construction: each source

@@ -173,7 +173,7 @@ class CorpusSpec extends AnyFunSuite {
     // exact recompute of the salted-hash contract (double mod-p
     // reduction between the multiplies — see Corpus.saltedBucket)
     val expected = docs.select("doc_id", "source").collect().filter { r =>
-      val h = ((r.getLong(0) + 137L) % 1000000007L) * 2654435761L %
+      val h = (r.getLong(0) % 1000000007L + 137L) % 1000000007L * 2654435761L %
         1000000007L * 2654435761L % 1000L
       h < (r.getString(1) match {
         case "src0" => 800; case "src1" => 500; case "src2" => 250
@@ -206,7 +206,7 @@ class CorpusSpec extends AnyFunSuite {
     val naive = docs.select(col("doc_id"), col("source"))
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
       .withColumn("h", pmod(pmod(
-        pmod(col("doc_id") + 911L, lit(1000000007L)) * 2654435761L,
+        pmod(pmod(col("doc_id"), lit(1000000007L)) + 911L, lit(1000000007L)) * 2654435761L,
         lit(1000000007L)) * 2654435761L, lit(1L << 20)))
       .withColumn("idx", row_number().over(flatW).cast("long") - 1)
       .withColumn("batch_id", expr("idx DIV 32"))
@@ -273,7 +273,7 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy(col("priority"), col("doc_id"))
     val naive = docs.select(col("doc_id"), col("source"))
       .withColumn("priority", pmod(pmod(
-        pmod(col("doc_id") + lit(271L), lit(1000000007L)) *
+        pmod(pmod(col("doc_id"), lit(1000000007L)) + lit(271L), lit(1000000007L)) *
           lit(2654435761L), lit(1000000007L)) * lit(2654435761L),
         lit(1000000L)))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -300,7 +300,7 @@ class CorpusSpec extends AnyFunSuite {
     val got = out.map(r => r.getAs[Long]("doc_id") ->
       r.getAs[String]("split")).toMap
     got.foreach { case (id, s) =>
-      val h = ((id + 9176L) % 1000000007L) * 2654435761L %
+      val h = (id % 1000000007L + 9176L) % 1000000007L * 2654435761L %
         1000000007L * 2654435761L % 1000L
       val want = if (h < 10) "test" else if (h < 60) "val" else "train"
       assert(s === want, s"doc $id: got $s want $want (h=$h)")

@@ -182,7 +182,7 @@ class PropertySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("rnk")))
         .toSet
       def pri(id: Long): Long =
-        ((id + 271L) % 1000000007L) * 2654435761L %
+        (id % 1000000007L + 271L) % 1000000007L * 2654435761L %
           1000000007L * 2654435761L % 1000000L
       val expected = docs.groupBy(_._2).flatMap { case (src, ds) =>
         ds.sortBy(d => (pri(d._1), d._1)).take(cap).zipWithIndex
@@ -303,5 +303,38 @@ class PropertySpec extends AnyFunSuite {
       }).flatten.toSet
       out == expected
     }, n = 5)
+  }
+
+  test("q32 property: online flags equal an in-memory prefix-moment replay") {
+    import spark.implicits._
+    // a small ts range forces timestamp collisions, exercising the
+    // event_id tie-break that makes the prefix order total
+    val genEvents = Gen.listOfN(50, Gen.zip(
+      Gen.choose(0L, 3L), Gen.choose(0L, 20L), Gen.choose(0L, 2000L)))
+      .map(_.zipWithIndex.map { case ((u, t, c), i) =>
+        (u, i.toLong, t, c / 100.0)
+      })
+    check("q32", Prop.forAll(genEvents) { evs =>
+      val df = evs.toDF("user_id", "event_id", "ts_us", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(ts_us)").as("ts"), col("value"))
+      val out = graft.operators.Pipeline.onlineOutliers(df, minPrior = 3L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        var n = BigInt(0); var s = BigInt(0); var q = BigInt(0)
+        es.sortBy(e => (e._3, e._2)).flatMap { case (_, id, _, v) =>
+          val c = BigDecimal(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val d = n * c - s
+          val flag = n >= 3 && d * d * (n - 1) > 9 * n * (n * q - s * s)
+          val res = if (flag) Some((u, id, c, n.toLong)) else None
+          n += 1; s += c; q += BigInt(c) * c
+          res
+        }
+      }.toSet
+      out == expected
+    }, n = 6)
   }
 }
