@@ -49,6 +49,18 @@ import org.apache.spark.sql.SparkSession
   *  - q20/s02 ObjectHashAggregate: TypedImperativeAggregate buffers
   *    (GK percentile sketch, collect_list centroids) — still hash
   *    keyed, no per-group sort.
+  *  - q31/q32 Window: the per-user moments — unordered partition
+  *    aggregates (q31) / one prefix sort shared by all three running
+  *    moments (q32), both on the high-cardinality user_id exchange;
+  *    chosen over groupBy+join-back so the moments ride ONE exchange
+  *    (spec counts them).
+  *  - m06 Window: the hot-bucket guard count over the (chunk_id,
+  *    value) posting exchange — d02's df-guard discipline; the same
+  *    exchange feeds both band-join sides (ReusedExchange,
+  *    spec-pinned).
+  *  - s05 Window/SortAggregate/ObjectHashAggregate/BNLJ: the union of
+  *    s02's probe shapes and s04's LUT/top-k shapes — the composition
+  *    adds no new plan feature of its own.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
@@ -64,7 +76,8 @@ object PlanScan {
       "st03_stream_dedup", "st04_stream_enrich", "st05_stream_asof",
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
       "d10_dedup_incremental", "k04_fastq_ingest",
-      "st06_stream_sink", "st07_stream_funnel")
+      "st06_stream_sink", "st07_stream_funnel", "st08_stream_outlier",
+      "k05_orc_roundtrip")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
