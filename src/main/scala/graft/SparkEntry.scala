@@ -200,6 +200,9 @@ object SparkEntry {
       Pipeline.onlineOutliers(Tables.events(s, d))),
     "st08_stream_outlier" -> ((s, d) =>
       StreamOps.streamOutliers(s, d)),
+    "k06_csv_roundtrip" -> ((s, d) =>
+      graft.sources.Formats.csvRoundtrip(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1435,6 +1438,15 @@ object SparkEntry {
              * CAST(n*e.cents - s AS HUGEINT) * (n-1)
            > 9 * CAST(n AS HUGEINT)
              * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)""",
+    // k06: same contract as k05 — the oracle reads the parquet
+    // original; equality proves the CSV hop (quoting, newlines,
+    // null-vs-empty) was lossless.
+    "k06_csv_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1, 2""",
     // p08: the split hash is exact integer arithmetic (p04's salted
     // double-multiply, own salt) — both engines compute the identical
     // bucket, so assignment is value-exact.

@@ -51,4 +51,50 @@ object Formats {
         sum(col("n_chars")).cast("long").as("chars_checksum"),
         sum(col("doc_id")).cast("long").as("key_checksum"))
   }
+
+  /** k06_csv_roundtrip — CSV interop, the hazard-dense text format a
+    * corpus inevitably passes through (vendor drops, spreadsheet
+    * exports): embedded separators, quotes, and NEWLINES in `text`,
+    * plus the null-vs-empty-string distinction CSV erases by
+    * default. The writer quotes hazard fields and escapes quotes
+    * RFC-4180-style (`escape = "`); nulls serialize as an explicit
+    * `\N` sentinel so an EMPTY text round-trips as empty instead of
+    * collapsing to null (the default `nullValue=""` conflates them
+    * — the spec plants both and asserts they stay distinct). Read
+    * side: explicit schema (CSV inference would re-type everything)
+    * and `multiLine` for the embedded newlines — which makes files
+    * NON-SPLITTABLE, so at scale the writer bounds file sizes
+    * (`maxRecordsPerFile`) and parallelism comes from file COUNT,
+    * not intra-file splits; that contract is this operator's reason
+    * to exist. Same pruned-summary shape as k05; the oracle reads
+    * the parquet original, so equality proves the text hop was
+    * lossless.
+    */
+  def csvRoundtrip(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val outDir = outDirs.getOrElseUpdate("csv:" + cacheKey,
+      Files.createTempDirectory("graft_k06_csv_").toString + "/tree")
+    documents
+      .repartition(col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("lang")
+      .csv(outDir)
+    spark.read
+      .schema(documents.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("multiLine", "true")
+      .csv(outDir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        sum(col("doc_id")).cast("long").as("key_checksum"))
+  }
 }

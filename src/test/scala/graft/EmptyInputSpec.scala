@@ -68,5 +68,6 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.outliers(emptyEvents).count() === 0)
     assert(Pipeline.onlineOutliers(emptyEvents).count() === 0)
     assert(graft.sources.Formats.orcRoundtrip(emptyDocs).count() === 0)
+    assert(graft.sources.Formats.csvRoundtrip(emptyDocs).count() === 0)
   }
 }

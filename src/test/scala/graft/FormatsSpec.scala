@@ -34,4 +34,55 @@ class FormatsSpec extends AnyFunSuite {
         .contains("lang"),
       s"lang must prune partitions, plan was:\n$plan")
   }
+
+  test("k06: CSV round trip survives quoting hazards and null-vs-empty") {
+    import spark.implicits._
+    val spark2 = spark
+    import java.nio.file.Files
+    // every classic CSV hazard: separators, quotes, newlines, CRLF,
+    // CJK, the escape char itself, plus null and EMPTY text (which
+    // default CSV options conflate)
+    val hazards = Seq(
+      (1L, "en", "src0", "plain text", 10L),
+      (2L, "en", "src0", "comma, separated, values", 24L),
+      (3L, "en", "src1", "a \"quoted\" phrase", 17L),
+      (4L, "en", "src1", "line one\nline two", 17L),
+      (5L, "de", "src0", "crlf\r\nline", 10L),
+      (6L, "de", "src0", "混合 \"引号\", 和\n换行", 13L),
+      (7L, "de", "src1", "", 0L),
+      (8L, "de", "src1", null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+    // direct write/read replay with the operator's exact options
+    val dir = Files.createTempDirectory("graft_k06_spec_").toString + "/tree"
+    hazards.write.option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N").partitionBy("lang").csv(dir)
+    val back = spark2.read.schema(hazards.schema)
+      .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N").option("multiLine", "true").csv(dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("text")), r.getAs[String]("lang"),
+          r.getAs[String]("source"))).toMap
+    val want = hazards.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("text")), r.getAs[String]("lang"),
+          r.getAs[String]("source"))).toMap
+    assert(back === want,
+      "every hazard row must round-trip byte-identically")
+    assert(back(7L)._1 === Some(""), "empty text must stay empty")
+    assert(back(8L)._1 === None, "null text must stay null")
+    // the registered operator's summary equals the parquet original's
+    val docs = Tables.documents(spark, sf)
+    val out = Formats.csvRoundtrip(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val wantAgg = docs.filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)), sum(col("n_chars")).cast("long"),
+        sum(col("doc_id")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === wantAgg)
+  }
 }
