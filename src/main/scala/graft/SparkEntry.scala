@@ -203,6 +203,8 @@ object SparkEntry {
     "k06_csv_roundtrip" -> ((s, d) =>
       graft.sources.Formats.csvRoundtrip(Tables.documents(s, d),
         cacheKey = d)),
+    "q33_dist_drift" -> ((s, d) =>
+      Pipeline.distDrift(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1447,6 +1449,21 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2""",
+    // q33: the L1 drift term cross-multiplies to exact integers
+    // (q31's discipline) — proportions compare without division.
+    "q33_dist_drift" ->
+      """WITH binned AS (
+           SELECT n_chars // 64 AS bin_id,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_a,
+                  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_b
+           FROM documents
+           WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+           GROUP BY 1),
+         tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM binned)
+         SELECT bin_id, CAST(n_a AS BIGINT) AS n_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(abs(n_a*tb - n_b*ta) AS BIGINT) AS drift_num
+         FROM binned CROSS JOIN tot""",
     // p08: the split hash is exact integer arithmetic (p04's salted
     // double-multiply, own salt) — both engines compute the identical
     // bucket, so assignment is value-exact.

@@ -569,6 +569,42 @@ object Pipeline {
         col("n").as("n_prior"))
   }
 
+  /** q33_dist_drift — distribution drift between two corpus slices
+    * (did the new crawl/source shift the length distribution?), the
+    * monitoring check every continuously-ingested corpus runs. Bins
+    * `n_chars` and emits, per bin, both slices' counts plus the
+    * EXACT cross-multiplied L1 term |c_a·N_b − c_b·N_a| — comparing
+    * proportions without a float division (q31's discipline: the
+    * drift statistic Σ|c_a/N_a − c_b/N_b| equals Σ drift_num divided
+    * by N_a·N_b, and emitting the numerator keeps every engine
+    * bit-identical; |c·N| ≤ N_a·N_b stays inside int64 for slices up
+    * to ~3·10^9 docs each, and ANSI arithmetic makes any excursion a
+    * loud error, not silent corruption — widen to decimal output when
+    * slices pass that). Plan: ONE scan → map-side conditional
+    * counts → hash agg on bin (cardinality = #bins, bounded by
+    * maxChars/binWidth); the slice totals ride an unbounded window
+    * over those #bins rows — the q24 bounded-cardinality window
+    * shape, never a second scan.
+    */
+  def distDrift(documents: DataFrame, langA: String = "en",
+      langB: String = "de", binWidth: Long = 64L): DataFrame = {
+    val binned = documents
+      .filter(col("lang").isin(langA, langB) && col("n_chars").isNotNull)
+      .select(expr(s"n_chars DIV $binWidth").as("bin_id"),
+        when(col("lang") === langA, 1L).otherwise(0L).as("ia"),
+        when(col("lang") === langB, 1L).otherwise(0L).as("ib"))
+      .groupBy(col("bin_id"))
+      .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("tot_a", sum(col("n_a")).over(all))
+      .withColumn("tot_b", sum(col("n_b")).over(all))
+      .withColumn("drift_num",
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")))
+      .select(col("bin_id"), col("n_a"), col("n_b"), col("drift_num"))
+  }
+
   /** q16_sessionize — gap-based session assembly over the event
     * stream (the reference's read→fragment grouping, generalized).
     * Gaps-and-islands: lag per user, flag gaps > gapSeconds,

@@ -259,6 +259,34 @@ class PipelineSpec extends AnyFunSuite {
       "local top-k must be a spillable window sort, not an in-memory buffer")
   }
 
+  test("q33: drift numerators match a hand computation; identical slices drift zero") {
+    import spark.implicits._
+    // A: 3 docs in bin 0, 1 in bin 1 (N_a=4); B: 1 and 3 (N_b=4)
+    // drift_num per bin = |c_a*4 - c_b*4| = 8 in both bins
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 70L),
+      (5L, "de", 15L), (6L, "de", 80L), (7L, "de", 90L), (8L, "de", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.Pipeline.distDrift(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(0L -> ((3L, 1L, 8L)), 1L -> ((1L, 3L, 8L))))
+    // a slice compared against an identically-distributed one drifts
+    // zero in every bin even when the sizes differ (proportions, not
+    // counts — the reason for the cross-multiply)
+    val scaled = Seq(
+      (1L, "en", 10L), (2L, "en", 70L),
+      (5L, "de", 15L), (6L, "de", 16L), (7L, "de", 75L), (8L, "de", 76L))
+      .toDF("doc_id", "lang", "n_chars")
+    val zero = graft.operators.Pipeline.distDrift(scaled).collect()
+    assert(zero.nonEmpty && zero.forall(_.getLong(3) === 0L))
+    // one scan; the totals window runs on #bins rows only
+    val plan = graft.operators.Pipeline
+      .distDrift(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length == 2, "one documents scan")
+  }
+
   test("q31: planted spike is the one flagged event; real data matches BigInt replay") {
     import spark.implicits._
     // 20 quiet events + one spike: z = 94286/21603 ≈ 4.4 > 3; the
