@@ -77,7 +77,7 @@ object PlanScan {
       "k01_partitioned_sink", "k02_bucketed_join", "k03_compaction",
       "d10_dedup_incremental", "k04_fastq_ingest",
       "st06_stream_sink", "st07_stream_funnel", "st08_stream_outlier",
-      "k05_orc_roundtrip", "k06_csv_roundtrip")
+      "k05_orc_roundtrip", "k06_csv_roundtrip", "k07_jsonl_roundtrip")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { n =>
       val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString

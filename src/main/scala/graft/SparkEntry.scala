@@ -205,6 +205,9 @@ object SparkEntry {
         cacheKey = d)),
     "q33_dist_drift" -> ((s, d) =>
       Pipeline.distDrift(Tables.documents(s, d))),
+    "k07_jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.Formats.jsonlRoundtrip(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1444,6 +1447,15 @@ object SparkEntry {
     // original; equality proves the CSV hop (quoting, newlines,
     // null-vs-empty) was lossless.
     "k06_csv_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1, 2""",
+    // k07: same contract as k05/k06 — equality against the parquet
+    // original proves the JSONL hop (escapes, null-vs-empty,
+    // field omission) was lossless.
+    "k07_jsonl_roundtrip" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum

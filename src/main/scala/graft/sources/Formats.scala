@@ -97,4 +97,39 @@ object Formats {
         sum(col("n_chars")).cast("long").as("chars_checksum"),
         sum(col("doc_id")).cast("long").as("key_checksum"))
   }
+
+  /** k07_jsonl_roundtrip — JSON-Lines interop: THE interchange format
+    * LLM corpora actually ship in (one JSON object per line). The
+    * hazards are different from CSV's: embedded newlines must become
+    * `\n` ESCAPES (a raw newline would split the record — JSONL
+    * readers are line-framed, which is exactly what keeps the files
+    * SPLITTABLE at scale, unlike k06's multiLine CSV), quotes and
+    * backslashes escape JSON-style, non-ASCII survives as UTF-8, and
+    * a null field must stay distinct from an absent/empty one. Spark
+    * writes nulls by OMITTING the field (`ignoreNullFields` default),
+    * and reading with an explicit schema restores them as null —
+    * while an empty string is written as `""` and stays an empty
+    * string, so the distinction survives without a sentinel. Same
+    * pruned summary + parquet-original oracle as k05/k06.
+    */
+  def jsonlRoundtrip(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val outDir = outDirs.getOrElseUpdate("jsonl:" + cacheKey,
+      Files.createTempDirectory("graft_k07_jsonl_").toString + "/tree")
+    documents
+      .repartition(col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("lang")
+      .json(outDir)
+    spark.read
+      .schema(documents.schema)
+      .json(outDir)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        sum(col("doc_id")).cast("long").as("key_checksum"))
+  }
 }

@@ -69,5 +69,6 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Pipeline.onlineOutliers(emptyEvents).count() === 0)
     assert(graft.sources.Formats.orcRoundtrip(emptyDocs).count() === 0)
     assert(graft.sources.Formats.csvRoundtrip(emptyDocs).count() === 0)
+    assert(graft.sources.Formats.jsonlRoundtrip(emptyDocs).count() === 0)
   }
 }

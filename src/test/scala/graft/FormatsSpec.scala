@@ -85,4 +85,49 @@ class FormatsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out === wantAgg)
   }
+
+  test("k07: JSONL round trip — escapes, null-vs-empty, line framing") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val hazards = Seq(
+      (1L, "en", "src0", "plain"),
+      (2L, "en", "src0", "line one\nline two\r\nthree"),
+      (3L, "en", "src1", "quotes \" and \\ backslash"),
+      (4L, "de", "src0", "unicode: 混合文本 émoji"),
+      (5L, "de", "src1", ""),
+      (6L, "de", "src1", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = Files.createTempDirectory("graft_k07_spec_").toString + "/t"
+    hazards.write.partitionBy("lang").json(dir)
+    val back = spark.read.schema(hazards.schema).json(dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text")))
+      .toMap
+    val want = hazards.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text")))
+      .toMap
+    assert(back === want, "every hazard row must round-trip exactly")
+    assert(back(5L) === Some("") && back(6L) === None,
+      "empty text stays empty; omitted field restores as null")
+    // line framing: embedded newlines must be escaped, so the file
+    // has exactly one line per record — the property that keeps
+    // JSONL splittable (no multiLine reader needed)
+    val enFiles = new java.io.File(s"$dir/lang=en").listFiles()
+      .filter(f => f.getName.endsWith(".json"))
+    val lines = enFiles.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+    assert(lines.length === 3, "one physical line per en record")
+    // the registered operator's summary equals the parquet original's
+    val docs = Tables.documents(spark, sf)
+    val out = Formats.jsonlRoundtrip(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val wantAgg2 = docs.filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)), sum(col("n_chars")).cast("long"),
+        sum(col("doc_id")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === wantAgg2)
+  }
 }
