@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longArg(b, "base"), longArg(m, "mod"))
         case _ => throw new IllegalArgumentException(
           "rolling_min_hash(text[, window[, base, mod]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException("nfc_normalize(text)")
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -208,6 +208,8 @@ object SparkEntry {
     "k07_jsonl_roundtrip" -> ((s, d) =>
       graft.sources.Formats.jsonlRoundtrip(Tables.documents(s, d),
         cacheKey = d)),
+    "t11_unicode_dedup" -> ((s, d) =>
+      TextAnalysis.unicodeDedup(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1461,6 +1463,17 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2""",
+    // t11: both engines implement UAX #15 NFC (java.text.Normalizer
+    // vs utf8proc), so the canonical forms — and their md5s — agree
+    // byte-for-byte: an exact oracle for normalization-equivalence
+    // dedup.
+    "t11_unicode_dedup" ->
+      """SELECT md5(nfc_normalize(text)) AS nfc_md5,
+                min(doc_id) AS rep_id,
+                count(*) AS n_copies,
+                CAST(min(strlen(nfc_normalize(text))) AS BIGINT)
+                  AS n_bytes_nfc
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
     // q33: the L1 drift term cross-multiplies to exact integers
     // (q31's discipline) — proportions compare without division.
     "q33_dist_drift" ->

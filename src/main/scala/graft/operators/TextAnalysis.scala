@@ -216,6 +216,31 @@ object TextAnalysis {
         round(col("n_oov") / col("n_tokens"), 4))
   }
 
+  /** t11_unicode_dedup — NFC-equivalence dedup: documents whose texts
+    * differ only in Unicode normalization form (composed U+00E9 vs
+    * decomposed e + U+0301, compatibility clones pasted from
+    * different sources) are the SAME text to a tokenizer's user but
+    * distinct byte strings, so d01's byte-level exact dedup — and
+    * every downstream fuzzy layer keyed on raw bytes — misses them.
+    * Canonicalizes through the native NfcNormalize kernel (UAX #15,
+    * byte-identical to DuckDB's utf8proc `nfc_normalize`, which is
+    * what makes this oracle exact), then m05's contract: group by
+    * md5 of the canonical form — a REAL digest, no engine-vs-oracle
+    * hash gap — keeping the min-id representative and the copy
+    * count. Map-side kernel + one 16-byte-digest shuffle; the NFC
+    * fast path (isNormalized quick-check) makes the overwhelmingly
+    * common already-normalized case allocation-free.
+    */
+  def unicodeDedup(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.UnicodeExprs.nfc(col("text")).as("nfc"))
+      .groupBy(md5(col("nfc")).as("nfc_md5"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        min(octet_length(col("nfc"))).cast("long").as("n_bytes_nfc"))
+
   /** t09_bigram_lm — self-trained bigram LM typicality score, the
     * in-engine analog of LM-based quality filtering (CCNet-style:
     * score each document against a language model of the corpus

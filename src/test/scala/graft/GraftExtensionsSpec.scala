@@ -69,6 +69,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize is SQL-callable and composes the decomposed form") {
+    val row = sqlSpark.sql(
+      "SELECT nfc_normalize('café') AS n").head
+    assert(row.getString(0) === "café")
+    // null propagates
+    assert(sqlSpark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))")
+      .head.isNullAt(0))
+  }
+
   test("arity errors are rejected with a usable message") {
     sqlSpark.sql("SELECT 1").collect() // force init
     val e = intercept[Exception] {

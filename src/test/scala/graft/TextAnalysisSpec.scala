@@ -265,6 +265,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t11: NFC-equivalent texts collapse; distinct texts don't") {
+    import spark.implicits._
+    val composed = "café Ångström"          // é, Å composed
+    val decomposed = "café Ångström"     // e+◌́, A+◌̊, o+◌̈
+    val hangulNfc = "가나"                          // 가나 composed
+    val hangulNfd = "가나"              // jamo sequence
+    val ligature = "ﬁsh"                               // ﬁ stays under NFC
+    val docs = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, hangulNfc), (4L, hangulNfd),
+      (5L, ligature), (6L, "fish"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeDedup(docs).collect()
+      .map(r => r.getAs[Long]("rep_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_bytes_nfc"))).toMap
+    // composed/decomposed merge (reps 1, 3); the ﬁ ligature is a
+    // COMPATIBILITY equivalent — NFC correctly keeps it distinct
+    assert(out === Map(
+      1L -> ((2L, composed.getBytes("UTF-8").length.toLong)),
+      3L -> ((2L, hangulNfc.getBytes("UTF-8").length.toLong)),
+      5L -> ((1L, ligature.getBytes("UTF-8").length.toLong)),
+      6L -> ((1L, 4L))))
+    // the kernel agrees with java.text.Normalizer on every corpus text
+    val docsReal = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val viaKernel = docsReal
+      .select(col("doc_id"), graft.functions.UnicodeExprs.nfc(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docsReal.select("doc_id", "text").collect().foreach { r =>
+      val want = java.text.Normalizer.normalize(
+        r.getString(1), java.text.Normalizer.Form.NFC)
+      assert(viaKernel(r.getLong(0)) === want)
+    }
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
