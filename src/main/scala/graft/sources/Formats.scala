@@ -31,11 +31,23 @@ object Formats {
   private val outDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Output tree for one roundtrip operator: memoized per cacheKey
+    * (bench warmup/timed reps reuse one tree per input), but an
+    * EMPTY key means "no memo" — a fresh directory per call, so two
+    * different inputs passed with the default key can never share
+    * (and overwrite) one tree.
+    */
+  private def treeFor(prefix: String, cacheKey: String): String = {
+    def fresh() =
+      Files.createTempDirectory(prefix).toString + "/tree"
+    if (cacheKey.isEmpty) fresh()
+    else outDirs.getOrElseUpdate(prefix + cacheKey, fresh())
+  }
+
   def orcRoundtrip(documents: DataFrame,
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
-    val outDir = outDirs.getOrElseUpdate(cacheKey,
-      Files.createTempDirectory("graft_k05_orc_").toString + "/tree")
+    val outDir = treeFor("graft_k05_orc_", cacheKey)
     documents
       .repartition(col("lang"))
       .write.mode(SaveMode.Overwrite)
@@ -73,8 +85,7 @@ object Formats {
   def csvRoundtrip(documents: DataFrame,
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
-    val outDir = outDirs.getOrElseUpdate("csv:" + cacheKey,
-      Files.createTempDirectory("graft_k06_csv_").toString + "/tree")
+    val outDir = treeFor("graft_k06_csv_", cacheKey)
     documents
       .repartition(col("lang"))
       .write.mode(SaveMode.Overwrite)
@@ -115,8 +126,7 @@ object Formats {
   def jsonlRoundtrip(documents: DataFrame,
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
-    val outDir = outDirs.getOrElseUpdate("jsonl:" + cacheKey,
-      Files.createTempDirectory("graft_k07_jsonl_").toString + "/tree")
+    val outDir = treeFor("graft_k07_jsonl_", cacheKey)
     documents
       .repartition(col("lang"))
       .write.mode(SaveMode.Overwrite)
