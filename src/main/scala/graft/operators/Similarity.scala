@@ -424,6 +424,49 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Residual-PQ index for s05: every vector's RESIDUAL against its
+    * assigned centroid is what gets quantized (the codebook and codes
+    * both live in residual space), and each index row keeps the
+    * ORIGINAL vector's norm (the cosine denominator) plus its
+    * cluster id. Build-once memo like the component indexes — keyed
+    * by the quantizer params too, because the residuals (hence the
+    * codebook) change whenever the coarse quantizer does. The
+    * residual subtraction is a build-time HOF over the corpus (runs
+    * once, memoized), not a query-time cost.
+    */
+  private val ivfpqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int, Int, Int, Int), (DataFrame, DataFrame)]
+
+  private def residualPqIndex(e: DataFrame, cent: DataFrame,
+      subspaces: Int, subDim: Int, ks: Int, iters: Int,
+      cacheKey: String, kClusters: Int, lloydIters: Int)
+      : (DataFrame, DataFrame) = {
+    def build(): (DataFrame, DataFrame) = {
+      val assigned = assignTo(e, cent)
+      val resid = assigned
+        .join(broadcast(cent.select(col("cluster_id"), col("cv"))),
+          "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("nrm"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      val cb = pqCodebook(resid, subspaces, subDim, ks, iters)
+      val codes = pqAssign(subVecs(resid, subspaces, subDim), cb)
+        .groupBy(col("vec_id"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("sub_id"), col("code")))),
+            x => x.getField("code")).as("codes"),
+          first(col("nrm")).as("nrm"))
+        .join(resid.select(col("vec_id"), col("cluster_id")), "vec_id")
+      (cb, codes)
+    }
+    if (cacheKey.isEmpty) build()
+    else ivfpqMemo.getOrElseUpdate(
+      (cacheKey, subspaces, subDim, ks, iters, kClusters, lloydIters), {
+        val (cb, codes) = build()
+        (cb.localCheckpoint(true), codes.localCheckpoint(true))
+      })
+  }
+
   /** s05_ann_ivfpq — the composed billion-scale ANN shape: s02's
     * learned IVF quantizer decides WHICH vectors get scanned (nprobe
     * clusters per query instead of the whole corpus), s04's PQ codes
@@ -438,11 +481,20 @@ object Similarity {
     * per-query LUT are both broadcast, so the scan side remains one
     * pass over the (cluster_id, codes) index rows.
     *
-    * Codes here encode the raw vectors, not the residuals x−c(x):
-    * residual PQ couples the codebook to the quantizer (retrain both
-    * on any recluster) for accuracy this corpus can't measure — the
-    * spec pins the lossless contract (nprobe=all × rerank=corpus ≡
-    * s01) and the recall floor instead.
+    * Codes encode the RESIDUALS x−c(x), not the raw vectors — real
+    * IVFADC: within a cluster the residuals span a far smaller cell
+    * than the corpus, so `ks` codewords quantize them much more
+    * finely, and the score decomposes exactly as
+    * q·x = q·c(x) + q·r(x) ≈ q·c + LUT(codes), where q·c is ALREADY
+    * computed by the probe step (it ranked the clusters) and rides
+    * the broadcast probe table as a per-(query, cluster) offset — the
+    * residual refinement costs the scan nothing. The price is
+    * coupling: the codebook is trained on residuals UNDER the current
+    * quantizer, so a recluster retrains both (one memoized build).
+    * On this near-random test corpus the residual cells are barely
+    * tighter than the corpus (recall ≈ the direct-PQ variant, ~0.6
+    * at the defaults); the decomposition pays on corpora that
+    * actually cluster — which is every real embedding corpus.
     *
     * Recall < 1 by design, rising with BOTH dials independently:
     * nprobe bounds what the IVF layer can see, rerankDepth bounds
@@ -455,21 +507,21 @@ object Similarity {
       cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
-    val (cb, codes) = pqIndex(e, subspaces, subDim, ks, pqIters, cacheKey)
-    // the IVF-PQ index: one row per vector, (cluster_id, codes, nrm)
-    val indexed = codes.join(
-      assignTo(e, cent).select(col("vec_id"), col("cluster_id")), "vec_id")
+    val (cb, indexed) = residualPqIndex(e, cent, subspaces, subDim, ks,
+      pqIters, cacheKey, kClusters, lloydIters)
     val q = e.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("cluster_id").asc)
     val probe = q.crossJoin(broadcast(cent))
+      .withColumn("c_dot", VectorOps.dot(col("qv"), col("cv")))
       .withColumn("c_cos", VectorOps.cosineFrom(
-        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+        col("c_dot"), col("qn"), col("cn")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("cluster_id").as("probe_cluster"))
+      .select(col("q_id"), col("cluster_id").as("probe_cluster"),
+        col("c_dot"))
     // per-query positional LUT, exactly s04's construction
     val qSub = q.select(col("q_id"),
       posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
@@ -488,14 +540,15 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("slot"),
           coalesce(col("lv"), lit(0.0)).as("lv")))),
           x => x.getField("lv")).as("lut"))
-    // probed-clusters-only ADC scan: the probe prunes rows, the LUT
-    // prices them — both arrive broadcast on the one index pass
+    // probed-clusters-only ADC scan: the probe prunes rows AND
+    // carries the q·c offset, the LUT prices the residual — both
+    // arrive broadcast on the one index pass
     val adc = indexed
       .join(broadcast(probe.join(lut, "q_id")),
         col("cluster_id") === col("probe_cluster") &&
           col("vec_id") =!= col("q_id"))
       .withColumn("approx_cos",
-        VectorOps.pqAdc(col("codes"), col("lut"), ks) /
+        (col("c_dot") + VectorOps.pqAdc(col("codes"), col("lut"), ks)) /
           nullif(col("nrm") * col("qn2"), lit(0.0d)))
       .filter(col("approx_cos").isNotNull)
     val localW = Window
