@@ -210,6 +210,8 @@ object SparkEntry {
         cacheKey = d)),
     "t11_unicode_dedup" -> ((s, d) =>
       TextAnalysis.unicodeDedup(Tables.documents(s, d))),
+    "q34_evenness" -> ((s, d) =>
+      Pipeline.evenness(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1474,6 +1476,25 @@ object SparkEntry {
                 CAST(min(strlen(nfc_normalize(text))) AS BIGINT)
                   AS n_bytes_nfc
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // q34: the Gini numerator is the sorted-prefix identity
+    // Σ(2i−n−1)·x over integer bin counts — exact; both engines
+    // interpolate the median of two longs identically.
+    "q34_evenness" ->
+      """WITH bins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id, count(*) AS x
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1),
+         ranked AS (
+           SELECT x, row_number() OVER (ORDER BY x, bin_id) AS i,
+                  count(*) OVER () AS n
+           FROM bins)
+         SELECT count(*) AS n_bins,
+                CAST(sum(x) AS BIGINT) AS total_events,
+                CAST(sum((2*i - n - 1) * x) AS BIGINT) AS gini_num,
+                min(x) AS min_bin, max(x) AS max_bin,
+                CAST(median(x) AS DOUBLE) AS median_bin
+         FROM ranked""",
     // q33: the L1 drift term cross-multiplies to exact integers
     // (q31's discipline) — proportions compare without division.
     "q33_dist_drift" ->

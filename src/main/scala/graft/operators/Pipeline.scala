@@ -569,6 +569,40 @@ object Pipeline {
         col("n").as("n_prior"))
   }
 
+  /** q34_evenness — coverage uniformity, the picard-style QC metric
+    * (CollectRnaSeqMetrics' uniformity numbers): how evenly do the
+    * events spread across time bins? Emits the exact-integer Gini
+    * NUMERATOR over per-bin counts — G = gini_num / (n·total), and
+    * emitting the numerator avoids the division (q31's discipline) —
+    * plus min/max/median bin counts. Gini via the sorted-prefix
+    * identity Σ(2i−n−1)·x_(i): one rank window over the BIN table
+    * (post-aggregation bounded cardinality, the q24 justification —
+    * #bins = time-range/binSeconds, never event-count), every term a
+    * long. The median interpolates two longs ((a+b)/2 is IEEE-exact),
+    * identical in both engines.
+    */
+  def evenness(events: DataFrame, binSeconds: Long = 3600L): DataFrame = {
+    val bins = events
+      .select((floor(graft.Tables.epochUs(col("ts")) /
+        (binSeconds * 1000000L))).cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("x"))
+    val rankW = Window.orderBy(col("x"), col("bin_id"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("i", row_number().over(rankW).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("x")).as("total_events"),
+        sum((lit(2L) * col("i") - col("n") - 1L) * col("x"))
+          .as("gini_num"),
+        min(col("x")).as("min_bin"),
+        max(col("x")).as("max_bin"),
+        median(col("x")).cast("double").as("median_bin"))
+  }
+
   /** q33_dist_drift — distribution drift between two corpus slices
     * (did the new crawl/source shift the length distribution?), the
     * monitoring check every continuously-ingested corpus runs. Bins

@@ -287,6 +287,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.split("FileScan").length == 2, "one documents scan")
   }
 
+  test("q34: Gini numerator matches hand computation; uniform coverage is zero") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    def ev(hour: Long, ids: Range) =
+      ids.map(i => (i.toLong, hour * hourUs, 7L))
+    // bins of 1, 2, 3 events: sorted x=[1,2,3], n=3 →
+    // (2·1−4)·1 + (2·2−4)·2 + (2·3−4)·3 = −2 + 0 + 6 = 4
+    val skewed = (ev(0, 1 to 1) ++ ev(1, 2 to 3) ++ ev(2, 4 to 6))
+      .toDF("event_id", "ts_us", "user_id")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"))
+    val r = graft.operators.Pipeline.evenness(skewed).head
+    assert(r.getAs[Long]("n_bins") === 3L)
+    assert(r.getAs[Long]("total_events") === 6L)
+    assert(r.getAs[Long]("gini_num") === 4L)
+    assert(r.getAs[Long]("min_bin") === 1L && r.getAs[Long]("max_bin") === 3L)
+    assert(r.getAs[Double]("median_bin") === 2.0)
+    // perfectly uniform coverage has Gini exactly zero
+    val uniform = (ev(0, 1 to 2) ++ ev(1, 3 to 4) ++ ev(2, 5 to 6))
+      .toDF("event_id", "ts_us", "user_id")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"))
+    assert(graft.operators.Pipeline.evenness(uniform)
+      .head.getAs[Long]("gini_num") === 0L)
+  }
+
   test("q31: planted spike is the one flagged event; real data matches BigInt replay") {
     import spark.implicits._
     // 20 quiet events + one spike: z = 94286/21603 ≈ 4.4 > 3; the
