@@ -207,6 +207,33 @@ class MultimodalSpec extends AnyFunSuite {
       "the mapPartitions decode must appear exactly once in the final plan")
   }
 
+  test("m06: random payload mixes equal the in-memory replay (seeded)") {
+    import spark.implicits._
+    // deterministic pseudorandom corpus: long randoms, exact copies,
+    // single-byte edits, short rejects — the tie/bucket shapes a
+    // planted fixture can't enumerate
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = (0 until 12).map(i => (i.toLong, randText(80 + rnd.nextInt(120))))
+    val copies = (0 until 4).map(i =>
+      (100L + i, base(rnd.nextInt(base.length))._2))
+    val edits = (0 until 4).map { i =>
+      val t = base(rnd.nextInt(base.length))._2
+      val p = rnd.nextInt(t.length)
+      (200L + i, t.updated(p, if (t(p) == 'z') 'a' else 'z'))
+    }
+    val shorts = (0 until 3).map(i => (300L + i, randText(1 + rnd.nextInt(60))))
+    val docs = base ++ copies ++ edits ++ shorts
+    val got = Multimodal.phashDedup(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = refPairs(
+      docs.map { case (id, t) => id -> t.getBytes("UTF-8") }.toMap,
+      maxH = 6, maxBucket = 256)
+    assert(got === want)
+    assert(got.nonEmpty, "the copies must pair at hamming 0")
+  }
+
   test("m06: corpus fingerprints cover every eligible payload; empty is correct") {
     val docs = Tables.documents(spark, sf)
     val ph = Multimodal.phashChunks(docs).collect()
