@@ -44,12 +44,21 @@ object Formats {
     else outDirs.getOrElseUpdate(prefix + cacheKey, fresh())
   }
 
+  /** k01's salted-writer discipline for every roundtrip write: a bare
+    * `repartition(partitionCol)` funnels each partition VALUE through
+    * ONE task — at 100 TB a 20 TB language would be serialized by a
+    * single writer. The salt gives each value `writers` parallel
+    * writer tasks while bounding the file count at writers × values.
+    */
+  private def saltedByLang(df: DataFrame, writers: Int): DataFrame =
+    df.repartition(col("lang"),
+      pmod(xxhash64(col("doc_id")), lit(writers)))
+
   def orcRoundtrip(documents: DataFrame,
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val outDir = treeFor("graft_k05_orc_", cacheKey)
-    documents
-      .repartition(col("lang"))
+    saltedByLang(documents, writers = 4)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("lang")
       .orc(outDir)
@@ -86,8 +95,7 @@ object Formats {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val outDir = treeFor("graft_k06_csv_", cacheKey)
-    documents
-      .repartition(col("lang"))
+    saltedByLang(documents, writers = 4)
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("escape", "\"")
@@ -127,8 +135,7 @@ object Formats {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val outDir = treeFor("graft_k07_jsonl_", cacheKey)
-    documents
-      .repartition(col("lang"))
+    saltedByLang(documents, writers = 4)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("lang")
