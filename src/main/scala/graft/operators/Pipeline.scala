@@ -518,11 +518,15 @@ object Pipeline {
         round(col("value") * 100, 0).cast("long").as("cents"))
       .withColumn("n", count(lit(1)).over(byUser))
       .withColumn("s", sum(col("cents")).over(byUser))
-      .withColumn("q", sum(col("cents") * col("cents")).over(byUser))
+      // Q accumulates in decimal: each c² fits a long, but the SUM
+      // passes 2^63 near 10^9 events per user — the one term whose
+      // overflow the final decimal casts can't undo
+      .withColumn("q",
+        sum((col("cents") * col("cents")).cast(dec)).over(byUser))
     val d = (col("n") * col("cents") - col("s")).cast(dec)
     val lhs = d * d * (col("n") - 1).cast(dec)
     val rhs = lit(9L).cast(dec) * col("n").cast(dec) *
-      (col("n").cast(dec) * col("q").cast(dec) -
+      (col("n").cast(dec) * col("q") -
         col("s").cast(dec) * col("s").cast(dec))
     e.filter(col("n") >= 2 && lhs > rhs)
       .select(col("user_id"), col("event_id"), col("cents"),
@@ -558,11 +562,13 @@ object Pipeline {
         round(col("value") * 100, 0).cast("long").as("cents"))
       .withColumn("n", count(lit(1)).over(pw))
       .withColumn("s", sum(col("cents")).over(pw))
-      .withColumn("q", sum(col("cents") * col("cents")).over(pw))
+      // decimal accumulation for Q — q31's overflow note
+      .withColumn("q",
+        sum((col("cents") * col("cents")).cast(dec)).over(pw))
     val d = (col("n") * col("cents") - col("s")).cast(dec)
     val lhs = d * d * (col("n") - 1).cast(dec)
     val rhs = lit(9L).cast(dec) * col("n").cast(dec) *
-      (col("n").cast(dec) * col("q").cast(dec) -
+      (col("n").cast(dec) * col("q") -
         col("s").cast(dec) * col("s").cast(dec))
     e.filter(col("n") >= minPrior && lhs > rhs)
       .select(col("user_id"), col("event_id"), col("cents"),

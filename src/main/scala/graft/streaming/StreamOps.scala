@@ -312,8 +312,11 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (uid: Long, events: Iterator[EvO],
-            state: GroupState[(Long, Long, Long)]) =>
-          var (n, s, q) = state.getOption.getOrElse((0L, 0L, 0L))
+            state: GroupState[(Long, Long, BigInt)]) =>
+          // Q is BigInt in the state: plain Scala longs wrap SILENTLY
+          // where the batch engines fail loud, and Σc² passes 2^63
+          // near 10^9 events per user (q31's overflow note)
+          var (n, s, q) = state.getOption.getOrElse((0L, 0L, BigInt(0)))
           val out = Vector.newBuilder[OutlierFlag]
           events.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
             val c = e.cents
@@ -323,7 +326,7 @@ object StreamOps {
               val rhs = BigInt(9) * n * (BigInt(n) * q - BigInt(s) * s)
               if (lhs > rhs) out += OutlierFlag(uid, e.event_id, c, n)
             }
-            n += 1L; s += c; q += c * c
+            n += 1L; s += c; q += BigInt(c) * c
           }
           state.update((n, s, q))
           out.result().iterator
