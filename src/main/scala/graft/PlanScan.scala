@@ -61,6 +61,12 @@ import org.apache.spark.sql.SparkSession
   *  - s05 Window/SortAggregate/ObjectHashAggregate/BNLJ: the union of
   *    s02's probe shapes and s04's LUT/top-k shapes — the composition
   *    adds no new plan feature of its own.
+  *  - q33/q34 Window: slice totals / Gini ranks over the BIN table —
+  *    post-aggregation bounded cardinality (#bins = range/binWidth),
+  *    the q24 justification; the corpus-sized work is the map-side
+  *    conditional-count aggregate below them. q34's
+  *    ObjectHashAggregate is the exact-median buffer over those same
+  *    #bins rows (q20's justification, bounded input).
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
