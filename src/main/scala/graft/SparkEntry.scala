@@ -212,6 +212,8 @@ object SparkEntry {
       TextAnalysis.unicodeDedup(Tables.documents(s, d))),
     "q34_evenness" -> ((s, d) =>
       Pipeline.evenness(Tables.events(s, d))),
+    "p09_quality_sample" -> ((s, d) =>
+      Corpus.qualitySample(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1476,6 +1478,38 @@ object SparkEntry {
                 CAST(min(strlen(nfc_normalize(text))) AS BIGINT)
                   AS n_bytes_nfc
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // p09: t02's score expression verbatim (identical IEEE tree both
+    // engines) → decile tier → salted threshold; null scores excluded
+    // (unscorable text has no curriculum tier).
+    "p09_quality_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang, source, lower(trim(text)) AS t,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, source,
+             length(t) AS n_chars_t,
+             len(toks) AS n_tokens,
+             length(regexp_replace(t, '[^a-z]', '', 'g')) AS n_alpha,
+             len(list_filter(toks,
+               x -> list_contains(['the','a','of','and','to','in','is'], x)))
+               AS n_stop
+           FROM b),
+         s AS (
+           SELECT doc_id, lang, source,
+             round((n_alpha * 1.0 / nullif(n_chars_t, 0)) * 0.5
+                   + least(n_tokens / 100.0, 1.0) * 0.3
+                   + least(n_stop * 1.0 / nullif(n_tokens, 0) * 5.0,
+                           1.0) * 0.2,
+                   4) AS q
+           FROM c)
+         SELECT doc_id, lang, source,
+                CAST(least(floor(q*10), 9) AS BIGINT) AS tier
+         FROM s
+         WHERE q IS NOT NULL AND
+           (((((doc_id % 1000000007 + 577) % 1000000007)
+               * 2654435761) % 1000000007) * 2654435761) % 1000
+             < 100 + least(floor(q*10), 9) * 100""",
     // q34: the Gini numerator is the sorted-prefix identity
     // Σ(2i−n−1)·x over integer bin counts — exact; both engines
     // interpolate the median of two longs identically.

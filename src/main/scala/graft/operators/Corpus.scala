@@ -265,6 +265,32 @@ object Corpus {
           .otherwise(lit("train")))
   }
 
+  /** p09_quality_sample — quality-CURRICULUM sampling: keep rate
+    * rises with the document's quality tier (t02's score cut into
+    * deciles), the "upsample high-quality, floor the sludge" mixture
+    * move every LLM data recipe applies on top of source mixing
+    * (p04). permille(tier) = base + tier·step, deterministic
+    * membership via `saltedBucket` under its own salt — independent
+    * of the p02/p04/p08 layers, so composed rates multiply. Docs
+    * whose quality score is NULL (empty/whitespace-only — the rows
+    * p01's gate drops) are excluded rather than defaulted: a
+    * curriculum has no tier for unscorable text. Pure map-side
+    * (score + threshold in one projection over the scan); emits
+    * (doc_id, lang, source, tier).
+    */
+  def qualitySample(documents: DataFrame, basePermille: Int = 100,
+      stepPermille: Int = 100, salt: Long = 577L): DataFrame = {
+    val scored = graft.operators.TextAnalysis.qualityScore(documents,
+      passthrough = Seq("lang", "source"))
+    scored
+      .filter(col("quality_score").isNotNull)
+      .withColumn("tier",
+        least(floor(col("quality_score") * 10), lit(9.0)).cast("long"))
+      .filter(saltedBucket(col("doc_id"), salt, 1000L) <
+        lit(basePermille.toLong) + col("tier") * stepPermille)
+      .select(col("doc_id"), col("lang"), col("source"), col("tier"))
+  }
+
   /** p06_profile — the dataset stats card every training-data drop
     * ships with (row counts, null rates, value ranges, length
     * distribution), emitted as a tall (col_name, metric, value)

@@ -328,4 +328,34 @@ class CorpusSpec extends AnyFunSuite {
     val plan = Corpus.split(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "split must not shuffle")
   }
+
+  test("p09: tiered keep rates replay exactly; unscorable text is excluded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = Corpus.qualitySample(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // driver-side replay off the (already spec-verified) t02 scores
+    val scores = graft.operators.TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("quality_score"))).toMap
+    def bucket(id: Long): Long =
+      ((id % 1000000007L + 577L) % 1000000007L) * 2654435761L %
+        1000000007L * 2654435761L % 1000L
+    val want = scores.collect { case (id, Some(q))
+      if bucket(id) < 100L + math.min(math.floor(q * 10), 9.0).toLong * 100L =>
+      id -> math.min(math.floor(q * 10), 9.0).toLong
+    }
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a higher tier must never have a LOWER configured keep rate —
+    // and unscorable (null-score) docs never appear
+    val unscorable = Seq((900L, "   "), (901L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("sx"))
+    assert(Corpus.qualitySample(unscorable).collect().isEmpty)
+    // deterministic under re-partitioning
+    val again = Corpus.qualitySample(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again === got)
+  }
 }
