@@ -83,11 +83,32 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
-    // Sentinel-prefixed line for regex-based parsers, then the raw
-    // JSON as the final stdout line (build.sbt's StdoutOutput strategy
-    // keeps both free of sbt's "[info] " prefix).
-    println("BENCH_JSON: " + json)
-    println(json)
+    // STDOUT-TAIL BUDGET (VERDICT r7 #7): the driver keeps only the
+    // last ~2000 chars of stdout, and sbt appends a ~66-char
+    // "[success]" line after ours — a 92-query map is ~3.4 KB, so the
+    // full JSON line always truncated mid-object and parsed came back
+    // null. The COMPLETE full-precision record goes to the file above
+    // (committed as bench_out.json); the final stdout line is a
+    // compact JSON guaranteed to fit: totals + the slowest queries in
+    // descending cost order while the line stays under 1400 chars,
+    // with a count of what was elided and a pointer to the file.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val budget = 1400
+    val slowest = good.sortBy(-_._2).map { case (k, v) =>
+      s"\"" + k + "\":" + r3(v)
+    }
+    val head =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"sf":"$sfDir","detail":"$outPath","queries":{"""
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = head.length + 40 // room for the closing "},...} suffix
+    slowest.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val compact = head + kept.mkString(",") +
+      s"""},"queries_omitted":${good.size - kept.size}}"""
+    println("BENCH_JSON: " + compact)
+    println(compact)
     spark.stop()
   }
 }

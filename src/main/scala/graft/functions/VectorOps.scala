@@ -219,8 +219,16 @@ object PqAdc {
     var i = 0
     while (i < m) {
       if (codes.isNullAt(i)) return null
-      val idx = i * ks + codes.getLong(i).toInt
-      if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
+      // The code must index its OWN subspace's [0, ks) LUT slice: a
+      // malformed code >= ks would land inside a NEIGHBORING
+      // subspace's slots and return a plausible-but-wrong score if
+      // only the whole-LUT bound were checked. Internal codebooks
+      // can't produce one, but the SQL-registered pq_adc accepts
+      // arbitrary input — malformed artifacts must fail loudly (null).
+      val c = codes.getLong(i)
+      if (c < 0L || c >= ks.toLong) return null
+      val idx = i * ks + c.toInt
+      if (idx >= n || lut.isNullAt(idx)) return null
       acc += lut.getDouble(idx)
       i += 1
     }

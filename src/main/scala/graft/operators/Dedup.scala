@@ -503,8 +503,7 @@ object Dedup {
         .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
     def buildIndex(): String = {
       val table = s"graft_d10_idx_${idxNonce}_${stagedIdx.size}"
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_d10_idx_").toString
+      val dir = graft.Staging.dir("graft_d10_idx_")
       posting(documents.filter(col("doc_id") < splitId))
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("gh"))))

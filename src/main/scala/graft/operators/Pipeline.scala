@@ -294,8 +294,7 @@ object Pipeline {
   private lazy val bandsCsvDir: SparkSession => String = {
     val memo = scala.collection.concurrent.TrieMap.empty[String, String]
     spark => memo.getOrElseUpdate("bands", {
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_bands_csv_").toString
+      val d = graft.Staging.dir("graft_bands_csv_")
       priceBands(spark).coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(d)
       d

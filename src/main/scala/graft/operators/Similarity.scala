@@ -322,6 +322,12 @@ object Similarity {
     * (the same train-once-serve-many argument as the IVF centroid
     * memo); the codes table is the index — `subspaces` bytes of
     * payload per vector in production, against 4·dim for raw floats.
+    * CALLER OWNS KEY UNIQUENESS (the centroid-memo contract): the
+    * memo keys on (cacheKey, params) only, not on the embeddings
+    * DataFrame — passing a DIFFERENT corpus under the same non-empty
+    * key silently serves the other corpus's codebook/codes. The
+    * harness keys by dataset directory; any other caller must key by
+    * corpus identity too, or pass "" to disable the memo.
     */
   private val pqMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int, Int), (DataFrame, DataFrame)]
@@ -432,7 +438,11 @@ object Similarity {
     * by the quantizer params too, because the residuals (hence the
     * codebook) change whenever the coarse quantizer does. The
     * residual subtraction is a build-time HOF over the corpus (runs
-    * once, memoized), not a query-time cost.
+    * once, memoized), not a query-time cost. CALLER OWNS KEY
+    * UNIQUENESS (see pqMemo): keyed on (cacheKey, params), not on
+    * the embeddings DataFrame — a different corpus under the same
+    * non-empty key gets the other corpus's index. Key by corpus
+    * identity, or pass "" to disable.
     */
   private val ivfpqMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int, Int, Int, Int), (DataFrame, DataFrame)]

@@ -53,7 +53,7 @@ object Bucketed {
       lineitem: DataFrame, buckets: Int = 8,
       cacheKey: String = ""): DataFrame = {
     def stage(): (String, String) = {
-      val base = Files.createTempDirectory("graft_bucketed_").toString
+      val base = graft.Staging.dir("graft_bucketed_")
       val suffix = s"${nonce}_${staged.size}"
       val to = s"graft_orders_b_$suffix"
       val tl = s"graft_lineitem_b_$suffix"

@@ -95,22 +95,25 @@ object Compaction {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     def stage(): String = {
-      val dir = Files.createTempDirectory("graft_k03_frag_").toString
+      val dir = graft.Staging.dir("graft_k03_frag_")
       // 16 hash writers per lang directory = the arrival-fragmented
       // layout (each writer task emits one file per lang it holds).
       documents.repartition(16, col("doc_id"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("lang")
-        .parquet(dir)
+        .parquet(s"$dir/frag")
       dir
     }
-    val fragDir =
+    val base =
       if (cacheKey.isEmpty) stage()
       else staged.getOrElseUpdate(cacheKey, stage())
     // one output tree per staged input, OVERWRITTEN per call — the
     // production shape (compaction rewrites in place-ish), and no
-    // temp-dir leak across bench repetitions.
-    val outDir = s"$fragDir-compacted"
+    // temp-dir leak across bench repetitions. Both trees live under
+    // the ONE registered staging root so the exit hook removes them
+    // together (a `-compacted` sibling of the root would escape it).
+    val fragDir = s"$base/frag"
+    val outDir = s"$base/compacted"
     compact(spark, fragDir, outDir, "lang")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

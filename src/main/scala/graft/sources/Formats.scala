@@ -39,7 +39,7 @@ object Formats {
     */
   private def treeFor(prefix: String, cacheKey: String): String = {
     def fresh() =
-      Files.createTempDirectory(prefix).toString + "/tree"
+      graft.Staging.dir(prefix) + "/tree"
     if (cacheKey.isEmpty) fresh()
     else outDirs.getOrElseUpdate(prefix + cacheKey, fresh())
   }
@@ -90,6 +90,16 @@ object Formats {
     * to exist. Same pruned-summary shape as k05; the oracle reads
     * the parquet original, so equality proves the text hop was
     * lossless.
+    *
+    * RESERVED-SENTINEL HAZARD: a text value that is literally the
+    * two characters `\N` is indistinguishable from null on read and
+    * would round-trip to null — the one value this format contract
+    * cannot carry. Every explicit null sentinel has this reserved
+    * word (it is mysql/Hive's convention too); the alternatives are
+    * worse (empty-string sentinel conflates null with empty for ALL
+    * rows, not one pathological value). A corpus that may legally
+    * contain a bare `\N` document should ship through k07's JSONL
+    * round trip, which encodes null structurally instead.
     */
   def csvRoundtrip(documents: DataFrame,
       cacheKey: String = ""): DataFrame = {

@@ -145,7 +145,7 @@ object PartitionedSink {
     * each invocation.
     */
   private lazy val sinkDir: String =
-    Files.createTempDirectory("graft_sink_").toString
+    graft.Staging.dir("graft_sink_")
   private val stagedResume =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -172,7 +172,7 @@ object PartitionedSink {
     // overwritten — rather than degenerating into an all-landed
     // no-op on repeat runs.
     def stagePrior(): String = {
-      val dir = Files.createTempDirectory("graft_resume_").toString
+      val dir = graft.Staging.dir("graft_resume_")
       write(prior, "o_orderpriority", "o_orderkey", dir, 5000000L,
         4, SaveMode.Overwrite)
       dir

@@ -204,8 +204,7 @@ object TextIngest {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     def stage(): String = {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_fastq_").toString
+      val dir = graft.Staging.dir("graft_fastq_")
       documents
         .select(col("doc_id"), col("n_chars"),
           (pmod(col("n_chars"), lit(80L)) + 20L).as("len"))

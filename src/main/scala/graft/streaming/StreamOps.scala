@@ -73,7 +73,7 @@ object StreamOps {
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val batch = graft.Tables.events(spark, dir)
     val stage = stagedEvents.getOrElseUpdate(dir, {
-      val s = Files.createTempDirectory("graft_st01_").toString
+      val s = graft.Staging.dir("graft_st01_")
       batch.write.mode("overwrite").parquet(s)
       s
     })
@@ -370,7 +370,7 @@ object StreamOps {
   def streamSink(spark: SparkSession, dir: String,
       cacheKey: String = ""): DataFrame = {
     def fresh(): (String, String) = {
-      val base = Files.createTempDirectory("graft_st06_").toString
+      val base = graft.Staging.dir("graft_st06_")
       (s"$base/out", s"$base/chk")
     }
     val (out, chk) =
@@ -513,7 +513,7 @@ object StreamOps {
         graft.Tables.epochUs(col("ts")).as("ts_us"),
         coalesce(col("value"), lit(0.0d)).as("value"))
     val stage = stagedSessions.getOrElseUpdate(dir, {
-      val s = Files.createTempDirectory("graft_st02_").toString
+      val s = graft.Staging.dir("graft_st02_")
       batch.write.mode("overwrite").parquet(s)
       // max() is null on an empty events table — a legitimately empty
       // shard then needs no sentinel (there is no state to flush).
