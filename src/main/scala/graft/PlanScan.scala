@@ -61,6 +61,9 @@ import org.apache.spark.sql.SparkSession
   *  - s05 Window/SortAggregate/ObjectHashAggregate/BNLJ: the union of
   *    s02's probe shapes and s04's LUT/top-k shapes — the composition
   *    adds no new plan feature of its own.
+  *  - q36 Window: q12's island windows plus the per-island argmax
+  *    rank — all on ENRICHED bins (≤ #bins rows, post-aggregation
+  *    bounded cardinality, q12's justification).
   *  - q33/q34 Window: slice totals / Gini ranks over the BIN table —
   *    post-aggregation bounded cardinality (#bins = range/binWidth),
   *    the q24 justification; the corpus-sized work is the map-side

@@ -46,6 +46,10 @@ object SparkEntry {
       Pipeline.intervalCount(s, Tables.lineitem(s, d))),
     "q12_peak_detect" -> ((s, d) =>
       Pipeline.peakDetect(Tables.events(s, d))),
+    "q35_flag_census" -> ((s, d) =>
+      Relational.flagCensus(Tables.lineitem(s, d))),
+    "q36_peak_summits" -> ((s, d) =>
+      Pipeline.peakSummits(Tables.events(s, d))),
     "q21_peak_local" -> ((s, d) =>
       Pipeline.peakDetectLocal(Tables.events(s, d))),
     "q22_incremental" -> ((s, d) =>
@@ -435,6 +439,56 @@ object SparkEntry {
          SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
                 count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
          FROM islands GROUP BY island""",
+    // The flag word replays the engine's bit derivation predicate for
+    // predicate; masks are integer bitwise ops, exact in both engines.
+    "q35_flag_census" ->
+      """WITH f AS (
+           SELECT (CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN l_linestatus = 'F' THEN 2 ELSE 0 END)
+                + (CASE WHEN l_returnflag = 'R' THEN 4 ELSE 0 END)
+                + (CASE WHEN l_quantity < 10 THEN 8 ELSE 0 END)
+                + (CASE WHEN l_orderkey % 7 = 0 THEN 16 ELSE 0 END) AS flag,
+                l_quantity
+           FROM lineitem)
+         SELECT flag, count(*) AS n_reads,
+                CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+                (flag & 1) AS b_paired,
+                ((flag >> 1) & 1) AS b_proper,
+                ((flag >> 2) & 1) AS b_unmapped,
+                ((flag >> 3) & 1) AS b_short,
+                ((flag >> 4) & 1) AS b_dup
+         FROM f
+         WHERE (flag & 4) = 0 AND (flag & 1) = 1
+         GROUP BY flag""",
+    // q12's CTEs + the per-island argmax rank; summit ties break to
+    // the LEFTMOST max bin in both engines (ORDER BY n DESC, bin_id).
+    "q36_peak_summits" ->
+      """WITH bins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+         enriched AS (
+           SELECT bin_id, n
+           FROM (SELECT bin_id, n,
+                        avg(n) OVER () + 2 * stddev_pop(n) OVER () AS thresh
+                 FROM bins) t
+           WHERE n > thresh),
+         islands AS (
+           SELECT bin_id, n,
+                  bin_id - row_number() OVER (ORDER BY bin_id) AS island
+           FROM enriched),
+         rk AS (
+           SELECT bin_id, n, island,
+                  row_number() OVER (PARTITION BY island
+                                     ORDER BY n DESC, bin_id ASC) AS rk
+           FROM islands)
+         SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
+                count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events,
+                max(CASE WHEN rk = 1 THEN bin_id END) AS summit_bin,
+                max(CASE WHEN rk = 1 THEN n END) AS summit_events,
+                max(CASE WHEN rk = 1 THEN bin_id END) - min(bin_id)
+                  AS summit_offset
+         FROM rk GROUP BY island""",
     "q21_peak_local" ->
       """WITH bins AS (
            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,

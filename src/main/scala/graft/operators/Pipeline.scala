@@ -94,27 +94,68 @@ object Pipeline {
     * enriched bins into peaks (gaps-and-islands). The window-over-()
     * steps run on #bins rows (post-aggregation), never on raw events.
     */
-  def peakDetect(events: DataFrame, binSeconds: Long = 3600L): DataFrame = {
-    val bins = events
-      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
-        .cast("long").as("bin_id"))
-      .groupBy(col("bin_id"))
-      .agg(count(lit(1)).as("n"))
-    val all = Window.partitionBy()
-    val enriched = bins
-      .withColumn("thresh",
-        avg(col("n")).over(all) + lit(2) * stddev_pop(col("n")).over(all))
-      .filter(col("n") > col("thresh"))
-    // adjacent enriched bins share (bin_id - row_number) → one island
-    val byBin = Window.partitionBy().orderBy(col("bin_id"))
-    enriched
-      .withColumn("island", col("bin_id") - row_number().over(byBin))
+  def peakDetect(events: DataFrame, binSeconds: Long = 3600L): DataFrame =
+    globalEnrichedBins(events, binSeconds)
       .groupBy(col("island"))
       .agg(
         min(col("bin_id")).as("peak_start"),
         max(col("bin_id")).as("peak_end"),
         count(lit(1)).as("n_bins"),
         sum(col("n")).as("total_events"))
+      .drop("island")
+
+  /** q12's bin→enrich→island core, shared with q36: binned counts,
+    * bins above the global mean+2σ threshold, adjacent survivors
+    * labeled with their island id (bin_id − row_number). All windows
+    * run on #bins rows (post-aggregation), never raw events.
+    */
+  private def globalEnrichedBins(events: DataFrame,
+      binSeconds: Long): DataFrame = {
+    val bins = events
+      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+        .cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val byBin = Window.partitionBy().orderBy(col("bin_id"))
+    bins
+      .withColumn("thresh",
+        avg(col("n")).over(all) + lit(2) * stddev_pop(col("n")).over(all))
+      .filter(col("n") > col("thresh"))
+      // adjacent enriched bins share (bin_id - row_number) → one island
+      .withColumn("island", col("bin_id") - row_number().over(byBin))
+  }
+
+  /** q36_peak_summits — q12's peaks extended with the SUMMIT, the
+    * argmax bin inside each island: macs2 emits a summits.bed with
+    * one position per peak (reference tools.py:555-622), and
+    * downstream motif/annotation tools consume the summit, not the
+    * island bounds — q12/q21/q24 stopped at the bounds. Summit =
+    * the island's highest-count bin, leftmost on ties (macs2's
+    * deterministic choice); also emitted as an OFFSET from
+    * peak_start, the summits.bed relative-coordinate convention.
+    *
+    * The argmax rides a rank window PARTITIONED BY island then a
+    * conditional max inside the existing island aggregation — no
+    * struct-ordered max_by (a struct aggregation buffer forces
+    * SortAggregate, q08's lesson), and both steps run on enriched
+    * bins only (≤ #bins rows, post-aggregation cardinality — q12's
+    * scale argument, unchanged).
+    */
+  def peakSummits(events: DataFrame, binSeconds: Long = 3600L): DataFrame = {
+    val sumW = Window.partitionBy(col("island"))
+      .orderBy(col("n").desc, col("bin_id").asc)
+    globalEnrichedBins(events, binSeconds)
+      .withColumn("rk", row_number().over(sumW))
+      .groupBy(col("island"))
+      .agg(
+        min(col("bin_id")).as("peak_start"),
+        max(col("bin_id")).as("peak_end"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n")).as("total_events"),
+        max(when(col("rk") === 1, col("bin_id"))).as("summit_bin"),
+        max(when(col("rk") === 1, col("n"))).as("summit_events"))
+      .withColumn("summit_offset", col("summit_bin") - col("peak_start"))
       .drop("island")
   }
 

@@ -240,4 +240,57 @@ object Relational {
         lit(null).cast("string").as("new_text"))
     changelogMerge(base, upserts.unionByName(deletes))
   }
+
+  /** The SAM-style flag word, derived deterministically from row
+    * attributes (the test tables carry no native bitfield; each bit
+    * is an oracle-replicable integer/string predicate). Bit layout
+    * mirrors the SAM flags the reference manipulates:
+    * 0x1 paired, 0x2 proper-pair, 0x4 unmapped, 0x8 short-fragment,
+    * 0x10 duplicate.
+    */
+  private[graft] def samFlag: org.apache.spark.sql.Column =
+    when(col("l_linenumber") % 2 === 0, 1).otherwise(0) +
+      when(col("l_linestatus") === "F", 2).otherwise(0) +
+      when(col("l_returnflag") === "R", 4).otherwise(0) +
+      when(col("l_quantity") < 10d, 8).otherwise(0) +
+      when(col("l_orderkey") % 7 === 0, 16).otherwise(0)
+
+  /** q35_flag_census — bitwise flag-mask filtering plus the flag
+    * census, the `samtools view -F/-f` + flagstat semantics and the
+    * last reference behavior without its own checklist row: the
+    * reference drops unmapped reads with `view -F4` (tools.py:246)
+    * and counts paired reads with `view -c -f 1` (tools.py:580). A
+    * SAM flag is a BITFIELD — the predicates are masks (`flag & F =
+    * 0` to exclude any of F's bits, `flag & f = f` to require all of
+    * f's), which q05's anti-join and q06's range predicate cannot
+    * express.
+    *
+    * Defaults exercise both mask directions at once (mapped AND
+    * paired, samtools' commonest combination). The census groups by
+    * the surviving flag WORD — one row per bit combination, each
+    * decoded into its property columns (the flagstat report reads
+    * off this directly as Σ n_reads over rows with the bit set).
+    *
+    * Scale: flag derivation and both mask tests are map-side codegen
+    * (a handful of integer ops per row — the predicates push into
+    * the scan stage), and the aggregation key space is 2^bits
+    * COMBINATIONS, not rows, so partial aggs collapse everything
+    * before the one tiny exchange. qty_sum is integer-valued doubles
+    * cast to long — order-insensitive, oracle-exact.
+    */
+  def flagCensus(lineitem: DataFrame, excludeMask: Int = 4,
+      requireMask: Int = 1): DataFrame =
+    lineitem
+      .withColumn("flag", samFlag)
+      .filter(col("flag").bitwiseAND(lit(excludeMask)) === 0 &&
+        col("flag").bitwiseAND(lit(requireMask)) === requireMask)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_reads"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"))
+      .select(col("flag"), col("n_reads"), col("qty_sum"),
+        col("flag").bitwiseAND(lit(1)).as("b_paired"),
+        shiftright(col("flag"), 1).bitwiseAND(lit(1)).as("b_proper"),
+        shiftright(col("flag"), 2).bitwiseAND(lit(1)).as("b_unmapped"),
+        shiftright(col("flag"), 3).bitwiseAND(lit(1)).as("b_short"),
+        shiftright(col("flag"), 4).bitwiseAND(lit(1)).as("b_dup"))
 }

@@ -356,4 +356,45 @@ class PipelineSpec extends AnyFunSuite {
       "moments must ride ONE user_id exchange as window aggregates")
     assert(!plan.contains("Join"), "no groupBy+join-back")
   }
+
+  test("q36: summit is the argmax bin, leftmost on ties, offset from start") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 50 background bins of 1 event; a 3-bin burst (6, 9, 9) whose
+    // summit must be the LEFTMOST 9; an isolated single-bin peak (8)
+    // whose summit offset must be 0. Background mean+2σ ≈ 5.25, so
+    // exactly those four bins enrich.
+    val base = 500000L
+    val counts = (0L until 50L).map(b => (base - 60L + b) -> 1) ++
+      Seq(base -> 6, (base + 1L) -> 9, (base + 2L) -> 9, (base + 10L) -> 8)
+    val ev = counts.flatMap { case (b, n) => (0 until n).map(_ => b) }
+      .toDF("bin")
+      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+    val got = graft.operators.Pipeline.peakSummits(ev).collect()
+      .map(r => (r.getAs[Long]("peak_start"), r.getAs[Long]("peak_end"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("total_events"),
+        r.getAs[Long]("summit_bin"), r.getAs[Long]("summit_events"),
+        r.getAs[Long]("summit_offset"))).toSet
+    assert(got === Set(
+      (base, base + 2L, 3L, 24L, base + 1L, 9L, 1L),
+      (base + 10L, base + 10L, 1L, 8L, base + 10L, 8L, 0L)),
+      s"planted summit geometry: $got")
+  }
+
+  test("q36: summit columns extend q12's islands without changing them") {
+    val q12 = SparkEntry.queries("q12_peak_detect")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("peak_start"), r.getAs[Long]("peak_end"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("total_events"))).toSet
+    val q36 = SparkEntry.queries("q36_peak_summits")(spark, sf).collect()
+    val islands = q36.map(r => (r.getAs[Long]("peak_start"),
+      r.getAs[Long]("peak_end"), r.getAs[Long]("n_bins"),
+      r.getAs[Long]("total_events"))).toSet
+    assert(islands === q12, "same islands as q12")
+    q36.foreach { r =>
+      val (s, e) = (r.getAs[Long]("peak_start"), r.getAs[Long]("peak_end"))
+      val sb = r.getAs[Long]("summit_bin")
+      assert(sb >= s && sb <= e, "summit inside its island")
+      assert(r.getAs[Long]("summit_offset") === sb - s)
+    }
+  }
 }

@@ -144,4 +144,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       "latest-per-key must be max_by partial aggregation")
   }
+
+  // One synthetic read per flag bit, each setting ONLY its own bit,
+  // plus the all-bits and no-bits rows — so every bit's predicate is
+  // proven independently and the decoded columns are checked against
+  // the planted word.
+  private def flagRows = {
+    import TestSpark.spark.implicits._
+    Seq(
+      // (orderkey, linenumber, quantity, returnflag, linestatus)
+      (1L, 1, 20.0, "N", "O"),  // flag 0
+      (1L, 2, 20.0, "N", "O"),  // flag 1  (even line -> paired)
+      (1L, 1, 20.0, "N", "F"),  // flag 2  (F status -> proper)
+      (1L, 1, 20.0, "R", "O"),  // flag 4  (R -> unmapped)
+      (1L, 1, 5.0, "N", "O"),   // flag 8  (qty < 10 -> short)
+      (7L, 1, 20.0, "N", "O"),  // flag 16 (orderkey % 7 -> dup)
+      (3L, 2, 20.0, "N", "F"),  // flag 3  (paired AND proper)
+      (14L, 2, 5.0, "R", "F"))  // flag 31 (all bits)
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus")
+  }
+
+  test("q35: each flag bit is derived independently and decoded back") {
+    val all = graft.operators.Relational
+      .flagCensus(flagRows, excludeMask = 0, requireMask = 0)
+      .collect()
+      .map(r => r.getAs[Int]("flag") ->
+        (r.getAs[Long]("n_reads"), r.getAs[Int]("b_paired"),
+          r.getAs[Int]("b_proper"), r.getAs[Int]("b_unmapped"),
+          r.getAs[Int]("b_short"), r.getAs[Int]("b_dup"))).toMap
+    assert(all.keySet === Set(0, 1, 2, 3, 4, 8, 16, 31))
+    assert(all.values.forall(_._1 == 1L), "one planted read per word")
+    assert(all(31) === ((1L, 1, 1, 1, 1, 1)), "all-bits row decodes to all ones")
+    assert(all(0) === ((1L, 0, 0, 0, 0, 0)))
+    assert(all(4)._4 == 1 && all(4)._2 == 0, "only the planted bit is set")
+  }
+
+  test("q35: -F excludes ANY masked bit, -f requires ALL masked bits") {
+    // samtools view -F4 -f1: mapped AND paired
+    val kept = graft.operators.Relational
+      .flagCensus(flagRows, excludeMask = 4, requireMask = 1)
+      .collect().map(_.getAs[Int]("flag")).toSet
+    assert(kept === Set(1, 3), s"bit2 rows excluded, bit0 required: $kept")
+    // multi-bit -f: BOTH bits must be present (31 has them; 1/2 alone fail)
+    val both = graft.operators.Relational
+      .flagCensus(flagRows, excludeMask = 0, requireMask = 3)
+      .collect().map(_.getAs[Int]("flag")).toSet
+    assert(both === Set(3, 31), s"requireMask is all-of, not any-of: $both")
+  }
 }
