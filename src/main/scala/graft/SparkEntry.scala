@@ -212,6 +212,9 @@ object SparkEntry {
     "k07_jsonl_roundtrip" -> ((s, d) =>
       graft.sources.Formats.jsonlRoundtrip(Tables.documents(s, d),
         cacheKey = d)),
+    "k08_sorted_layout" -> ((s, d) =>
+      graft.sources.SortedLayout.sortedRoundtrip(Tables.documents(s, d),
+        cacheKey = d)),
     "t11_unicode_dedup" -> ((s, d) =>
       TextAnalysis.unicodeDedup(Tables.documents(s, d))),
     "q34_evenness" -> ((s, d) =>
@@ -1520,6 +1523,15 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1, 2""",
+    // k08: identical predicate on the parquet ORIGINAL — row-group
+    // skipping is an IO optimization, never a semantics change.
+    "k08_sorted_layout" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum
+         FROM documents
+         WHERE lang IN ('en', 'de') AND doc_id >= 100 AND doc_id < 400
          GROUP BY 1, 2""",
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree

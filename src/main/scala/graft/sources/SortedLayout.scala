@@ -1,0 +1,134 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k08_sorted_layout — sort-based file layout: the scan-cost lever
+  * BEYOND partition pruning. k01/k05 prove directory-level pruning on
+  * the partition column; this operator demonstrates the other half:
+  * cluster each partition's files by a scan key so parquet's
+  * column-chunk min/max statistics turn point/range predicates into
+  * ROW-GROUP SKIPS. At 100 TB the difference is a scan that reads the
+  * handful of files covering the predicate's key range versus every
+  * file of the partition — the same data, the same predicate, an
+  * order of magnitude less IO, bought entirely at write time.
+  *
+  * Layout recipe:
+  *  - `repartitionByRange(writers, lang, doc_id)` — a RANGE exchange,
+  *    not k01's hash salt: each writer task receives a CONTIGUOUS
+  *    (lang, doc_id) slice, so each output file's doc_id min/max is
+  *    narrow and files are pairwise (near-)disjoint. A hash salt
+  *    would give every file the full key range — perfect writer
+  *    balance, zero skippability (the spec stages that layout as the
+  *    control and proves the difference from the footer stats). Range
+  *    partitioning keeps the salted-writer guarantee that matters —
+  *    writers per lang proportional to the lang's row share (the
+  *    partitioner samples), no one-task-per-value funnel — while
+  *    adding the clustering.
+  *  - `sortWithinPartitions(lang, doc_id)` — orders rows inside each
+  *    task, so every row group WITHIN a multi-group file also gets
+  *    narrow stats (and the partitionBy writer sees each lang as one
+  *    run, one open file per lang per task).
+  *  - `maxRecordsPerFile` bounds file size; the tree stays
+  *    `partitionBy(lang)` so directory pruning composes with the
+  *    row-group skips (the registered query exercises BOTH).
+  */
+object SortedLayout {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+
+  /** Stage the range-clustered, sorted tree; memoized per cacheKey
+    * (empty key = fresh tree per call, Formats.treeFor's contract).
+    */
+  def stageSorted(documents: DataFrame, writers: Int = 8,
+      maxRecords: Long = 5000000L, cacheKey: String = ""): String = {
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k08_sorted_") + "/tree"
+      documents
+        .repartitionByRange(writers, col("lang"), col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecords)
+        .partitionBy("lang")
+        .parquet(dir)
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate((cacheKey, writers, maxRecords), fresh())
+  }
+
+  /** The spec's CONTROL layout: k01's hash-salted writers, same file
+    * count discipline, no clustering — every file spans the full
+    * doc_id range, so row-group stats can skip nothing.
+    */
+  def stageUnsorted(documents: DataFrame, writers: Int = 8,
+      maxRecords: Long = 5000000L): String = {
+    val dir = graft.Staging.dir("graft_k08_unsorted_") + "/tree"
+    documents
+      .repartition(col("lang"), pmod(xxhash64(col("doc_id")), lit(writers)))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy("lang")
+      .parquet(dir)
+    dir
+  }
+
+  /** The registered query: read the sorted tree back through a
+    * partition-pruned AND key-range-skipped scan (`lang IN` prunes
+    * directories, `doc_id` bounds skip row groups), summarize per
+    * (lang, source) with checksums. The oracle runs the identical
+    * predicate on the parquet ORIGINAL, so equality proves the
+    * layout hop lost/duplicated/corrupted nothing — the skipping is
+    * an IO optimization, never a semantics change (that contract is
+    * exactly what makes sorted layout deployable: flip the layout,
+    * every query's answer is unchanged).
+    */
+  def sortedRoundtrip(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageSorted(documents, cacheKey = cacheKey)
+    spark.read.schema(documents.schema).parquet(dir)
+      .filter(col("lang").isin("en", "de") &&
+        col("doc_id") >= 100L && col("doc_id") < 400L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        sum(col("doc_id")).cast("long").as("key_checksum"))
+  }
+
+  /** Per-file [min, max] of doc_id read from the parquet footers'
+    * column-chunk statistics — the exact metadata the scan's
+    * row-group skip consults. Driver-side file listing: this is the
+    * spec/audit surface (file count = writers × langs, bounded), not
+    * an operator path.
+    */
+  def docIdRanges(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    files.toSeq.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == "doc_id")
+            .map(_.getStatistics)
+        }
+        val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        (p.toString, mins.min, maxs.max)
+      } finally reader.close()
+    }
+  }
+}

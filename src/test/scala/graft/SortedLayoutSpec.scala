@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SortedLayout
+
+/** k08: the sorted layout's claim is measurable twice over — in the
+  * footers (each file's doc_id min/max is narrow and near-disjoint,
+  * vs full-range in the hash-salted control) and in the scan metrics
+  * (a range predicate materializes fewer rows from the sorted tree,
+  * because non-overlapping row groups are skipped before decode).
+  */
+class SortedLayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  // Small files so the sf0.001 corpus yields many row groups per lang.
+  private lazy val sortedDir =
+    SortedLayout.stageSorted(docs, writers = 8, maxRecords = 25L)
+  private lazy val unsortedDir =
+    SortedLayout.stageUnsorted(docs, writers = 8, maxRecords = 25L)
+
+  /** Rows the parquet scan materialized (post row-group skip) for a
+    * doc_id range count over `dir`.
+    */
+  private def scanRows(dir: String): (Long, Long) = {
+    val df = spark.read.schema(docs.schema).parquet(dir)
+      .filter(col("doc_id") >= 100L && col("doc_id") < 200L)
+    // collect() on THIS df so the inspected queryExecution is the one
+    // that ran (count() would build its own) — the scan metric then
+    // reports rows materialized after row-group skipping.
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val read = plan.collectLeaves()
+      .collect { case s: FileSourceScanExec =>
+        s.metrics("numOutputRows").value }
+      .sum
+    (n, read)
+  }
+
+  test("k08: sorted files carry narrow, near-disjoint doc_id stats") {
+    val stats = SortedLayout.docIdRanges(spark, sortedDir)
+    val ctrl = SortedLayout.docIdRanges(spark, unsortedDir)
+    assert(stats.size > 4, s"need several files to prove layout: $stats")
+    val lo = stats.map(_._2).min
+    val hi = stats.map(_._3).max
+    val range = (hi - lo + 1).toDouble
+    // control: hash-salted writers spread files across the key space
+    // — asserted on the MEAN span (a 25-row hash sample occasionally
+    // lands narrow by chance; the layout property is aggregate)
+    val ctrlMeanSpan = ctrl.map { case (_, mn, mx) => (mx - mn + 1).toDouble }
+      .sum / ctrl.size
+    assert(ctrlMeanSpan > range * 0.5,
+      s"hash-salted control files must span the key range on average: $ctrl")
+    // sorted: per-lang spans partition the lang's id range instead of
+    // each covering it — total overlap stays near zero
+    // sorted: within each lang directory the files TILE the id range
+    // — pairwise disjoint in id space — which is exactly what lets a
+    // range predicate skip every non-overlapping row group. (Spans
+    // are NOT asserted narrow in raw id units: a sparse lang's 50-row
+    // file legitimately covers a wide id interval; skippability comes
+    // from disjointness, not density.)
+    val byLang = stats.groupBy(_._1.split("lang=")(1).split("/")(0))
+    byLang.foreach { case (lang, fs) =>
+      val ordered = fs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq((_, _, mx1), (f2, mn2, _)) =>
+          assert(mn2 > mx1,
+            s"lang=$lang sorted files must be disjoint: $f2 " +
+              s"starts at $mn2 inside a file ending at $mx1 ($ordered)")
+        case _ =>
+      }
+    }
+  }
+
+  test("k08: a range predicate reads fewer rows from the sorted tree") {
+    val (nSorted, readSorted) = scanRows(sortedDir)
+    val (nUnsorted, readUnsorted) = scanRows(unsortedDir)
+    assert(nSorted === nUnsorted, "layout must never change the answer")
+    assert(nSorted > 0, "predicate must select something")
+    // the control can skip the occasional lucky-narrow file, but must
+    // materialize the large majority of the corpus for a 20% range
+    assert(readUnsorted >= (docs.count() * 0.7).toLong,
+      s"control scan materializes nearly everything: $readUnsorted")
+    assert(readSorted <= (readUnsorted * 0.7).toLong,
+      s"row-group skip must cut materialized rows: " +
+        s"sorted read $readSorted vs control $readUnsorted")
+  }
+
+  test("k08: roundtrip summary equals the original-table computation") {
+    val viaLayout = SortedLayout.sortedRoundtrip(docs)
+    val direct = docs
+      .filter(col("lang").isin("en", "de") &&
+        col("doc_id") >= 100L && col("doc_id") < 400L)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        sum(col("doc_id")).cast("long").as("key_checksum"))
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(key(viaLayout) === key(direct))
+  }
+}
