@@ -162,6 +162,8 @@ object SparkEntry {
       Skew.skewAgg(Tables.events(s, d))),
     "d10_dedup_incremental" -> ((s, d) =>
       Dedup.dedupIncremental(Tables.documents(s, d), cacheKey = d)),
+    "st09_stream_neardup" -> ((s, d) =>
+      StreamOps.streamNearDup(s, d)),
     "k04_fastq_ingest" -> ((s, d) =>
       graft.sources.TextIngest.fastqSummary(Tables.documents(s, d),
         cacheKey = d)),
@@ -267,6 +269,30 @@ object SparkEntry {
               a.ts_us AS anchor_ts_us, f.ts_us - a.ts_us AS gap_us
        FROM f ASOF LEFT JOIN a
          ON f.user_id = a.user_id AND f.ts_us >= a.ts_us"""
+
+  /** Shared by d10 (batch incremental dedup) and st09 (streaming
+    * near-dup): both probe the same build-once bucketed index — the
+    * probe is batching-invariant, so one oracle covers both.
+    */
+  private val d10Sql: String =
+    """WITH sets AS (
+         SELECT doc_id,
+                list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t) - 1)]) AS sh
+         FROM (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS t
+               FROM documents)
+         WHERE len(t) >= 3),
+       pairs AS (
+         SELECT a.doc_id AS doc_id, c.doc_id AS dup_of,
+                len(list_intersect(a.sh, c.sh)) AS inter,
+                len(a.sh) AS na, len(c.sh) AS nc
+         FROM sets a JOIN sets c
+           ON a.doc_id >= 250 AND c.doc_id < 250)
+       SELECT doc_id, dup_of,
+              round(inter * 1.0 / (na + nc - inter), 4) AS jaccard
+       FROM pairs
+       WHERE inter * 1.0 / (na + nc - inter) >= 0.6"""
 
   /** Shared by q29 (batch funnel) and st07 (streaming funnel):
     * the streaming stateful funnel must reproduce the batch
@@ -1129,25 +1155,10 @@ object SparkEntry {
     // oracle recomputes on shingle strings (d01's documented gap).
     // The build-time df cap is inert on this corpus (max df = 4),
     // which the d04/d09 lossless-cap specs pin.
-    "d10_dedup_incremental" ->
-      """WITH sets AS (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS sh
-           FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)
-           WHERE len(t) >= 3),
-         pairs AS (
-           SELECT a.doc_id AS doc_id, c.doc_id AS dup_of,
-                  len(list_intersect(a.sh, c.sh)) AS inter,
-                  len(a.sh) AS na, len(c.sh) AS nc
-           FROM sets a JOIN sets c
-             ON a.doc_id >= 250 AND c.doc_id < 250)
-         SELECT doc_id, dup_of,
-                round(inter * 1.0 / (na + nc - inter), 4) AS jaccard
-         FROM pairs
-         WHERE inter * 1.0 / (na + nc - inter) >= 0.6""",
+    "d10_dedup_incremental" -> d10Sql,
+    // st09 probes the SAME index per micro-batch — batching-invariant,
+    // so the streaming run shares d10's oracle verbatim.
+    "st09_stream_neardup" -> d10Sql,
     // k04: the staged FASTQ derives every byte from (doc_id, n_chars)
     // by closed-form arithmetic, so the oracle recomputes the
     // per-read stats directly from documents — what's checked is the

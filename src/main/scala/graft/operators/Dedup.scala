@@ -493,18 +493,29 @@ object Dedup {
   private val stagedIdx =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
-  def dedupIncremental(documents: DataFrame, splitId: Long = 250L,
-      n: Int = 3, tau: Double = 0.6, maxDf: Int = 128,
-      buckets: Int = 16, cacheKey: String = ""): DataFrame = {
+  /** Shingle postings of a document slice: (doc_id, nsh, gh). Shared
+    * by the batch probe (d10) and the per-micro-batch probe (st09).
+    */
+  private[graft] def incrementalPosting(df: DataFrame, n: Int): DataFrame =
+    shingleSets(df, n)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
+
+  /** The build-once bucketed corpus index (d10's contract): postings
+    * of the existing corpus, df-capped at BUILD time, written
+    * `bucketBy(gh)` so every probe joins it in place — zero
+    * index-side exchange. Memoized per (cacheKey, n, maxDf); st09
+    * reuses the same artifact across micro-batches, which is the
+    * whole point of the shape.
+    */
+  private[graft] def incrementalIndex(documents: DataFrame,
+      splitId: Long, n: Int, maxDf: Int, buckets: Int,
+      cacheKey: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
-    def posting(df: DataFrame): DataFrame =
-      shingleSets(df, n)
-        .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
     def buildIndex(): String = {
       val table = s"graft_d10_idx_${idxNonce}_${stagedIdx.size}"
       val dir = graft.Staging.dir("graft_d10_idx_")
-      posting(documents.filter(col("doc_id") < splitId))
+      incrementalPosting(documents.filter(col("doc_id") < splitId), n)
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("gh"))))
         .filter(col("df") <= maxDf)
@@ -516,8 +527,19 @@ object Dedup {
     val table =
       if (cacheKey.isEmpty) buildIndex()
       else stagedIdx.getOrElseUpdate((cacheKey, n, maxDf), buildIndex())
-    val idx = spark.table(table)
-    val arrivals = posting(documents.filter(col("doc_id") >= splitId))
+    spark.table(table)
+  }
+
+  /** The probe: arrival postings against the bucketed index —
+    * index side contributes no exchange (spec-asserted), only the
+    * arrival sliver shuffles — aggregated to exact-Jaccard pairs at
+    * ≥ tau. Batching-invariant: each arrival's pairs depend only on
+    * that document and the STATIC index, so probing per micro-batch
+    * (st09) and probing the whole slice at once (d10) give the same
+    * rows — the equality the st09 spec pins.
+    */
+  private[graft] def probeIndex(arrivals: DataFrame, idx: DataFrame,
+      tau: Double): DataFrame =
     arrivals.as("a")
       .join(idx.hint("merge").as("c"), col("a.gh") === col("c.gh"))
       .groupBy(col("a.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"))
@@ -529,6 +551,15 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_id"), col("dup_of"),
         round(col("jaccard"), 4).as("jaccard"))
+
+  def dedupIncremental(documents: DataFrame, splitId: Long = 250L,
+      n: Int = 3, tau: Double = 0.6, maxDf: Int = 128,
+      buckets: Int = 16, cacheKey: String = ""): DataFrame = {
+    val idx = incrementalIndex(documents, splitId, n, maxDf, buckets,
+      cacheKey)
+    probeIndex(
+      incrementalPosting(documents.filter(col("doc_id") >= splitId), n),
+      idx, tau)
   }
 
   /** d07_dedup_groups — resolve a near-dup PAIR list into duplicate

@@ -550,4 +550,68 @@ object StreamOps {
       .select(col("user_id"), col("session_idx"), col("n_events"),
         col("session_start_us"), col("session_end_us"), col("sum_value"))
   }
+
+  private val stagedArrivals =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** st09_stream_neardup — streaming FUZZY dedup, the near-dup layer
+    * st03's exact `dropDuplicates` misses: each micro-batch of
+    * arriving documents probes d10's build-once bucketed shingle
+    * index (via foreachBatch, the stream-side idiom for joins against
+    * a maintained index artifact) and emits which existing corpus
+    * document each arrival duplicates at Jaccard ≥ tau.
+    *
+    * Correctness rides d10's batching-invariance: an arrival's pairs
+    * depend only on that document and the STATIC index, so splitting
+    * arrivals across micro-batches cannot change the union of
+    * results — st09 ≡ d10 row for row on the harness (spec-pinned,
+    * and it shares d10's DuckDB oracle).
+    *
+    * Scale: the index is the memoized bucketed table — per
+    * micro-batch cost is the batch's postings shuffled against an
+    * index that joins IN PLACE (zero index-side exchange, d10's
+    * spec), state held by the streaming engine is just file-source
+    * progress (no keyed state at all — the index IS the state,
+    * durable and shared). A 24/7 deployment compacts newly-accepted
+    * arrivals into the index on whatever cadence the corpus grows;
+    * the probe path is unchanged.
+    *
+    * Harness: arrivals staged as multiple files, maxFilesPerTrigger=1
+    * forces a multi-batch run (spec asserts > 1 micro-batch did
+    * work); results append to a parquet sink dir read back with an
+    * explicit schema (an all-unique stream legitimately emits no
+    * pairs).
+    */
+  def streamNearDup(spark: SparkSession, dir: String,
+      splitId: Long = 250L, n: Int = 3, tau: Double = 0.6): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val idx = graft.operators.Dedup.incrementalIndex(
+      docs, splitId, n, maxDf = 128, buckets = 16, cacheKey = dir)
+    val stage = stagedArrivals.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st09_")
+      docs.filter(col("doc_id") >= splitId)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+    val out = graft.Staging.dir("graft_st09_out_")
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .probeIndex(graft.operators.Dedup.incrementalPosting(batch, n),
+            idx, tau)
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema("doc_id BIGINT, dup_of BIGINT, jaccard DOUBLE")
+      .parquet(out)
+  }
 }

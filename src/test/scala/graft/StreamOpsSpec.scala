@@ -212,6 +212,37 @@ class StreamOpsSpec extends AnyFunSuite {
       s"only the spike flags, against 15 priors; got ${got.toSeq}")
   }
 
+  test("st09: streaming near-dup equals batch d10 exactly, across micro-batches") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = pairs(SparkEntry.queries("d10_dedup_incremental")(spark, sf))
+    val stream = pairs(SparkEntry.queries("st09_stream_neardup")(spark, sf))
+    assert(stream === batch,
+      s"per-micro-batch probes must union to the batch probe: " +
+        s"stream ${stream.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty, "harness corpus must contain cross-slice dups")
+  }
+
+  test("st09: the run is genuinely multi-batch (batching-invariance is exercised)") {
+    // The staged arrival slice is written as 4 files and the stream
+    // triggers one file per micro-batch — the parquet sink then
+    // accumulates one append per non-empty batch. More than one
+    // commit proves the equality above spanned real batch boundaries.
+    val out = graft.streaming.StreamOps.streamNearDup(spark, sf)
+    val dir = out.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile).head
+    // foreachBatch appends plain parquet: each micro-batch that found
+    // pairs commits under its own job UUID in the part file names —
+    // more than one distinct UUID proves the equality above spanned
+    // real batch boundaries.
+    val jobIds = dir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(_.getName.split("-c000").head.split("part-\\d+-").last)
+      .distinct
+    assert(jobIds.length > 1,
+      s"expected pair-emitting appends from more than one micro-batch: " +
+        s"${jobIds.toSeq}")
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
