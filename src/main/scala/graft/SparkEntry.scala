@@ -223,6 +223,8 @@ object SparkEntry {
       Pipeline.evenness(Tables.events(s, d))),
     "p09_quality_sample" -> ((s, d) =>
       Corpus.qualitySample(Tables.documents(s, d))),
+    "p10_leak_safe_split" -> ((s, d) =>
+      Corpus.leakSafeSplit(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1624,6 +1626,48 @@ object SparkEntry {
     // p08: the split hash is exact integer arithmetic (p04's salted
     // double-multiply, own salt) — both engines compute the identical
     // bucket, so assignment is value-exact.
+    // p10: d07's transitive-closure CTE resolves clusters, then p08's
+    // exact hash arithmetic splits on the REPRESENTATIVE id — the
+    // engine hashes min-label components the same way.
+    "p10_leak_safe_split" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS na, len(b.sh) AS nb
+             FROM sets a JOIN sets b ON a.doc_id < b.doc_id) t
+           WHERE inter * 1.0 / (na + nb - inter) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_rep
+           FROM reach GROUP BY node),
+         rep AS (
+           SELECT d.doc_id, d.lang, d.source,
+                  coalesce(c.cluster_rep, d.doc_id) AS rep_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, rep_id, lang, source,
+                CASE WHEN h < 10 THEN 'test'
+                     WHEN h < 60 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM (SELECT doc_id, rep_id, lang, source,
+                      (((((rep_id % 1000000007 + 9176) % 1000000007) * 2654435761)
+                          % 1000000007) * 2654435761) % 1000 AS h
+               FROM rep) t""",
     "p08_split" ->
       """SELECT doc_id, lang, source,
                 CASE WHEN h < 10 THEN 'test'

@@ -265,6 +265,52 @@ object Corpus {
           .otherwise(lit("train")))
   }
 
+  /** p10_leak_safe_split — DEDUP-AWARE train/val/test assignment:
+    * p08 splits each document independently, so a near-duplicate
+    * pair can straddle the boundary — a val/test document that is a
+    * light edit of a train document leaks training content into the
+    * held-out set, the contamination that near-dup-blind splits are
+    * known to produce (and that d06's benchmark decontamination
+    * cleans up AFTER the fact). The fix is structural: hash the
+    * duplicate CLUSTER, not the document. Every member of a d07
+    * component shares its representative's id, so the whole cluster
+    * lands in one split by construction — zero cross-split near-dup
+    * pairs, spec-asserted.
+    *
+    * Composition: d04's capped candidate pipeline → d07's connected
+    * components give (doc_id, cluster_rep) for CLUSTERED docs;
+    * everything else is its own representative (left join +
+    * coalesce). The split then thresholds `saltedBucket(rep_id)`
+    * with p08's OWN salt — deliberately: a document with no near
+    * dups gets rep_id = doc_id and therefore EXACTLY its p08 split
+    * (spec-pinned), so adopting leak-safety re-assigns only the
+    * clustered sliver of the corpus.
+    *
+    * Scale: the expensive part is d04+d07, which the corpus dedup
+    * pipeline (p03) already runs — a deployment derives splits from
+    * the same pair graph it deduplicates with, and the incremental
+    * path exists (d10's index assigns arriving near-dups their
+    * existing cluster's rep). The split itself stays a projection:
+    * the only per-doc state added is the 8-byte rep_id.
+    */
+  def leakSafeSplit(documents: DataFrame, testPermille: Int = 10,
+      valPermille: Int = 50, salt: Long = 9176L): DataFrame = {
+    val groups = graft.operators.Dedup.dedupGroups(
+      graft.operators.Dedup.ngramJaccard(documents))
+    val h = saltedBucket(col("rep_id"), salt, 1000L)
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(groups.select(col("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split",
+        when(h < testPermille, lit("test"))
+          .when(h < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("rep_id"), col("lang"), col("source"),
+        col("split"))
+  }
+
   /** p09_quality_sample — quality-CURRICULUM sampling: keep rate
     * rises with the document's quality tier (t02's score cut into
     * deciles), the "upsample high-quality, floor the sludge" mixture

@@ -358,4 +358,58 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again === got)
   }
+
+  /** p08's hash arithmetic replayed exactly (saltedBucket, salt 9176,
+    * mod 1000 → permille thresholds 10/60).
+    */
+  private def p08Split(id: Long): String = {
+    val P = 1000000007L; val K = 2654435761L
+    def pm(a: Long, m: Long) = ((a % m) + m) % m
+    val h = pm(pm(pm(pm(id, P) + 9176L, P) * K, P) * K, 1000L)
+    if (h < 10) "test" else if (h < 60) "val" else "train"
+  }
+
+  test("p10: a planted near-dup pair p08 would straddle lands in ONE split") {
+    import spark.implicits._
+    // Deterministically find an id pair whose p08 splits differ —
+    // that pair, given identical text, is exactly the leak p08
+    // permits and p10 must close.
+    val (a, b) = (0L until 4000L by 2L).map(i => (i, i + 1L))
+      .find { case (x, y) => p08Split(x) != p08Split(y) }.get
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq((a, shared), (b, shared)) ++
+      (10000L until 10030L).map(i =>
+        (i, s"unique filler text number $i with slightly distinctive words $i")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+    val p08 = Corpus.split(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p08(a) != p08(b), "the planted pair must straddle under p08")
+    val p10 = Corpus.leakSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+    assert(p10(a)._2 === p10(b)._2, "cluster members share one split")
+    assert(p10(a)._1 === a && p10(b)._1 === a,
+      "both members hash through the min-id representative")
+    assert(p10(a)._2 === p08Split(a), "the cluster takes its rep's p08 split")
+  }
+
+  test("p10: singletons keep p08's split; no d04 pair crosses splits") {
+    val docs = Tables.documents(spark, sf)
+    val p10 = Corpus.leakSafeSplit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+    val p08 = Corpus.split(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p10.keySet === p08.keySet, "split stays exhaustive")
+    // adopting leak-safety re-assigns ONLY the clustered sliver
+    p10.foreach { case (id, (rep, s)) =>
+      if (rep == id) assert(s === p08(id), s"singleton $id must keep p08")
+    }
+    // the contract itself: zero near-dup pairs across split boundaries
+    val pairs = graft.operators.Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "harness corpus must contain near-dups")
+    pairs.foreach { case (x, y) =>
+      assert(p10(x)._2 === p10(y)._2, s"pair ($x,$y) must not straddle")
+    }
+  }
 }
