@@ -217,6 +217,9 @@ object SparkEntry {
     "k08_sorted_layout" -> ((s, d) =>
       graft.sources.SortedLayout.sortedRoundtrip(Tables.documents(s, d),
         cacheKey = d)),
+    "k09_export_manifest" -> ((s, d) =>
+      graft.sources.SortedLayout.manifestSummary(Tables.documents(s, d),
+        cacheKey = d)),
     "t11_unicode_dedup" -> ((s, d) =>
       TextAnalysis.unicodeDedup(Tables.documents(s, d))),
     "q34_evenness" -> ((s, d) =>
@@ -1537,6 +1540,16 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2""",
+    // k09: the manifest's per-lang rollup must equal the aggregate
+    // computed directly on the original table — the completeness
+    // check a manifest consumer runs (file-level rows are
+    // writer-dependent, spec-asserted instead).
+    "k09_export_manifest" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang""",
     // k08: identical predicate on the parquet ORIGINAL — row-group
     // skipping is an IO optimization, never a semantics change.
     "k08_sorted_layout" ->

@@ -99,6 +99,61 @@ object SortedLayout {
         sum(col("doc_id")).cast("long").as("key_checksum"))
   }
 
+  /** k09_export_manifest — the per-file delivery manifest every
+    * large data drop ships with: one row per physical file carrying
+    * row count, key/content checksums, the file's key range, and its
+    * byte size — what a consumer validates COMPLETENESS against
+    * without scanning the data (files missing? rows lost? ranges
+    * gapped?). Built over k08's sorted tree, where the per-file
+    * [min_id, max_id] is also exactly the pruning metadata the scan's
+    * row-group skip consults — the manifest doubles as a queryable
+    * layout index (the spec pins manifest ranges ≡ footer
+    * statistics).
+    *
+    * Implementation: one read-back scan projecting keys plus the
+    * `_metadata` hidden column (Spark's file-source introspection —
+    * no driver-side file walking, no second pass over payload
+    * columns; text is never read because nothing references it,
+    * which the columnar format makes free). Aggregation cardinality
+    * is file count — bounded by writers × partition values, metadata
+    * scale, not corpus scale.
+    */
+  def exportManifest(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageSorted(documents, cacheKey = cacheKey)
+    spark.read.schema(documents.schema).parquet(dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("file_size"))
+      .groupBy(col("lang"), col("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("key_checksum"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        first(col("file_size")).as("file_size"))
+  }
+
+  /** The oracle-facing k09 surface: the manifest rolled up per lang.
+    * FILE membership is writer-dependent (range boundaries come from
+    * the partitioner's sampling) so per-file rows aren't
+    * SQL-replayable — but their per-lang rollup must equal the same
+    * aggregate computed directly on the original table, which is
+    * precisely the completeness check a manifest consumer runs. The
+    * file-level properties (one row per physical file, sizes match
+    * the filesystem, ranges match the footers) are spec-asserted.
+    */
+  def manifestSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame =
+    exportManifest(documents, cacheKey)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_rows")).cast("long").as("n_docs"),
+        sum(col("key_checksum")).cast("long").as("key_checksum"),
+        sum(col("chars_checksum")).cast("long").as("chars_checksum"),
+        min(col("min_id")).as("min_id"),
+        max(col("max_id")).as("max_id"))
+
   /** Per-file [min, max] of doc_id read from the parquet footers'
     * column-chunk statistics — the exact metadata the scan's
     * row-group skip consults. Driver-side file listing: this is the

@@ -95,6 +95,31 @@ class SortedLayoutSpec extends AnyFunSuite {
         s"sorted read $readSorted vs control $readUnsorted")
   }
 
+  test("k09: manifest covers every physical file; ranges equal the footers") {
+    val dir = SortedLayout.stageSorted(docs, cacheKey = "k09spec")
+    // key by (lang, file): a range-partitioned task that straddles a
+    // lang boundary writes same-named part files under BOTH lang dirs
+    val manifest = SortedLayout.exportManifest(docs, cacheKey = "k09spec")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("file_name")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_id"),
+          r.getAs[Long]("max_id"), r.getAs[Long]("file_size"))).toMap
+    // one manifest row per file on disk, no phantoms, no gaps
+    val footers = SortedLayout.docIdRanges(spark, dir)
+      .map { case (p, mn, mx) =>
+        (p.split("lang=")(1).split("/")(0), p.split("/").last) -> ((mn, mx))
+      }.toMap
+    assert(manifest.keySet === footers.keySet,
+      s"manifest files ${manifest.keySet} vs disk ${footers.keySet}")
+    // the manifest's ranges ARE the pruning stats the scan consults
+    manifest.foreach { case (f, (_, mn, mx, size)) =>
+      assert((mn, mx) === footers(f), s"range mismatch for $f")
+      assert(size > 0L)
+    }
+    // completeness: row counts conserve the corpus
+    assert(manifest.values.map(_._1).sum === docs.count())
+  }
+
   test("k08: roundtrip summary equals the original-table computation") {
     val viaLayout = SortedLayout.sortedRoundtrip(docs)
     val direct = docs
