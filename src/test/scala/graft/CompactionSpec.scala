@@ -13,14 +13,14 @@ class CompactionSpec extends AnyFunSuite {
 
   test("k03: compaction collapses fragmented partitions to capped file counts") {
     val docs = Tables.documents(spark, sf)
-    val frag = Files.createTempDirectory("k03_spec_frag_").toString
+    val frag = graft.Staging.dir("k03_spec_frag_")
     docs.repartition(8, col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(frag)
     val before = Compaction.fileCounts(spark, frag)
     assert(before.values.forall(_ > 1),
       s"staging must be fragmented (got $before)")
 
-    val out = Files.createTempDirectory("k03_spec_out_").toString
+    val out = graft.Staging.dir("k03_spec_out_")
     val compacted = Compaction.compact(spark, frag, out, "lang")
     val after = Compaction.fileCounts(spark, out)
     assert(after.keySet === before.keySet, "no partition value lost")
@@ -37,10 +37,10 @@ class CompactionSpec extends AnyFunSuite {
 
   test("k03: maxRecordsPerFile splits an oversized partition, never merges values") {
     val docs = Tables.documents(spark, sf)
-    val frag = Files.createTempDirectory("k03_spec_frag2_").toString
+    val frag = graft.Staging.dir("k03_spec_frag2_")
     docs.repartition(4, col("doc_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(frag)
-    val out = Files.createTempDirectory("k03_spec_out2_").toString
+    val out = graft.Staging.dir("k03_spec_out2_")
     Compaction.compact(spark, frag, out, "lang", maxRecordsPerFile = 25L)
     val perLang = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -55,11 +55,11 @@ class CompactionSpec extends AnyFunSuite {
 
   test("k03: salted writers parallelize a value's rewrite, file count bounded") {
     val docs = Tables.documents(spark, sf)
-    val frag = Files.createTempDirectory("k03_spec_frag3_").toString
+    val frag = graft.Staging.dir("k03_spec_frag3_")
     docs.repartition(8, col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("lang").parquet(frag)
-    val out = Files.createTempDirectory("k03_spec_out3_").toString
+    val out = graft.Staging.dir("k03_spec_out3_")
     val writers = 4
     Compaction.compact(spark, frag, out, "lang",
       writersPerPartition = writers)

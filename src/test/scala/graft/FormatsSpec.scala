@@ -53,7 +53,7 @@ class FormatsSpec extends AnyFunSuite {
       (8L, "de", "src1", null.asInstanceOf[String], 0L))
       .toDF("doc_id", "lang", "source", "text", "n_chars")
     // direct write/read replay with the operator's exact options
-    val dir = Files.createTempDirectory("graft_k06_spec_").toString + "/tree"
+    val dir = graft.Staging.dir("graft_k06_spec_") + "/tree"
     hazards.write.option("header", "true").option("escape", "\"")
       .option("nullValue", "\\N").partitionBy("lang").csv(dir)
     val back = spark2.read.schema(hazards.schema)
@@ -97,7 +97,7 @@ class FormatsSpec extends AnyFunSuite {
       (5L, "de", "src1", ""),
       (6L, "de", "src1", null.asInstanceOf[String]))
       .toDF("doc_id", "lang", "source", "text")
-    val dir = Files.createTempDirectory("graft_k07_spec_").toString + "/t"
+    val dir = graft.Staging.dir("graft_k07_spec_") + "/t"
     hazards.write.partitionBy("lang").json(dir)
     val back = spark.read.schema(hazards.schema).json(dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text")))

@@ -21,7 +21,7 @@ class PartitionedSinkSpec extends AnyFunSuite {
   }
 
   test("sink layout: one directory per key, partition pruning on read") {
-    val out = Files.createTempDirectory("graft_sink_spec_").toString
+    val out = graft.Staging.dir("graft_sink_spec_")
     val orders = Tables.orders(spark, sf)
     // AQE legitimately coalesces the salted writers at this toy scale
     // (everything fits one advisory-sized partition); pin coalescing
@@ -65,7 +65,7 @@ class PartitionedSinkSpec extends AnyFunSuite {
 
   test("q22: resume skips landed partitions and equals full recompute") {
     val orders = Tables.orders(spark, sf)
-    val out = Files.createTempDirectory("graft_resume_spec_").toString
+    val out = graft.Staging.dir("graft_resume_spec_")
     // prior run landed two priority classes
     PartitionedSink.writeAndSummarize(
       orders.filter(col("o_orderpriority") < "3"),
@@ -88,7 +88,7 @@ class PartitionedSinkSpec extends AnyFunSuite {
 
   test("q22: a partial partition without a completion record is recomputed") {
     val orders = Tables.orders(spark, sf)
-    val out = Files.createTempDirectory("graft_resume_crash_").toString
+    val out = graft.Staging.dir("graft_resume_crash_")
     // A prior run COMPLETED priorities < "3" (manifest rows present)…
     PartitionedSink.writeAndSummarize(
       orders.filter(col("o_orderpriority") < "3"),

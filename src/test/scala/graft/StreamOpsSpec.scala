@@ -59,7 +59,7 @@ class StreamOpsSpec extends AnyFunSuite {
     import java.nio.file.{Files => NF, Paths}
     import java.nio.file.attribute.FileTime
     import spark.implicits._
-    val dir = NF.createTempDirectory("graft_st03_wm_").toString
+    val dir = graft.Staging.dir("graft_st03_wm_")
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-03-01 10:00:01")
     val tMid = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
@@ -78,7 +78,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "ts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/c")
     // one staged dir; file mod times force A → B → C batch order
-    val stage = NF.createTempDirectory("graft_st03_stage_").toString
+    val stage = graft.Staging.dir("graft_st03_stage_")
     def moveParts(sub: String, age: Long): Unit =
       new java.io.File(s"$dir/$sub").listFiles()
         .filter(_.getName.endsWith(".parquet")).foreach { f =>

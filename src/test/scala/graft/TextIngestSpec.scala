@@ -17,7 +17,7 @@ class TextIngestSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "text")
-    val dir = Files.createTempDirectory("graft_jsonl_").toString
+    val dir = graft.Staging.dir("graft_jsonl_")
     docs.write.mode("overwrite").json(dir)
     // Plant malformed lines alongside the good ones.
     Seq("{ not json at all", "{\"doc_id\": \"also broken")
@@ -38,7 +38,7 @@ class TextIngestSpec extends AnyFunSuite {
   }
 
   test("warc-lite splits records at the version marker and extracts payloads") {
-    val dir = Files.createTempDirectory("graft_warc_").toString
+    val dir = graft.Staging.dir("graft_warc_")
     Files.writeString(java.nio.file.Paths.get(dir, "crawl.warc"),
       "WARC/1.0\r\n" +
         "WARC-Type: response\r\n" +
@@ -69,7 +69,7 @@ class TextIngestSpec extends AnyFunSuite {
   }
 
   test("warc-lite: marker-bearing payload is flagged, never silently split") {
-    val dir = Files.createTempDirectory("graft_warc_marker_").toString
+    val dir = graft.Staging.dir("graft_warc_marker_")
     // Record b's payload contains the version marker on its own line,
     // so the lineSep split cuts it mid-payload. The documented
     // contract: the head fragment is truncated (declared 40 bytes,
@@ -112,7 +112,7 @@ class TextIngestSpec extends AnyFunSuite {
   }
 
   test("csv ingest parses a headered file and flags short rows") {
-    val dir = Files.createTempDirectory("graft_csv_").toString
+    val dir = graft.Staging.dir("graft_csv_")
     Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
       """doc_id,lang,text
         |1,en,"hello world"
@@ -130,7 +130,7 @@ class TextIngestSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.StructType
     val schema = StructType(new StructType()
       .add("a", "string").add("b", "string"))
-    val dir = Files.createTempDirectory("graft_csv_hdr_").toString
+    val dir = graft.Staging.dir("graft_csv_hdr_")
     // file 1: a DATA row that happens to equal the header line —
     // exactly one copy is dropped (the header), the data row survives
     Files.writeString(java.nio.file.Paths.get(dir, "one.csv"),
@@ -166,7 +166,7 @@ class TextIngestSpec extends AnyFunSuite {
   }
 
   test("k04: malformed records flagged, never silently dropped") {
-    val dir = Files.createTempDirectory("fastq_spec_").toString
+    val dir = graft.Staging.dir("fastq_spec_")
     Files.writeString(java.nio.file.Paths.get(dir, "bad.fastq"),
       "@r1\nACGT\n+\n!!!!\n" +       // well-formed
       "@r2\nACGT\n+\n!!!\n" +        // |qual| != |seq|
