@@ -61,6 +61,8 @@ object SparkEntry {
       Pipeline.peakFdrCandidates(Tables.events(s, d))),
     "q13_metrics" -> ((s, d) =>
       Pipeline.metrics(Tables.orders(s, d))),
+    "q37_qc_gate" -> ((s, d) =>
+      Pipeline.qcGate(Tables.customer(s, d), Tables.orders(s, d))),
     "q14_status_pivot" -> ((s, d) =>
       Pipeline.statusPivot(Tables.orders(s, d))),
     "q15_topk" -> ((s, d) =>
@@ -494,6 +496,31 @@ object SparkEntry {
          FROM f
          WHERE (flag & 4) = 0 AND (flag & 1) = 1
          GROUP BY flag""",
+    // q37: gates replay as integer CASE expressions; the status gate
+    // is the n_f·5 >= n_orders cross-product, division-free in both
+    // engines.
+    "q37_qc_gate" ->
+      """WITH a AS (
+           SELECT o_custkey, count(*) AS n_orders_raw,
+                  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS n_f_raw
+           FROM orders GROUP BY 1)
+         SELECT c_custkey,
+                coalesce(n_orders_raw, 0) AS n_orders,
+                CAST(coalesce(n_f_raw, 0) AS BIGINT) AS n_f,
+                CASE WHEN n_orders_raw IS NOT NULL THEN 1 ELSE 0 END
+                  AS g_has_data,
+                CASE WHEN coalesce(n_orders_raw, 0) >= 3 THEN 1 ELSE 0 END
+                  AS g_min_volume,
+                CASE WHEN n_orders_raw IS NOT NULL
+                      AND coalesce(n_f_raw, 0) * 5 >= coalesce(n_orders_raw, 0)
+                     THEN 1 ELSE 0 END AS g_status,
+                (CASE WHEN n_orders_raw IS NOT NULL THEN 1 ELSE 0 END)
+                  * (CASE WHEN coalesce(n_orders_raw, 0) >= 3 THEN 1 ELSE 0 END)
+                  * (CASE WHEN n_orders_raw IS NOT NULL
+                          AND coalesce(n_f_raw, 0) * 5 >= coalesce(n_orders_raw, 0)
+                         THEN 1 ELSE 0 END) AS qc_pass
+         FROM customer LEFT JOIN a ON c_custkey = o_custkey""",
     // q12's CTEs + the per-island argmax rank; summit ties break to
     // the LEFTMOST max bin in both engines (ORDER BY n DESC, bin_id).
     "q36_peak_summits" ->

@@ -364,6 +364,52 @@ object Pipeline {
         .over(Window.partitionBy()), 4))
   }
 
+  /** q37_qc_gate — the per-sample PASS/FAIL decision that gates the
+    * reference pipeline: a sample whose outputs are missing or empty
+    * is marked `failed` and skipped downstream (tools.py:455-496
+    * asserts nonempty, nonzero-size bams before metrics; the status
+    * lands in the progress log that mainScript's redo/skip reads).
+    * q13/q14 REPORT metrics; this operator makes the DECISION —
+    * per sample (customer), evaluate each gate and the conjunction:
+    *
+    *  - g_has_data: the sample produced any records at all (the
+    *    missing-output check — customers enter from the dimension
+    *    side, so absent facts FAIL rather than vanish);
+    *  - g_min_volume: at least `minOrders` records;
+    *  - g_status: finished-status share ≥ 20%, tested as the integer
+    *    cross-product n_f·5 ≥ n_orders·1 — no division, no float
+    *    threshold a borderline sample could flip on (q31's recipe).
+    *
+    * Gates emit as 0/1 ints (not booleans) so the report sums:
+    * Σ qc_pass over samples is the batch's pass count. One hash
+    * aggregation on the fact side + one shuffle join to the
+    * dimension; everything else is map-side codegen. Aggregation
+    * output and join cardinality are #samples, never #records.
+    */
+  def qcGate(customer: DataFrame, orders: DataFrame,
+      minOrders: Int = 3): DataFrame = {
+    val a = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_raw"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_f_raw"))
+    customer.select(col("c_custkey"))
+      .join(a, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders_raw"), lit(0L)))
+      .withColumn("n_f", coalesce(col("n_f_raw"), lit(0L)))
+      .withColumn("g_has_data",
+        when(col("n_orders_raw").isNotNull, 1).otherwise(0))
+      .withColumn("g_min_volume",
+        when(col("n_orders") >= minOrders, 1).otherwise(0))
+      .withColumn("g_status",
+        when(col("g_has_data") === 1 &&
+          col("n_f") * 5L >= col("n_orders"), 1).otherwise(0))
+      .withColumn("qc_pass",
+        col("g_has_data") * col("g_min_volume") * col("g_status"))
+      .select(col("c_custkey"), col("n_orders"), col("n_f"),
+        col("g_has_data"), col("g_min_volume"), col("g_status"),
+        col("qc_pass"))
+  }
+
   /** q14_status_pivot — status matrix, the sqlite progress log
     * (reference tools.py:8-56): samples × steps → rows × status
     * columns. Spark's relational pivot with an explicit column list

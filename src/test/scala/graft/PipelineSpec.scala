@@ -357,6 +357,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "no groupBy+join-back")
   }
 
+  test("q37: each gate fails for exactly its planted reason; pass is the conjunction") {
+    import spark.implicits._
+    val customers = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    // cust 1: no orders at all        -> g_has_data = 0
+    // cust 2: 2 orders (both F)       -> g_min_volume = 0
+    // cust 3: 10 orders, 1 F (10%)    -> g_status = 0 (needs >= 20%)
+    // cust 4: 5 orders, 1 F (20%)     -> all gates pass (boundary IN)
+    val orders = ((1 to 2).map(i => (2L, s"o2$i", "F")) ++
+      (1 to 10).map(i => (3L, s"o3$i", if (i == 1) "F" else "O")) ++
+      (1 to 5).map(i => (4L, s"o4$i", if (i == 1) "F" else "O")))
+      .toDF("o_custkey", "o_id", "o_orderstatus")
+    val got = graft.operators.Pipeline.qcGate(customers, orders).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(got(1L) === ((0, 0, 0, 0)), "absent sample fails has_data (and all)")
+    assert(got(2L) === ((1, 0, 1, 0)), "thin sample fails only min_volume")
+    assert(got(3L) === ((1, 1, 0, 0)), "low-F sample fails only status")
+    assert(got(4L) === ((1, 1, 1, 1)), "boundary 20% passes everything")
+  }
+
+  test("q37: dimension-side entry — every customer appears exactly once") {
+    val customers = Tables.customer(spark, sf)
+    val out = SparkEntry.queries("q37_qc_gate")(spark, sf).collect()
+    assert(out.length === customers.count())
+    out.foreach { r =>
+      assert(r.getInt(6) === r.getInt(3) * r.getInt(4) * r.getInt(5),
+        "qc_pass must be the gate conjunction")
+    }
+  }
+
   test("q36: summit is the argmax bin, leftmost on ties, offset from start") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
