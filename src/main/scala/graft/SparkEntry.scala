@@ -100,6 +100,8 @@ object SparkEntry {
       Similarity.annIvfPq(Tables.embeddings(s, d), cacheKey = d)),
     "t01_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
+    "t12_lang_mismatch" -> ((s, d) =>
+      TextAnalysis.langMismatch(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) =>
@@ -789,6 +791,38 @@ object SparkEntry {
                 WHEN hits_fr >= hits_zh THEN 'fr'
                 ELSE 'zh' END AS pred_lang
          FROM h""",
+    // t12: t01's hit-count CTE verbatim, rolled up to the confusion
+    // census; mismatch is null-safe (IS DISTINCT FROM both engines).
+    "t12_lang_mismatch" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS hits_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['el','la','los','de','y','es','un'], x))) AS hits_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['le','la','les','de','et','est','un'], x))) AS hits_fr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['的','是','在','了','不','和'], x))) AS hits_zh
+           FROM documents),
+         p AS (
+           SELECT lang AS declared,
+             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0
+                    THEN 'und'
+                  WHEN hits_de >= hits_en AND hits_de >= hits_es
+                    AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                  WHEN hits_en >= hits_es AND hits_en >= hits_fr
+                    AND hits_en >= hits_zh THEN 'en'
+                  WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                  WHEN hits_fr >= hits_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM h)
+         SELECT declared, pred_lang, count(*) AS n_docs,
+                CASE WHEN declared IS NOT DISTINCT FROM pred_lang
+                     THEN 0 ELSE 1 END AS is_mismatch
+         FROM p GROUP BY declared, pred_lang""",
     "t02_quality_score" ->
       """WITH b AS (
            SELECT doc_id, lower(trim(text)) AS t,

@@ -61,6 +61,30 @@ object TextAnalysis {
         .otherwise("zh"))
   }
 
+  /** t12_lang_mismatch — metadata-vs-content label audit: the
+    * declared `lang` column against t01's content-derived prediction,
+    * aggregated into the confusion census (declared, predicted,
+    * count, mismatch flag). Training mixtures are weighted by
+    * DECLARED language tags, but crawl metadata lies — mislabeled
+    * documents poison per-language sampling rates (p04) and
+    * curriculum tiers, so every serious pipeline audits the tag
+    * against a content signal before trusting it. t01 scores each
+    * document; this is the corpus-level report that says WHERE the
+    * labels disagree.
+    *
+    * Mismatch uses null-safe equality (a null declared tag is a
+    * mismatch against any prediction, not an accidental match).
+    * Aggregation cardinality is langs² — the per-doc work is t01's
+    * map-side kernel scan, the exchange carries one row per
+    * (declared, predicted) cell.
+    */
+  def langMismatch(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy(col("lang").as("declared"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_mismatch",
+        when(col("declared") <=> col("pred_lang"), 0).otherwise(1))
+
   /** t02_quality_score — composition-ratio quality scoring: alpha /
     * digit / whitespace / other-char ratios plus token count and
     * (English) stopword rate, combined into a [0,1] composite. The

@@ -300,6 +300,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t12: confusion census counts planted labels; null declared is a mismatch") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (1L, "the cat and the dog is in a house", "en"),   // correct en
+      (2L, "the quick brown fox and the hen", "en"),     // correct en
+      (3L, "the cat and the dog is here", "de"),         // MISLABELED en->de
+      (4L, "der hund und die katze ist nicht da", "de"), // correct de
+      (5L, "xyzzy qwerty 12345", "en"),                  // no stopwords: und
+      (6L, "the dog and the cat", null)                  // null declared
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.langMismatch(docs).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(got((Some("en"), "en")) === ((2L, 0)))
+    assert(got((Some("de"), "en")) === ((1L, 1)), "mislabel is its own cell")
+    assert(got((Some("de"), "de")) === ((1L, 0)))
+    assert(got((Some("en"), "und")) === ((1L, 1)), "undetectable ≠ declared")
+    assert(got((None, "en")) === ((1L, 1)),
+      "null declared must be a mismatch, not an accidental match")
+    assert(got.values.map(_._1).sum === 6L, "census conserves the corpus")
+  }
+
+  test("t12: census on the harness corpus agrees with per-doc t01 rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    val perDoc = graft.operators.TextAnalysis.langId(docs).collect()
+      .map(r => (Option(r.getAs[String]("lang")), r.getAs[String]("pred_lang")))
+    val expected = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val census = graft.operators.TextAnalysis.langMismatch(docs).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(census === expected)
+  }
+
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
