@@ -337,4 +337,84 @@ class PropertySpec extends AnyFunSuite {
       out == expected
     }, n = 6)
   }
+
+  test("q35 property: census equals an in-memory bit derivation + mask filter") {
+    import spark.implicits._
+    val genRow = for {
+      ok <- Gen.choose(1L, 40L)
+      ln <- Gen.choose(1, 7)
+      qty <- Gen.choose(1, 50).map(_.toDouble)
+      rf <- Gen.oneOf("A", "N", "R")
+      ls <- Gen.oneOf("O", "F")
+    } yield (ok, ln, qty, rf, ls)
+    val genCase = for {
+      rows <- Gen.listOfN(120, genRow)
+      excl <- Gen.choose(0, 31)
+      req <- Gen.choose(0, 31)
+    } yield (rows, excl, req)
+    check("q35", Prop.forAll(genCase) { case (rows, excl, req) =>
+      def flagOf(r: (Long, Int, Double, String, String)): Int =
+        (if (r._2 % 2 == 0) 1 else 0) + (if (r._5 == "F") 2 else 0) +
+          (if (r._4 == "R") 4 else 0) + (if (r._3 < 10d) 8 else 0) +
+          (if (r._1 % 7 == 0) 16 else 0)
+      val expected = rows.map(r => (flagOf(r), r._3))
+        .filter { case (f, _) => (f & excl) == 0 && (f & req) == req }
+        .groupBy(_._1)
+        .map { case (f, g) =>
+          f -> ((g.size.toLong, g.map(_._2).sum.toLong,
+            f & 1, (f >> 1) & 1, (f >> 2) & 1, (f >> 3) & 1, (f >> 4) & 1))
+        }
+      val out = Relational.flagCensus(
+        rows.toDF("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus"), excl, req)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+      out == expected
+    }, n = 6)
+  }
+
+  test("q36 property: islands + summit equal an in-memory caller") {
+    import spark.implicits._
+    // random sparse bin counts; the in-memory reference recomputes the
+    // mean+2σ threshold, the island merge, and the leftmost-argmax
+    // summit from scratch
+    val genBins = Gen.listOfN(60,
+      for {
+        bin <- Gen.choose(1000L, 1080L)
+        cnt <- Gen.frequency(8 -> Gen.choose(1, 3), 2 -> Gen.choose(8, 20))
+      } yield (bin, cnt)).map(_.groupBy(_._1).map { case (b, g) =>
+        b -> g.map(_._2).sum }.toSeq)
+    check("q36", Prop.forAll(genBins) { bins =>
+      val ev = bins.flatMap { case (b, n) => Seq.fill(n)(b) }
+        .toDF("bin")
+        .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+      val out = graft.operators.Pipeline.peakSummits(ev).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      // in-memory reference
+      val counts = bins.sortBy(_._1)
+      val m = counts.size.toDouble
+      val mean = counts.map(_._2).sum / m
+      val variance = counts.map(c => (c._2 - mean) * (c._2 - mean)).sum / m
+      val thresh = mean + 2 * math.sqrt(variance)
+      val enr = counts.filter(_._2 > thresh)
+      val expected = scala.collection.mutable.Set.empty[(Long, Long, Long,
+        Long, Long, Long, Long)]
+      var island = List.empty[(Long, Int)]
+      def close(): Unit = if (island.nonEmpty) {
+        val is = island.reverse
+        val (smB, smN) = is.maxBy { case (b, n) => (n, -b) }
+        expected += ((is.head._1, is.last._1, is.size.toLong,
+          is.map(_._2.toLong).sum, smB, smN.toLong, smB - is.head._1))
+        island = Nil
+      }
+      enr.foreach { case (b, n) =>
+        if (island.nonEmpty && island.head._1 + 1 != b) close()
+        island = (b, n) :: island
+      }
+      close()
+      out == expected.toSet
+    }, n = 6)
+  }
 }
