@@ -224,6 +224,9 @@ object SparkEntry {
     "k09_export_manifest" -> ((s, d) =>
       graft.sources.SortedLayout.manifestSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "k10_schema_evolution" -> ((s, d) =>
+      graft.sources.Formats.schemaEvolution(Tables.documents(s, d),
+        cacheKey = d)),
     "t11_unicode_dedup" -> ((s, d) =>
       TextAnalysis.unicodeDedup(Tables.documents(s, d))),
     "q34_evenness" -> ((s, d) =>
@@ -231,7 +234,7 @@ object SparkEntry {
     "p09_quality_sample" -> ((s, d) =>
       Corpus.qualitySample(Tables.documents(s, d))),
     "p10_leak_safe_split" -> ((s, d) =>
-      Corpus.leakSafeSplit(Tables.documents(s, d))),
+      Corpus.leakSafeSplit(Tables.documents(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1601,6 +1604,18 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS key_checksum
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2""",
+    // k10: the oracle rebuilds both schema epochs by the same id
+    // arithmetic; legacy membership surfaces ONLY as rev's null
+    // pattern in the engine, so equality proves the merged read
+    // reconstructed the drifted tree exactly.
+    "k10_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_legacy,
+                CAST(sum(CASE WHEN doc_id >= 250 THEN doc_id % 5 + 1
+                         ELSE 0 END) AS BIGINT) AS rev_checksum,
+                CAST(sum(n_chars) AS BIGINT) AS chars_checksum
+         FROM documents GROUP BY lang""",
     // k09: the manifest's per-lang rollup must equal the aggregate
     // computed directly on the original table — the completeness
     // check a manifest consumer runs (file-level rows are

@@ -159,4 +159,50 @@ object Formats {
         sum(col("n_chars")).cast("long").as("chars_checksum"),
         sum(col("doc_id")).cast("long").as("key_checksum"))
   }
+
+  /** k10_schema_evolution — reading a tree whose schema DRIFTED
+    * mid-ingest: a continuously-landing corpus changes shape (a new
+    * crawler version adds a column), and the lake contract is that
+    * old and new files coexist in one tree readable as one table —
+    * without rewriting history. Here the legacy slice
+    * (doc_id < `splitId`) lands WITHOUT the `rev` column and the new
+    * slice lands with it; the read uses `mergeSchema` so the union
+    * schema comes from ALL footers, legacy rows surfacing `rev` as
+    * null — the null IS the information "predates the field".
+    *
+    * Why mergeSchema must be explicit: the default read samples ONE
+    * file for the schema, so whether `rev` exists would depend on
+    * which file the listing happens to sample — a result that
+    * changes with file order is corrupted, not slow (spec pins the
+    * merged read; the summary distinguishes legacy rows by the null
+    * pattern, never by the id arithmetic that defined the slices).
+    *
+    * Scale: mergeSchema reads footers, not data — cost is file
+    * count, and at 100 TB a deployment bounds it by compacting
+    * schema epochs (k03) or declaring the union schema explicitly;
+    * the partitioned tree keeps directory pruning intact either way
+    * (the pruned-scan contract k01/k05 pin).
+    */
+  def schemaEvolution(documents: DataFrame, splitId: Long = 250L,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val outDir = treeFor("graft_k10_evo_", cacheKey)
+    val legacy = documents.filter(col("doc_id") < splitId)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val current = documents.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (pmod(col("doc_id"), lit(5L)) + 1L).as("rev"))
+    saltedByLang(legacy, writers = 2)
+      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
+    // Append lands the new-schema files NEXT TO the legacy ones —
+    // the drift is inside each lang directory, not between branches.
+    saltedByLang(current, writers = 2)
+      .write.mode(SaveMode.Append).partitionBy("lang").parquet(outDir)
+    spark.read.option("mergeSchema", "true").parquet(outDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rev").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("rev"), lit(0L))).cast("long").as("rev_checksum"),
+        sum(col("n_chars")).cast("long").as("chars_checksum"))
+  }
 }

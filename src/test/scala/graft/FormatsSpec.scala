@@ -130,4 +130,42 @@ class FormatsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out === wantAgg2)
   }
+
+  test("k10: merged read unions the drifted schemas; legacy rows carry null rev") {
+    val docs = Tables.documents(spark, sf)
+    // drive the staging once, then inspect the tree directly
+    Formats.schemaEvolution(docs, cacheKey = "k10spec").collect()
+    val outDirs = new java.io.File("/tmp").listFiles()
+      .filter(_.getName.startsWith("graft_k10_evo_")).sortBy(_.lastModified)
+    assert(outDirs.nonEmpty)
+    val tree = outDirs.last.getAbsolutePath + "/tree"
+    val merged = spark.read.option("mergeSchema", "true").parquet(tree)
+    assert(merged.columns.contains("rev"),
+      "union schema must include the late-added column")
+    // the null pattern IS the epoch marker
+    val legacyIds = merged.filter(col("rev").isNull)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val wantLegacy = docs.filter(col("doc_id") < 250L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(legacyIds === wantLegacy)
+    // new-epoch rows carry the derived rev, never null
+    assert(merged.filter(col("rev").isNotNull &&
+      col("doc_id") < 250L).count() === 0L)
+    assert(merged.filter(col("rev").isNull &&
+      col("doc_id") >= 250L).count() === 0L)
+    // summary equals the direct computation on the original table
+    val got = Formats.schemaEvolution(docs, cacheKey = "k10spec").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = docs.groupBy(col("lang"))
+      .agg(count(lit(1)),
+        sum(when(col("doc_id") < 250L, 1L).otherwise(0L)),
+        sum(when(col("doc_id") >= 250L,
+          pmod(col("doc_id"), lit(5L)) + 1L).otherwise(0L)).cast("long"),
+        sum(col("n_chars")).cast("long"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === want)
+  }
 }
