@@ -46,6 +46,8 @@ object SparkEntry {
       Pipeline.intervalCount(s, Tables.lineitem(s, d))),
     "q12_peak_detect" -> ((s, d) =>
       Pipeline.peakDetect(Tables.events(s, d))),
+    "q38_sliding_window" -> ((s, d) =>
+      Pipeline.slidingWindow(Tables.events(s, d))),
     "q35_flag_census" -> ((s, d) =>
       Relational.flagCensus(Tables.lineitem(s, d))),
     "q36_peak_summits" -> ((s, d) =>
@@ -457,6 +459,25 @@ object SparkEntry {
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
+    // q38: the oracle enumerates each event's k = window/slide
+    // containing windows explicitly (aligned starts ws0, ws0-s, ...);
+    // every aligned start within (t - w, t] is a member, so no extra
+    // bound filter is needed. Cents sums: replication reorders the
+    // summation, integer sums stay exact.
+    "q38_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS t, event_type, value FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         x AS (
+           SELECT t, event_type, value, unnest(range(4)) AS i FROM e),
+         w AS (
+           SELECT (t - (t % 1800000000)) - i * 1800000000 AS ws_us,
+                  event_type, value
+           FROM x)
+         SELECT ws_us, event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM w GROUP BY 1, 2""",
     "q11_interval_count" ->
       s"""SELECT band_id, count(*) AS n_items, sum(l_quantity) AS sum_qty
           FROM lineitem JOIN ${graft.operators.Pipeline.priceBandsSql}

@@ -27,6 +27,35 @@ object Pipeline {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
 
+  /** q38_sliding_window — HOPPING-window aggregation: overlapping
+    * windows of `windowSeconds` advancing every `slideSeconds`, the
+    * standard monitoring shape (a 2 h load average updated every
+    * 30 min) and macs2's sliding-local-background idea as a native
+    * windowed aggregate. q10/st01 are the tumbling special case
+    * (slide = window); hopping windows place each event in
+    * window/slide overlapping groups, which neither a tumbling bin
+    * nor a range frame expresses.
+    *
+    * Scale: the replication factor k = window/slide is a CONSTANT of
+    * the query (4 here), expanded MAP-SIDE by Spark's native
+    * `window()` generator, and partial aggregation collapses the
+    * replicas per (window, type) before the one exchange — cost is
+    * k× map-side rows into the same bounded-cardinality aggregate as
+    * q10, never a self-join or range join. Value sums in integer
+    * cents: replication changes the summation pattern, so the
+    * order-insensitive integer sum is what keeps the hash gate
+    * deterministic (q13's recipe).
+    */
+  def slidingWindow(events: DataFrame, windowSeconds: Long = 7200L,
+      slideSeconds: Long = 1800L): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowSeconds seconds",
+        s"$slideSeconds seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
   /** General interval (range) join via a binned equi-join prefilter —
     * the 100 TB-safe htseq-count shape. A naive `lo <= x < hi` join
     * is a nested loop over every (fact, interval) pair: fine for a

@@ -357,6 +357,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "no groupBy+join-back")
   }
 
+  test("q38: each event lands in exactly window/slide hopping windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = 1800L * 1000000L
+    val t0 = 500000L * 3600L * 1000000L // an exact slide boundary
+    val t1 = t0 + 17L * 1000000L       // mid-slide
+    val ev = Seq((t0, "a", 1.25), (t1, "b", 2.0))
+      .toDF("ts_us", "event_type", "value")
+      .select(timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"), col("value"))
+    val got = graft.operators.Pipeline.slidingWindow(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // [start, start + w): a boundary event belongs to the window that
+    // STARTS at it plus the 3 windows still covering it — never the
+    // one that ends there
+    val wantA = (0L to 3L).map(i => (t0 - i * s, "a", 1L, 125L)).toSet
+    val wantB = (0L to 3L).map(i => (t0 - i * s, "b", 1L, 200L)).toSet
+    assert(got === (wantA ++ wantB),
+      s"boundary + mid-slide events each in exactly 4 windows: $got")
+  }
+
+  test("q38: harness totals replicate x4; tumbling degenerate equals q10 counts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val q38 = SparkEntry.queries("q38_sliding_window")(spark, sf)
+    assert(q38.agg(sum(col("n_events"))).head.getLong(0) === 4L * n)
+    // slide == window -> plain tumbling bins, counts equal q10's
+    val tumbling = graft.operators.Pipeline
+      .slidingWindow(ev, 3600L, 3600L).collect()
+      .map(r => (r.getLong(0) / 3600000000L, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val q10 = graft.operators.Pipeline.binCoverage(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tumbling === q10)
+  }
+
   test("q37: each gate fails for exactly its planted reason; pass is the conjunction") {
     import spark.implicits._
     val customers = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
