@@ -48,6 +48,8 @@ object SparkEntry {
       Pipeline.peakDetect(Tables.events(s, d))),
     "q38_sliding_window" -> ((s, d) =>
       Pipeline.slidingWindow(Tables.events(s, d))),
+    "st10_stream_sliding" -> ((s, d) =>
+      StreamOps.streamSliding(s, d)),
     "q35_flag_census" -> ((s, d) =>
       Relational.flagCensus(Tables.lineitem(s, d))),
     "q36_peak_summits" -> ((s, d) =>
@@ -308,6 +310,28 @@ object SparkEntry {
        FROM pairs
        WHERE inter * 1.0 / (na + nc - inter) >= 0.6"""
 
+  /** Shared by q38 (batch hopping windows) and st10 (streaming): the
+    * oracle enumerates each event's k = window/slide containing
+    * windows explicitly (aligned starts ws0, ws0-s, ...); every
+    * aligned start within (t - w, t] is a member, so no extra bound
+    * filter is needed. Cents sums: replication reorders the
+    * summation, integer sums stay exact.
+    */
+  private val slidingSql: String =
+    """WITH e AS (
+         SELECT epoch_us(ts) AS t, event_type, value FROM events
+         WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       x AS (
+         SELECT t, event_type, value, unnest(range(4)) AS i FROM e),
+       w AS (
+         SELECT (t - (t % 1800000000)) - i * 1800000000 AS ws_us,
+                event_type, value
+         FROM x)
+       SELECT ws_us, event_type, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                AS value_cents
+       FROM w GROUP BY 1, 2"""
+
   /** Shared by q29 (batch funnel) and st07 (streaming funnel):
     * the streaming stateful funnel must reproduce the batch
     * conditional-min recurrence bit-for-bit on the finite
@@ -459,25 +483,10 @@ object SparkEntry {
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
-    // q38: the oracle enumerates each event's k = window/slide
-    // containing windows explicitly (aligned starts ws0, ws0-s, ...);
-    // every aligned start within (t - w, t] is a member, so no extra
-    // bound filter is needed. Cents sums: replication reorders the
-    // summation, integer sums stay exact.
-    "q38_sliding_window" ->
-      """WITH e AS (
-           SELECT epoch_us(ts) AS t, event_type, value FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         x AS (
-           SELECT t, event_type, value, unnest(range(4)) AS i FROM e),
-         w AS (
-           SELECT (t - (t % 1800000000)) - i * 1800000000 AS ws_us,
-                  event_type, value
-           FROM x)
-         SELECT ws_us, event_type, count(*) AS n_events,
-                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-                  AS value_cents
-         FROM w GROUP BY 1, 2""",
+    "q38_sliding_window" -> slidingSql,
+    // st10 runs the identical window(ts, w, s) semantics on the
+    // stream — finite harness ≡ batch q38, one oracle covers both.
+    "st10_stream_sliding" -> slidingSql,
     "q11_interval_count" ->
       s"""SELECT band_id, count(*) AS n_items, sum(l_quantity) AS sum_qty
           FROM lineitem JOIN ${graft.operators.Pipeline.priceBandsSql}

@@ -107,6 +107,42 @@ object StreamOps {
       col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** st10_stream_sliding — q38's HOPPING windows as a stream: the
+    * live deployment of the monitoring shape (a 2 h average advancing
+    * every 30 min, updated as events arrive). Identical semantics to
+    * the batch operator — Spark's `window(ts, w, s)` places each
+    * event in k = w/s windows on the stream exactly as in batch, so
+    * the finite-harness run must equal q38 row for row (spec-pinned;
+    * shares q38's oracle).
+    *
+    * State: (#open windows × #types) rows — k× the tumbling st01
+    * state, still bounded by the time range, and in a 24/7 append
+    * deployment the watermark closes a hopping window exactly like a
+    * tumbling one (the k overlapping windows close staggered, each
+    * when the watermark passes ITS end). Integer-cents sums, q38's
+    * determinism argument.
+    */
+  def streamSliding(spark: SparkSession, dir: String,
+      windowSeconds: Long = 7200L, slideSeconds: Long = 1800L): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds",
+        s"$slideSeconds seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    val sink = s"st10_mem_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      unix_micros(col("w.start")).as("ws_us"),
+      col("event_type"), col("n_events"), col("value_cents"))
+  }
+
   /** st04_stream_enrich — stream-static enrichment: the event stream
     * joined to a STATIC dimension (customer market segment) before a
     * windowed aggregation — the reference's per-sample metadata

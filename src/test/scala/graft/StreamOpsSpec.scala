@@ -212,6 +212,13 @@ class StreamOpsSpec extends AnyFunSuite {
       s"only the spike flags, against 15 priors; got ${got.toSeq}")
   }
 
+  test("st10: streaming hopping windows equal batch q38 exactly") {
+    val stream = SparkEntry.queries("st10_stream_sliding")(spark, sf).collect()
+    val batch = SparkEntry.queries("q38_sliding_window")(spark, sf).collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("st09: streaming near-dup equals batch d10 exactly, across micro-batches") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
