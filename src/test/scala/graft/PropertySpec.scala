@@ -374,6 +374,47 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("p10 property: splits equal rep-hash of an in-memory cluster model") {
+    import spark.implicits._
+    // Random corpora of singleton docs (unique token vocab each) plus
+    // planted identical-text groups (shared vocab per group): the
+    // in-memory model resolves clusters by text equality, takes the
+    // min-id rep, and replays p08's hash arithmetic on it.
+    val genCase = for {
+      nSingle <- Gen.choose(5, 20)
+      groups <- Gen.listOfN(4, Gen.zip(Gen.choose(0, 9), Gen.choose(2, 4)))
+    } yield (nSingle, groups)
+    def p08Split(id: Long): String = {
+      val P = 1000000007L; val K = 2654435761L
+      def pm(a: Long, m: Long) = ((a % m) + m) % m
+      val h = pm(pm(pm(pm(id, P) + 9176L, P) * K, P) * K, 1000L)
+      if (h < 10) "test" else if (h < 60) "val" else "train"
+    }
+    check("p10", Prop.forAll(genCase) { case (nSingle, groups) =>
+      var nextId = 0L
+      def id(): Long = { nextId += 1; nextId * 3L } // sparse ids
+      val singles = (1 to nSingle).map { _ =>
+        val i = id(); (i, s"u${i}a u${i}b u${i}c u${i}d")
+      }
+      val grouped = groups.zipWithIndex.flatMap { case ((g, size), gi) =>
+        (1 to size).map { _ => (id(), s"g${gi}x$g g${gi}y g${gi}z g${gi}w") }
+      }
+      val docs = (singles ++ grouped)
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      val out = graft.operators.Corpus.leakSafeSplit(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+      val expected = {
+        val byText = (singles ++ grouped).groupBy(_._2)
+        byText.values.flatMap { ds =>
+          val rep = ds.map(_._1).min
+          ds.map(d => d._1 -> ((rep, p08Split(rep))))
+        }.toMap
+      }
+      out == expected
+    }, n = 6)
+  }
+
   test("q36 property: islands + summit equal an in-memory caller") {
     import spark.implicits._
     // random sparse bin counts; the in-memory reference recomputes the
