@@ -106,6 +106,8 @@ object SparkEntry {
       TextAnalysis.langId(Tables.documents(s, d))),
     "t12_lang_mismatch" -> ((s, d) =>
       TextAnalysis.langMismatch(Tables.documents(s, d))),
+    "t13_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMergesCached(Tables.documents(s, d), cacheKey = d)),
     "t02_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) =>

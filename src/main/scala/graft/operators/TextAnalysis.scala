@@ -61,6 +61,95 @@ object TextAnalysis {
         .otherwise("zh"))
   }
 
+  /** t13_bpe_merges — BPE tokenizer-merge TRAINING: t08 builds the
+    * vocabulary seed table; this learns the merge list itself — the
+    * (left, right) → fused symbol ranks a byte-pair-encoding
+    * tokenizer is. Each round counts adjacent symbol pairs weighted
+    * by word frequency, fuses the most frequent pair greedily
+    * left-to-right within every word, and repeats.
+    *
+    * The scale insight is WHERE BPE trains: on the WORD-FREQUENCY
+    * table, not the corpus. The corpus is scanned exactly once (the
+    * token count aggregate, t08's exchange shape); every iteration
+    * after that runs over ≤ `maxWords` vocabulary rows — metadata
+    * scale, localCheckpoint'ed per round so the plan stays flat. The
+    * `maxWords` frequency cut (deterministic tiebreak) is the
+    * standard practice guard for 100 TB vocabularies full of URLs
+    * and typos; the merge ranking is then exact over the kept table.
+    *
+    * Determinism: pair ranking orders by (count DESC, left ASC,
+    * right ASC); the fuse is greedy leftmost-first (a a a + merge
+    * (a,a) → [aa, a]), implemented as one regexp pass whose
+    * lookahead keeps separator spaces unconsumed so consecutive
+    * pairs both fuse. The per-round top-pair probe is a 1-row driver
+    * aggregate over the vocab table — orchestration metadata, d07's
+    * convergence-probe contract. Declared rows-only: the iterative
+    * refit (each round's input depends on the previous round's
+    * learned pair) is not one SQL expression; a ScalaCheck property
+    * pins the engine to an in-memory reference BPE, tiebreaks and
+    * all.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int = 12,
+      maxWords: Int = 50000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pq = java.util.regex.Pattern.quote _
+    var tbl = documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w").asc).limit(maxWords)
+      .select(concat_ws(" ", split(col("w"), "")).as("syms"), col("wc"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val a = split(col("syms"), " ")
+      val top = tbl
+        .select(col("wc"),
+          explode(zip_with(
+            slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        // " \Ql\E \Qr\E(?= )": the lookahead leaves the trailing
+        // separator unconsumed, so "a b a b" fuses BOTH pairs in one
+        // left-to-right pass (consuming it would eat the next match's
+        // leading space — the exact greedy-BPE semantics).
+        val pat = " " + pq(l) + " " + pq(r) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $l$r")
+        tbl = tbl.select(
+          trim(regexp_replace(concat(lit(" "), col("syms"), lit(" ")),
+            pat, rep)).as("syms"),
+          col("wc")).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Train-once memo for the registered entry (the merge table is a
+    * tokenizer model artifact — s02's centroid contract; caller owns
+    * key uniqueness).
+    */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  def bpeMergesCached(documents: DataFrame, nMerges: Int = 12,
+      cacheKey: String = ""): DataFrame =
+    if (cacheKey.isEmpty) bpeMerges(documents, nMerges)
+    else bpeMemo.getOrElseUpdate((cacheKey, nMerges),
+      bpeMerges(documents, nMerges))
+
   /** t12_lang_mismatch — metadata-vs-content label audit: the
     * declared `lang` column against t01's content-derived prediction,
     * aggregated into the confusion census (declared, predicted,

@@ -415,6 +415,30 @@ class PropertySpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("t13 property: distributed BPE equals the in-memory reference") {
+    import spark.implicits._
+    // random corpora over a tiny alphabet force dense pair collisions
+    // and ties — the ranking tiebreak and the greedy fuse both get
+    // exercised hard
+    val genWord = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genCorpus = Gen.listOfN(30, genWord)
+    check("t13", Prop.forAll(genCorpus) { ws =>
+      val docs = ws.grouped(5).map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      val words = ws.groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq
+      val want = BpeRef.merges(words, 6)
+      val got = graft.operators.TextAnalysis.bpeMerges(docs, nMerges = 6)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      got == want
+    }, n = 5)
+  }
+
   test("q36 property: islands + summit equal an in-memory caller") {
     import spark.implicits._
     // random sparse bin counts; the in-memory reference recomputes the

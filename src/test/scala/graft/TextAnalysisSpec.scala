@@ -300,6 +300,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t13: BPE merges equal the in-memory reference on a classic corpus") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val text = ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    val docs = Seq((1L, text.trim)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+    val words = text.trim.split("\\s+").toSeq
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val want = BpeRef.merges(words, 8)
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, nMerges = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === want, s"engine $got vs reference $want")
+    // sanity: the first learned pair really is the most frequent one
+    // ("es" from 6x newest + 3x widest = 9)
+    assert(got.head._4 === 9L)
+    assert((got.head._2, got.head._3) === (("e", "s")))
+  }
+
   test("t12: confusion census counts planted labels; null declared is a mismatch") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
@@ -346,5 +366,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(SimHash64.compute(empty) === 0L)
     assert(MinHashSigs.compute(empty, 2, fromDigests = false)
       .toLongArray.forall(_ == Long.MaxValue))
+  }
+}
+
+/** Independent in-memory BPE: pair counts weighted by word frequency,
+  * (count DESC, left ASC, right ASC) ranking, greedy leftmost-first
+  * fuse — the exact contract t13 implements distributively.
+  */
+object BpeRef {
+  def merges(words: Seq[(String, Long)],
+      n: Int): Seq[(Int, String, String, Long)] = {
+    var syms: Seq[(List[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((l, r), cnt) => (-cnt, l, r) }
+        out += ((rank, a, b, c))
+        syms = syms.map { case (s, wc) =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              buf += a + b; i += 2
+            } else { buf += s(i); i += 1 }
+          }
+          (buf.toList, wc)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
   }
 }
