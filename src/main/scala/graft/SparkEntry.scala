@@ -108,6 +108,8 @@ object SparkEntry {
       TextAnalysis.langMismatch(Tables.documents(s, d))),
     "t13_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMergesCached(Tables.documents(s, d), cacheKey = d)),
+    "t14_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.bpeTokenize(Tables.documents(s, d))),
     "t02_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))),
     "t03_token_count" -> ((s, d) =>
@@ -312,6 +314,39 @@ object SparkEntry {
        FROM pairs
        WHERE inter * 1.0 / (na + nc - inter) >= 0.6"""
 
+  /** t14's oracle, built from the SAME merge chain the engine folds:
+    * whitespace → chr(31) boundary, double-space char encoding, one
+    * global regexp pass per merge in rank order — the expression tree
+    * is identical, so token counts and fertility are exact.
+    */
+  private val t14Sql: String = {
+    val base = "'  ' || array_to_string(list_filter(string_split(nm, ''), " +
+      "x -> x <> ''), '  ') || '  '"
+    val enc = graft.operators.TextAnalysis.staticMerges.foldLeft(base) {
+      case (e, (l, r)) => s"regexp_replace($e, ' $l  $r ', ' $l$r ', 'g')"
+    }
+    s"""WITH n AS (
+         SELECT doc_id, lang,
+                regexp_replace(lower(trim(text)), '\\s+', chr(31), 'g') AS nm
+         FROM documents
+         WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       s AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(trim($enc), ' +'),
+                  x -> x <> '') AS syms
+         FROM n),
+       c AS (
+         SELECT doc_id, lang,
+                len(list_filter(syms, x -> x = chr(31))) AS nsep,
+                len(syms) AS ntot
+         FROM s)
+       SELECT doc_id, lang,
+              CAST(nsep + 1 AS BIGINT) AS n_ws,
+              CAST(ntot - nsep AS BIGINT) AS n_bpe,
+              round((ntot - nsep) * 1.0 / (nsep + 1), 4) AS fertility
+       FROM c"""
+  }
+
   /** Shared by q38 (batch hopping windows) and st10 (streaming): the
     * oracle enumerates each event's k = window/slide containing
     * windows explicitly (aligned starts ws0, ws0-s, ...); every
@@ -485,6 +520,7 @@ object SparkEntry {
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
+    "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the
     // stream — finite harness ≡ batch q38, one oracle covers both.

@@ -150,6 +150,63 @@ object TextAnalysis {
     else bpeMemo.getOrElseUpdate((cacheKey, nMerges),
       bpeMerges(documents, nMerges))
 
+  /** t14's fixed merge chain (a tokenizer SPEC, applied in rank
+    * order): letter-only literals so the patterns are regex-safe in
+    * both engines. A t13-learned table plugs into the same chain.
+    */
+  private[graft] val staticMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g", "o" -> "f")
+
+  /** t14_bpe_tokenize — APPLY a BPE merge table at corpus scale and
+    * measure tokenizer FERTILITY (BPE tokens per whitespace word),
+    * the standard corpus/tokenizer-fit signal: high fertility means
+    * the tokenizer fragments this corpus (wrong language, gibberish,
+    * heavy markup) and the downstream token budget is misestimated.
+    * t13 LEARNS a merge table; this operator is the application
+    * side, parameterized here by a fixed merge chain so the whole
+    * pipeline stays oracle-exact (a learned table is corpus-specific
+    * and cannot live in a static oracle).
+    *
+    * Mechanics (identical expression tree in both engines):
+    * whitespace collapses to a U+001F boundary symbol (merges are
+    * letter-only, so boundaries can never fuse — and a document that
+    * legally contains U+001F would need a different sentinel, k06's
+    * reserved-symbol contract); characters join with DOUBLE-space
+    * separators and each merge is one global regexp pass — the
+    * two-space encoding leaves a space on each side of a consumed
+    * separator, so consecutive pairs all fuse left-to-right without
+    * lookahead (RE2, hence DuckDB, has none). Everything is map-side
+    * codegen'd string work; fertility divides two exact longs (IEEE-
+    * identical cross-engine) and rounds at 4dp.
+    *
+    * BMP contract: both engines split by CODEPOINT for BMP text;
+    * astral symbols (outside BMP) would split into surrogate halves
+    * under the JVM — documents here are ASCII/BMP (the hostile gate
+    * plants CJK, which is BMP).
+    */
+  def bpeTokenize(documents: DataFrame): DataFrame = {
+    val us = "\u001f"
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", us)
+    val chars = filter(split(norm, ""), c => c =!= lit(""))
+    val enc0: org.apache.spark.sql.Column =
+      concat(lit("  "), array_join(chars, "  "), lit("  "))
+    val enc = staticMerges.foldLeft(enc0) { case (e, (l, r)) =>
+      regexp_replace(e, s" $l  $r ", s" $l$r ")
+    }
+    val syms = filter(split(trim(enc), " +"), c => c =!= lit(""))
+    val nSep = size(filter(syms, c => c === lit(us)))
+    val nBpe = size(syms) - nSep
+    documents
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), nSep.as("nsep"), nBpe.as("nbpe"))
+      .select(col("doc_id"), col("lang"),
+        (col("nsep") + 1).cast("long").as("n_ws"),
+        col("nbpe").cast("long").as("n_bpe"),
+        round(col("nbpe").cast("double") /
+          (col("nsep") + 1).cast("double"), 4).as("fertility"))
+  }
+
   /** t12_lang_mismatch — metadata-vs-content label audit: the
     * declared `lang` column against t01's content-derived prediction,
     * aggregated into the confusion census (declared, predicted,

@@ -320,6 +320,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((got.head._2, got.head._3) === (("e", "s")))
   }
 
+  test("t14: fertility from hand-derived merges; boundaries never fuse") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, "the then"), // (t,h)->th, (th,e)->the: [the][the,n] -> 3 bpe / 2 ws
+      (2L, "ththth"),   // greedy leftmost: th th th -> 3 bpe / 1 ws
+      (3L, "t h"),      // boundary symbol between t,h: NO fuse -> 2 bpe / 2 ws
+      (4L, "of in and") // of; in; an+d->and: 3 bpe / 3 ws
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+    val got = graft.operators.TextAnalysis.bpeTokenize(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((2L, 3L, 1.5)))
+    assert(got(2L) === ((1L, 3L, 3.0)))
+    assert(got(3L) === ((2L, 2L, 1.0)), "the word boundary must not fuse t+h")
+    assert(got(4L) === ((3L, 3L, 1.0)))
+  }
+
   test("t12: confusion census counts planted labels; null declared is a mismatch") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
