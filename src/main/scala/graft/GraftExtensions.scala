@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{DotProduct, HyperplaneSig, MinHashSigs, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{BpeTokenCount, DotProduct, HyperplaneSig, MinHashSigs, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -149,6 +149,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           StopwordHits(toks, stringSeqArg(words, "words"))
         case _ => throw new IllegalArgumentException(
           "stopword_hits(tokens, array('w1', 'w2', …))")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(norm, lefts, rights) =>
+          val l = stringSeqArg(lefts, "lefts")
+          val r = stringSeqArg(rights, "rights")
+          if (l.size != r.size) throw new IllegalArgumentException(
+            "bpe_token_count: lefts and rights must pair up")
+          BpeTokenCount(norm, l.zip(r))
+        case _ => throw new IllegalArgumentException(
+          "bpe_token_count(norm, array('l1', …), array('r1', …))")
       }))
   }
 }

@@ -168,24 +168,49 @@ object TextAnalysis {
     * pipeline stays oracle-exact (a learned table is corpus-specific
     * and cannot live in a static oracle).
     *
-    * Mechanics (identical expression tree in both engines):
-    * whitespace collapses to a U+001F boundary symbol (merges are
-    * letter-only, so boundaries can never fuse — and a document that
-    * legally contains U+001F would need a different sentinel, k06's
-    * reserved-symbol contract); characters join with DOUBLE-space
-    * separators and each merge is one global regexp pass — the
-    * two-space encoding leaves a space on each side of a consumed
-    * separator, so consecutive pairs all fuse left-to-right without
-    * lookahead (RE2, hence DuckDB, has none). Everything is map-side
-    * codegen'd string work; fertility divides two exact longs (IEEE-
-    * identical cross-engine) and rounds at 4dp.
+    * Mechanics: whitespace collapses to a U+001F boundary symbol
+    * (merges are letter-only, so boundaries can never fuse — and a
+    * document that legally contains U+001F would need a different
+    * sentinel, k06's reserved-symbol contract). The merge chain then
+    * runs as ONE native kernel walk per document (`bpe_token_count`,
+    * the 10th registered Expression): greedy leftmost fuse per merge
+    * in rank order over an in-place symbol array. The ORACLE replays
+    * the same chain declaratively — double-space char encoding, one
+    * global regexp pass per merge (the encoding leaves a space on
+    * each side of a consumed separator, so consecutive pairs all
+    * fuse without lookahead, which RE2/DuckDB lacks) — and the
+    * regexp form is kept as `bpeTokenizeViaRegex` with a parity
+    * spec pinning kernel ≡ regexp on real and hostile text (the
+    * kernel replaced it for speed alone: ~3× the bytes through the
+    * regex engine per merge made the chain the whole scan cost).
+    * Fertility divides two exact longs (IEEE-identical
+    * cross-engine) and rounds at 4dp.
     *
     * BMP contract: both engines split by CODEPOINT for BMP text;
     * astral symbols (outside BMP) would split into surrogate halves
-    * under the JVM — documents here are ASCII/BMP (the hostile gate
-    * plants CJK, which is BMP).
+    * under the JVM (kernel and split("") alike) — documents here are
+    * ASCII/BMP (the hostile gate plants CJK, which is BMP).
     */
   def bpeTokenize(documents: DataFrame): DataFrame = {
+    val us = "\u001f"
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", us)
+    val nSep = length(norm) - length(regexp_replace(norm, us, ""))
+    val nBpe = graft.functions.BpeExprs.bpeTokenCount(norm, staticMerges)
+    documents
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"), nSep.as("nsep"), nBpe.as("nbpe"))
+      .select(col("doc_id"), col("lang"),
+        (col("nsep") + 1).cast("long").as("n_ws"),
+        col("nbpe").as("n_bpe"),
+        round(col("nbpe").cast("double") /
+          (col("nsep") + 1).cast("double"), 4).as("fertility"))
+  }
+
+  /** The declarative regexp-chain form of t14 — the oracle's exact
+    * shape, kept as the kernel's parity reference (spec-pinned equal
+    * on real + hostile corpora).
+    */
+  private[graft] def bpeTokenizeViaRegex(documents: DataFrame): DataFrame = {
     val us = "\u001f"
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", us)
     val chars = filter(split(norm, ""), c => c =!= lit(""))

@@ -78,6 +78,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("bpe_token_count is SQL-callable: greedy rank-ordered merges") {
+    // 'ththth' under merges [(t,h)] -> th th th = 3 symbols
+    assert(sqlSpark.sql(
+      "SELECT bpe_token_count('ththth', array('t'), array('h')) AS n")
+      .head.getLong(0) === 3L)
+    // rank order matters: (t,h) then (th,e) fuses 'the' to ONE symbol
+    assert(sqlSpark.sql(
+      "SELECT bpe_token_count('the', array('t','th'), array('h','e')) AS n")
+      .head.getLong(0) === 1L)
+    // the U+001F boundary is never counted and never fuses
+    assert(sqlSpark.sql(
+      "SELECT bpe_token_count(concat('t', chr(31), 'h'), " +
+        "array('t'), array('h')) AS n")
+      .head.getLong(0) === 2L)
+    assert(sqlSpark.sql(
+      "SELECT bpe_token_count(CAST(NULL AS STRING), array('t'), array('h'))")
+      .head.isNullAt(0))
+  }
+
   test("arity errors are rejected with a usable message") {
     sqlSpark.sql("SELECT 1").collect() // force init
     val e = intercept[Exception] {

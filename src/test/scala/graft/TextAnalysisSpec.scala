@@ -339,6 +339,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) === ((3L, 3L, 1.0)))
   }
 
+  test("t14: kernel equals the regexp-chain (oracle) form on the harness corpus") {
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val kernel = rows(graft.operators.TextAnalysis.bpeTokenize(docs))
+    val regex = rows(graft.operators.TextAnalysis.bpeTokenizeViaRegex(docs))
+    assert(kernel === regex)
+    assert(kernel.nonEmpty)
+  }
+
   test("t12: confusion census counts planted labels; null declared is a mismatch") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
