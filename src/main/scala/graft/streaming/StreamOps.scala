@@ -612,11 +612,20 @@ object StreamOps {
     * arrivals into the index on whatever cadence the corpus grows;
     * the probe path is unchanged.
     *
+    * Exactly-once: a plain append would DUPLICATE a micro-batch's
+    * pairs if the engine retried it after a partial write (batch
+    * replay is Structured Streaming's failure model) — so each batch
+    * OVERWRITES its own deterministic subdirectory `b<batchId>`, the
+    * standard foreachBatch idempotence recipe: a replayed batch
+    * rewrites the same dir and the union over subdirs is exactly one
+    * result per batch (retry spec-pinned; st06's transaction-log
+    * contract, achieved here with batch-id directories because
+    * foreachBatch writes outside the sink log).
+    *
     * Harness: arrivals staged as multiple files, maxFilesPerTrigger=1
     * forces a multi-batch run (spec asserts > 1 micro-batch did
-    * work); results append to a parquet sink dir read back with an
-    * explicit schema (an all-unique stream legitimately emits no
-    * pairs).
+    * work); results read back with an explicit schema (an all-unique
+    * stream legitimately emits no pairs).
     */
   def streamNearDup(spark: SparkSession, dir: String,
       splitId: Long = 250L, n: Int = 3, tau: Double = 0.6): DataFrame = {
@@ -637,17 +646,29 @@ object StreamOps {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .probeIndex(graft.operators.Dedup.incrementalPosting(batch, n),
-            idx, tau)
-          .write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchPairs(batch, id, out, idx, n, tau)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    readPairs(spark, out)
+  }
+
+  /** One micro-batch's probe, written idempotently: overwrite of the
+    * batch's OWN directory, so a Structured Streaming batch replay
+    * rewrites instead of duplicating.
+    */
+  private[graft] def writeBatchPairs(batch: DataFrame, batchId: Long,
+      out: String, idx: DataFrame, n: Int, tau: Double): Unit =
+    graft.operators.Dedup
+      .probeIndex(graft.operators.Dedup.incrementalPosting(batch, n),
+        idx, tau)
+      .write.mode("overwrite").parquet(s"$out/b$batchId")
+
+  private[graft] def readPairs(spark: SparkSession, out: String): DataFrame =
     spark.read
       .schema("doc_id BIGINT, dup_of BIGINT, jaccard DOUBLE")
+      .option("recursiveFileLookup", "true")
       .parquet(out)
-  }
 }

@@ -236,18 +236,35 @@ class StreamOpsSpec extends AnyFunSuite {
     // accumulates one append per non-empty batch. More than one
     // commit proves the equality above spanned real batch boundaries.
     val out = graft.streaming.StreamOps.streamNearDup(spark, sf)
-    val dir = out.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f)).getParentFile).head
-    // foreachBatch appends plain parquet: each micro-batch that found
-    // pairs commits under its own job UUID in the part file names —
-    // more than one distinct UUID proves the equality above spanned
-    // real batch boundaries.
-    val jobIds = dir.listFiles().filter(_.getName.startsWith("part-"))
-      .map(_.getName.split("-c000").head.split("part-\\d+-").last)
-      .distinct
-    assert(jobIds.length > 1,
-      s"expected pair-emitting appends from more than one micro-batch: " +
-        s"${jobIds.toSeq}")
+    // each micro-batch owns its b<id> subdirectory — more than one
+    // pair-bearing subdir proves the equality above spanned real
+    // batch boundaries.
+    val root = out.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getParentFile).head
+    val batchDirs = root.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("b"))
+      .filter(_.listFiles().exists(_.getName.startsWith("part-")))
+    assert(batchDirs.length > 1,
+      s"expected pairs from more than one micro-batch: ${batchDirs.toSeq}")
+  }
+
+  test("st09: a replayed micro-batch rewrites its directory, never duplicates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val idx = graft.operators.Dedup.incrementalIndex(
+      docs, 250L, 3, 128, 16, cacheKey = "")
+    val batch = docs.filter(col("doc_id") >= 250L)
+      .select(col("doc_id"), col("text"))
+    val out = graft.Staging.dir("graft_st09_retry_")
+    graft.streaming.StreamOps.writeBatchPairs(batch, 0L, out, idx, 3, 0.6)
+    val first = graft.streaming.StreamOps.readPairs(spark, out).count()
+    assert(first > 0, "batch must emit pairs for the retry to be observable")
+    // Structured Streaming's failure model: the SAME batch id runs
+    // again after a crash mid-write
+    graft.streaming.StreamOps.writeBatchPairs(batch, 0L, out, idx, 3, 0.6)
+    val second = graft.streaming.StreamOps.readPairs(spark, out).count()
+    assert(second === first,
+      s"replay must be idempotent: $first rows became $second")
   }
 
   test("st02: session state is bounded to one open session per user") {
