@@ -354,20 +354,27 @@ object SparkEntry {
     * filter is needed. Cents sums: replication reorders the
     * summation, integer sums stay exact.
     */
-  private val slidingSql: String =
-    """WITH e AS (
+  private val slidingSql: String = {
+    // Derived from the SAME geometry constants the operators default
+    // to (t14Sql's recipe) — re-registering with different geometry
+    // moves the oracle in lockstep instead of silently diverging.
+    val slideUs = graft.operators.Pipeline.SlidingSlideSeconds * 1000000L
+    val k = graft.operators.Pipeline.SlidingWindowSeconds /
+      graft.operators.Pipeline.SlidingSlideSeconds
+    s"""WITH e AS (
          SELECT epoch_us(ts) AS t, event_type, value FROM events
          WHERE ts IS NOT NULL AND user_id IS NOT NULL),
        x AS (
-         SELECT t, event_type, value, unnest(range(4)) AS i FROM e),
+         SELECT t, event_type, value, unnest(range($k)) AS i FROM e),
        w AS (
-         SELECT (t - (t % 1800000000)) - i * 1800000000 AS ws_us,
+         SELECT (t - (t % $slideUs)) - i * $slideUs AS ws_us,
                 event_type, value
          FROM x)
        SELECT ws_us, event_type, count(*) AS n_events,
               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                 AS value_cents
        FROM w GROUP BY 1, 2"""
+  }
 
   /** Shared by q29 (batch funnel) and st07 (streaming funnel):
     * the streaming stateful funnel must reproduce the batch

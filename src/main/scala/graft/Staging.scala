@@ -15,11 +15,17 @@ import java.util.Comparator
   * shutdown hook deletes everything allocated through this
   * registry; a crash leaves at most the standard tmp-reaper
   * situation, which per-call cleanup could not improve on either.
+  *
+  * The hook registers through Hadoop's ShutdownHookManager at a
+  * priority below Spark's (SparkContext stops at 50, its temp dirs
+  * at 25), so staged trees — streaming checkpoints, bucketed table
+  * paths — are deleted only AFTER Spark's own stop/commit hooks have
+  * finished with them; a raw Runtime hook would race them unordered.
   */
 object Staging {
   private val dirs = scala.collection.concurrent.TrieMap.empty[Path, Unit]
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(() => {
     dirs.keys.foreach { root =>
       try {
         val walk = Files.walk(root)
@@ -31,7 +37,7 @@ object Staging {
         finally walk.close()
       } catch { case _: Exception => () }
     }
-  }, "graft-staging-cleanup"))
+  }, 10) // below Spark's temp-dir priority (25): run after Spark stops
 
   /** A fresh temp directory, deleted (recursively) at JVM exit. */
   def dir(prefix: String): String = {

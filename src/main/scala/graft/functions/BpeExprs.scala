@@ -21,10 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB oracle replaying the regexp chain is unchanged — a
   * parity spec pins kernel ≡ regexp chain on real and hostile text.
   *
-  * Character granularity is the JVM UTF-16 unit, exactly what
-  * `split(norm, "")` produces — BMP text (all corpora here) is one
-  * unit per character; astral symbols would split into surrogate
-  * halves in BOTH forms, so parity holds regardless.
+  * Character granularity is the Unicode codepoint, exactly what
+  * `split(norm, "")` produces (Spark 4.1 splits an astral char into
+  * ONE element, not two surrogate halves) — the kernel pairs
+  * high/low surrogates into a single seed symbol so astral text
+  * (emoji etc.) counts one symbol per character in both forms.
   */
 object BpeExprs {
 
@@ -77,11 +78,19 @@ object BpeTokenCount {
   def compute(norm: UTF8String, lefts: Array[String],
       rights: Array[String]): Long = {
     val s = norm.toString
-    var n = s.length
-    if (n == 0) return 0L
-    val syms = new Array[String](n)
+    if (s.isEmpty) return 0L
+    // Seed one symbol per CODEPOINT (surrogate pair = one symbol),
+    // matching split(norm, "") which yields one element per codepoint
+    val syms = new Array[String](s.length)
+    var n = 0
     var i = 0
-    while (i < n) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(n) = s.substring(i, i + w)
+      n += 1
+      i += w
+    }
     var m = 0
     while (m < lefts.length) {
       val l = lefts(m); val r = rights(m)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -301,8 +301,8 @@ object Corpus {
     * graph nodes only). Empty key = recompute, what the specs use.
     * CALLER OWNS KEY UNIQUENESS (the centroid-memo contract).
     */
-  private val groupsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val groupsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   def leakSafeSplit(documents: DataFrame, testPermille: Int = 10,
       valPermille: Int = 50, salt: Long = 9176L,
@@ -311,7 +311,8 @@ object Corpus {
       graft.operators.Dedup.ngramJaccard(documents))
     val groups =
       if (cacheKey.isEmpty) resolve()
-      else groupsMemo.getOrElseUpdate(cacheKey,
+      else groupsMemo.getOrElseUpdate(
+        (documents.sparkSession, cacheKey),
         resolve().localCheckpoint(true))
     val h = saltedBucket(col("rep_id"), salt, 1000L)
     documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashExprs, TextOps, VectorOps}
@@ -490,8 +490,10 @@ object Dedup {
     * (cacheKey, n, maxDf) with a per-JVM nonce, like k02's staging.
     */
   private val idxNonce = java.lang.Long.toHexString(System.nanoTime())
-  private val stagedIdx =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+  // table names live in a session's catalog, so the session is part
+  // of the key (like the DataFrame memos: no cross-session resurrection)
+  private val stagedIdx = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), String]
 
   /** Shingle postings of a document slice: (doc_id, nsh, gh). Shared
     * by the batch probe (d10) and the per-micro-batch probe (st09).
@@ -526,7 +528,8 @@ object Dedup {
     }
     val table =
       if (cacheKey.isEmpty) buildIndex()
-      else stagedIdx.getOrElseUpdate((cacheKey, n, maxDf), buildIndex())
+      else stagedIdx.getOrElseUpdate(
+        (spark, cacheKey, n, maxDf), buildIndex())
     spark.table(table)
   }
 

@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** q38/st10 hopping-window geometry — the SINGLE source of truth
+    * shared by the batch operator, the streaming operator, and the
+    * DuckDB oracle (SparkEntry.slidingSql derives its replication
+    * factor k = window/slide and its slide width from these, so a
+    * re-registration with different geometry changes both sides
+    * together instead of silently diverging from the oracle).
+    */
+  val SlidingWindowSeconds: Long = 7200L
+  val SlidingSlideSeconds: Long = 1800L
+
   /** q10_bin_coverage — fixed-width binning, the igvtools `count -w`
     * step (reference tools.py:499-530): events land in width-w bins
     * along the time axis; count + mass per (bin, type). Aggregation
@@ -46,8 +56,9 @@ object Pipeline {
     * order-insensitive integer sum is what keeps the hash gate
     * deterministic (q13's recipe).
     */
-  def slidingWindow(events: DataFrame, windowSeconds: Long = 7200L,
-      slideSeconds: Long = 1800L): DataFrame =
+  def slidingWindow(events: DataFrame,
+      windowSeconds: Long = Pipeline.SlidingWindowSeconds,
+      slideSeconds: Long = Pipeline.SlidingSlideSeconds): DataFrame =
     events
       .groupBy(window(col("ts"), s"$windowSeconds seconds",
         s"$slideSeconds seconds").as("w"), col("event_type"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,13 +172,13 @@ object Similarity {
     * and since k-means here is bit-deterministic, memoized and fresh
     * centroids are identical anyway).
     */
-  private val centroidMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+  private val centroidMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), DataFrame]
 
   private def learnedCentroids(e: DataFrame, k: Int, iters: Int,
       cacheKey: String): DataFrame =
     if (cacheKey.isEmpty) kmeansCentroids(e, k, iters)
-    else centroidMemo.getOrElseUpdate((cacheKey, k, iters),
+    else centroidMemo.getOrElseUpdate((e.sparkSession, cacheKey, k, iters),
       kmeansCentroids(e, k, iters).localCheckpoint(true))
 
   /** (vec_id, cluster_id) under the learned quantizer — the public
@@ -330,7 +330,7 @@ object Similarity {
     * corpus identity too, or pass "" to disable the memo.
     */
   private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int, Int), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame)]
 
   private def pqIndex(e: DataFrame, subspaces: Int, subDim: Int,
       ks: Int, iters: Int, cacheKey: String): (DataFrame, DataFrame) = {
@@ -346,7 +346,8 @@ object Similarity {
       (cb, codes)
     }
     if (cacheKey.isEmpty) build()
-    else pqMemo.getOrElseUpdate((cacheKey, subspaces, subDim, ks, iters), {
+    else pqMemo.getOrElseUpdate(
+      (e.sparkSession, cacheKey, subspaces, subDim, ks, iters), {
       val (cb, codes) = build()
       (cb.localCheckpoint(true), codes.localCheckpoint(true))
     })
@@ -445,7 +446,8 @@ object Similarity {
     * identity, or pass "" to disable.
     */
   private val ivfpqMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int, Int, Int, Int), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int, Int, Int, Int, Int, Int),
+      (DataFrame, DataFrame)]
 
   private def residualPqIndex(e: DataFrame, cent: DataFrame,
       subspaces: Int, subDim: Int, ks: Int, iters: Int,
@@ -471,7 +473,8 @@ object Similarity {
     }
     if (cacheKey.isEmpty) build()
     else ivfpqMemo.getOrElseUpdate(
-      (cacheKey, subspaces, subDim, ks, iters, kClusters, lloydIters), {
+      (e.sparkSession, cacheKey, subspaces, subDim, ks, iters,
+        kClusters, lloydIters), {
         val (cb, codes) = build()
         (cb.localCheckpoint(true), codes.localCheckpoint(true))
       })

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{RollingHash, TextOps}
@@ -141,13 +141,16 @@ object TextAnalysis {
     * tokenizer model artifact — s02's centroid contract; caller owns
     * key uniqueness).
     */
-  private val bpeMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
 
   def bpeMergesCached(documents: DataFrame, nMerges: Int = 12,
       cacheKey: String = ""): DataFrame =
     if (cacheKey.isEmpty) bpeMerges(documents, nMerges)
-    else bpeMemo.getOrElseUpdate((cacheKey, nMerges),
+    // a DataFrame is bound to its session — keying by session too
+    // keeps a later session from resurrecting a stopped session's plan
+    else bpeMemo.getOrElseUpdate(
+      (documents.sparkSession, cacheKey, nMerges),
       bpeMerges(documents, nMerges))
 
   /** t14's fixed merge chain (a tokenizer SPEC, applied in rank
@@ -186,10 +189,10 @@ object TextAnalysis {
     * Fertility divides two exact longs (IEEE-identical
     * cross-engine) and rounds at 4dp.
     *
-    * BMP contract: both engines split by CODEPOINT for BMP text;
-    * astral symbols (outside BMP) would split into surrogate halves
-    * under the JVM (kernel and split("") alike) — documents here are
-    * ASCII/BMP (the hostile gate plants CJK, which is BMP).
+    * Codepoint contract: `split(norm, "")` and the DuckDB oracle both
+    * split by CODEPOINT (one element per astral char on Spark 4.1),
+    * so the kernel seeds one symbol per codepoint too — surrogate
+    * pairs fuse into a single seed symbol (spec-pinned on emoji).
     */
   def bpeTokenize(documents: DataFrame): DataFrame = {
     val us = "\u001f"

@@ -123,7 +123,8 @@ object StreamOps {
     * determinism argument.
     */
   def streamSliding(spark: SparkSession, dir: String,
-      windowSeconds: Long = 7200L, slideSeconds: Long = 1800L): DataFrame = {
+      windowSeconds: Long = graft.operators.Pipeline.SlidingWindowSeconds,
+      slideSeconds: Long = graft.operators.Pipeline.SlidingSlideSeconds): DataFrame = {
     val agg = eventStream(spark, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), s"$windowSeconds seconds",

@@ -350,6 +350,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("t14: kernel equals the regexp form on astral (non-BMP) text") {
+    // split(norm, "") yields ONE element per codepoint on Spark 4.1, so
+    // the kernel must seed one symbol per codepoint, not per UTF-16 unit
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, "the 😀😀 then"),   // emoji pair mid-text
+      (2L, "🍕 of 🍕"),        // leading astral char
+      (3L, "th😀th"),                    // astral splits a mergeable pair
+      (4L, "😀")                         // astral-only document
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val kernel = rows(graft.operators.TextAnalysis.bpeTokenize(docs))
+    val regex = rows(graft.operators.TextAnalysis.bpeTokenizeViaRegex(docs))
+    assert(kernel === regex)
+    // each astral char is ONE symbol: "the [e][e] then" -> the(1)+2+then:
+    // t,h->th; th,e->the ... doc 1: [the][😀][😀][the,n]
+    assert(kernel(4L)._1 === 1L, "astral-only doc must count one bpe symbol")
+  }
+
   test("t12: confusion census counts planted labels; null declared is a mismatch") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
