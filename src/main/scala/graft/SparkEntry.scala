@@ -453,6 +453,17 @@ object SparkEntry {
          > 9 * CAST(n AS HUGEINT)
            * (CAST(n AS HUGEINT)*q - CAST(s AS HUGEINT)*s)"""
 
+  /** DuckDB rendering of PortableHash.md5_60 over an md5-hex VARCHAR
+    * column: parse the first 15 hex chars (60 bits) with the t04
+    * strpos trick (strpos of '123456789abcdef' maps '0' to 0). The
+    * engine-side twin is `conv(substring(md5(s),1,15),16,10)`; a spec
+    * pins kernel ≡ Spark-SQL ≡ this rendering on real text.
+    */
+  private def h60Sql(hexCol: String): String =
+    (0 until 15).map { k =>
+      s"strpos('123456789abcdef', $hexCol[${k + 1}]) * ${1L << (4 * (14 - k))}"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "q32_online_outlier" -> onlineOutlierSql,
     "st08_stream_outlier" -> onlineOutlierSql,
@@ -754,13 +765,113 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
-    // d02/d03/s02/d08 are non-SQL-expressible (xxhash64 seeding /
-    // learned k-means blocks / float
+    // s02/d08 are non-SQL-expressible (learned k-means blocks / float
     // centroid summation order) — rows-only + ScalaTest semantics.
+    // d02/d03 WERE on that list under xxhash64 seeding; the portable
+    // md5_60 basis (PortableHash) made their full pipelines
+    // oracle-replayable below.
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+    // d02: the ENTIRE MinHash+LSH pipeline — md5_60 shingle digests,
+    // (a·x+b) mod M permutation minima, band buckets = md5_60 of the
+    // comma-joined signature slice, ≤256 hot-bucket guard, exact
+    // string-set Jaccard verify (engine intersects 60-bit digest
+    // sets: d01's probabilistic-gap contract). Permutation constants
+    // regenerate from md5('graft-minhash-{a,b}-' || i), exactly
+    // PortableHash.permA/permB.
+    "d02_dedup_minhash" ->
+      s"""WITH sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pm AS (
+           SELECT i, md5('graft-minhash-a-' || i) AS ha,
+                  md5('graft-minhash-b-' || i) AS hb
+           FROM (SELECT CAST(unnest(range(64)) AS INT) AS i)),
+         perms AS (
+           SELECT i, ${h60Sql("ha")} % 1000000006 + 1 AS a,
+                  ${h60Sql("hb")} % 1000000007 AS b
+           FROM pm),
+         sm AS (
+           SELECT doc_id, md5(s) AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sets)),
+         dig AS (
+           SELECT doc_id, ${h60Sql("h")} % 1000000007 AS x FROM sm),
+         sigs AS (
+           SELECT doc_id, i, min((a * x + b) % 1000000007) AS sig
+           FROM dig CROSS JOIN perms GROUP BY 1, 2),
+         bk AS (
+           SELECT doc_id, i // 4 AS band_id,
+                  md5(array_to_string(list(sig ORDER BY i), ',')) AS h
+           FROM sigs GROUP BY 1, 2),
+         buckets AS (
+           SELECT doc_id, band_id, ${h60Sql("h")} AS bucket FROM bk),
+         ok AS (
+           SELECT band_id, bucket FROM buckets
+           GROUP BY 1, 2 HAVING count(*) <= 256),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           FROM buckets x
+           JOIN ok USING (band_id, bucket)
+           JOIN buckets y USING (band_id, bucket)
+           WHERE x.doc_id < y.doc_id),
+         pairs AS (
+           SELECT da AS doc_a, db AS doc_b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) AS na, len(b.sh) AS nb
+           FROM cand JOIN sets a ON a.doc_id = cand.da
+                     JOIN sets b ON b.doc_id = cand.db)
+         SELECT doc_a, doc_b,
+                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+         FROM pairs
+         WHERE inter * 1.0 / (na + nb - inter) >= 0.6""",
+    // d03: simhash bit j = majority vote of md5-nibble bit
+    // (PortableHash.md5Bit: bit (j%4) of hex char (j//4)) over the
+    // token MULTISET; chunks = 16-bit slices; pigeonhole candidate
+    // join; hamming verified on the full 64 bits.
+    "d03_dedup_simhash" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(t) AS w
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM documents WHERE text IS NOT NULL)),
+         th AS (SELECT doc_id, md5(w) AS h FROM tok),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN
+                        (strpos('123456789abcdef',
+                                h[CAST(j // 4 + 1 AS INT)])
+                         >> (j % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+           FROM th
+           CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS j)
+           GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+           FROM votes),
+         chunks AS (
+           SELECT doc_id, j // 16 AS chunk_id,
+                  CAST(sum(bit * (1 << (j % 16))) AS BIGINT) AS cv
+           FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM chunks x JOIN chunks y USING (chunk_id, cv)
+           WHERE x.doc_id < y.doc_id)
+         SELECT c.doc_a, c.doc_b,
+                CAST(sum(bit_count(xor(xa.cv, xb.cv))) AS BIGINT)
+                  AS hamming
+         FROM cand c
+         JOIN chunks xa ON xa.doc_id = c.doc_a
+         JOIN chunks xb ON xb.doc_id = c.doc_b
+           AND xb.chunk_id = xa.chunk_id
+         GROUP BY 1, 2
+         HAVING sum(bit_count(xor(xa.cv, xb.cv))) <= 3""",
     "d04_ngram_jaccard" ->
       """WITH sets AS (
            SELECT doc_id,

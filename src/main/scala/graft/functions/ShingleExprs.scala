@@ -29,8 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `distinct = true` gives set semantics (d04's Jaccard postings,
   * d02's MinHash input); `false` preserves the positional multiset —
   * index IS the token offset (d09's positioned spans).
+  *
+  * `portable = true` swaps the digest to PortableHash.md5_60 (the
+  * DuckDB-replayable 60-bit md5 contract) — d02's basis, because its
+  * OUTPUT depends on the hash values; everything that only GROUPS on
+  * digests keeps the faster xxhash64 default.
   */
-case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean,
+    portable: Boolean = false)
   extends UnaryExpression {
 
   require(n > 0, "shingle width must be positive")
@@ -45,12 +51,12 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, distinct)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, distinct, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val kernel = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $kernel.compute($c, $n, $distinct);"
+      s"${ev.value} = $kernel.compute($c, $n, $distinct, $portable);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -65,7 +71,7 @@ object ShingleHashes {
     * same seed-42 XxHash64 behind `functions.xxhash64`.
     */
   private def hashWindow(toks: Array[UTF8String], from: Int, n: Int,
-      buf: Array[Byte]): Long = {
+      buf: Array[Byte], portable: Boolean): Long = {
     var len = 0
     var i = 0
     while (i < n) {
@@ -75,11 +81,13 @@ object ShingleHashes {
       len += b.length
       i += 1
     }
-    XxHash64Function.hash(
+    if (portable) PortableHash.md5_60(buf, 0, len)
+    else XxHash64Function.hash(
       UTF8String.fromBytes(buf, 0, len), StringType, 42L)
   }
 
-  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean,
+      portable: Boolean): GenericArrayData = {
     // identical pipeline to split(lower(trim(text)), "\s+"):
     // UTF8String.trim strips 0x20 only (SQL TRIM), toLowerCase is
     // Spark's own case mapping, split is the same regex split the
@@ -100,7 +108,7 @@ object ShingleHashes {
       val out = new Array[Long](count)
       var p = 0
       while (p < count) {
-        out(p) = hashWindow(toks, p, n, buf)
+        out(p) = hashWindow(toks, p, n, buf, portable)
         p += 1
       }
       new GenericArrayData(out)
@@ -110,7 +118,7 @@ object ShingleHashes {
       var m = 0
       var p = 0
       while (p < count) {
-        val h = hashWindow(toks, p, n, buf)
+        val h = hashWindow(toks, p, n, buf, portable)
         if (seen.add(h)) { out(m) = h; m += 1 }
         p += 1
       }
@@ -123,6 +131,13 @@ object ShingleExprs {
   /** Column API: distinct shingle digests (set semantics). */
   def shingleHashSet(text: Column, n: Int): Column =
     Shim.column(ShingleHashes(Shim.expression(text), n, distinct = true))
+
+  /** Distinct shingle digests under the PORTABLE md5_60 contract —
+    * d02's oracle-replayable basis.
+    */
+  def shingleHashSetPortable(text: Column, n: Int): Column =
+    Shim.column(ShingleHashes(Shim.expression(text), n, distinct = true,
+      portable = true))
 
   /** Column API: positional shingle digests (index = token offset). */
   def shingleHashSeq(text: Column, n: Int): Column =

@@ -61,11 +61,16 @@ object Dedup {
     * push the whole shingle expression into the filter and evaluate
     * it twice per row.
     */
-  private def shingleSets(documents: DataFrame, n: Int): DataFrame =
+  private def shingleSets(documents: DataFrame, n: Int,
+      portable: Boolean = false): DataFrame =
     documents
       .filter(size(TextOps.tokens(col("text"))) >= n)
       .select(col("doc_id"),
-        graft.functions.ShingleExprs.shingleHashSet(col("text"), n).as("sh"))
+        (if (portable)
+          graft.functions.ShingleExprs.shingleHashSetPortable(col("text"), n)
+        else
+          graft.functions.ShingleExprs.shingleHashSet(col("text"), n))
+          .as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
 
   /** d02_dedup_minhash — MinHash+LSH near-duplicate pairs.
@@ -82,6 +87,13 @@ object Dedup {
     * With 16 bands × 4 rows, P(candidate | j) = 1-(1-j⁴)¹⁶:
     * ≈ 0.89 at j = 0.6 and ≈ 1 at j ≥ 0.8 — and fully deterministic
     * (seeded hashes), so the driver's re-run reproduces it bit-for-bit.
+    *
+    * HASH BASIS: the PORTABLE md5_60 contract (PortableHash) — shingle
+    * digests, permutations, and band-bucket hash are all DuckDB-
+    * expressible, so the FULL pipeline (signature → banding → bucket →
+    * hot-bucket guard → exact-Jaccard verify) replays under the hash
+    * oracle; this is what moved d02 off the rows-only list. The
+    * xxhash64 mode remains on the kernels for digest-grouping users.
     */
   def dedupMinhash(documents: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, tau: Double = 0.6,
@@ -101,22 +113,29 @@ object Dedup {
     // infer isnotnull(doc_id); stating it here makes the signature
     // branch match). Set sizes are recomputed at the verify join via
     // size() (O(1) on an array column) for the same reason.
-    val sets = shingleSets(documents, n).select(col("doc_id"), col("sh"))
+    val sets = shingleSets(documents, n, portable = true)
+      .select(col("doc_id"), col("sh"))
       .filter(col("doc_id").isNotNull)
       .repartition(col("doc_id"))
     // Signature in ONE pass over the shingles (native MinHashSigs
-    // kernel: each shingle hashed once, 64 seeded re-hashes of the
-    // 8-byte digest), then band buckets from signature slices.
+    // kernel, portable mode: each shingle's md5_60 digest re-hashed
+    // through 64 (a·x+b) mod M permutations), then band buckets.
     val sig = sets.select(col("doc_id"),
-      HashExprs.minhashSigs(col("sh"), numHashes).as("sig"))
+      HashExprs.minhashSigsPortable(col("sh"), numHashes).as("sig"))
     // Same reuse shape one level up: the hot-bucket guard (groupBy +
     // join back) and both self-join sides all key on (band, bucket),
     // so one exchange feeds all four consumers — otherwise every
     // branch re-runs the MinHash kernel over every shingle set.
+    // Bucket = md5_60 of the band's comma-joined signature slice: the
+    // shuffle key stays a slim (int, long) — never the 4-long slice —
+    // and the oracle replays the same md5 bucket (16 md5 calls/doc).
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+        b => conv(substring(md5(array_join(
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            e => e.cast("string")), ",")), 1, 15), 16, 10)
+          .cast("long"))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
       .repartition(col("band_id"), col("bucket"))
@@ -173,6 +192,11 @@ object Dedup {
     * with hamming distance < chunks shares at least one exact chunk,
     * so the candidate join keys on (chunk_id, chunk_value) — never
     * all-pairs. Verified with bit_count(xor) <= maxHamming.
+    *
+    * HASH BASIS: portable md5-nibble bits (PortableHash.md5Bit), so
+    * every simhash bit — and therefore the chunk values, the
+    * pigeonhole candidacy, and the hamming counts — is replayable by
+    * the DuckDB oracle (d02's promotion, same round).
     */
   def dedupSimhash(documents: DataFrame, maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
@@ -184,7 +208,7 @@ object Dedup {
     val sim = documents
       .filter(size(TextOps.tokens(col("text"))) > 0)
       .select(col("doc_id"),
-        HashExprs.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+        HashExprs.simhash64Portable(TextOps.tokens(col("text"))).as("simhash"))
     val chunked = sim.select(
       col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
@@ -198,7 +222,8 @@ object Dedup {
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }

@@ -539,36 +539,44 @@ object Pipeline {
     * prefix. Emits (step_reached, step_name, n_users) — all-integer,
     * hash-exact.
     *
-    * Shape: one aggregation per step — min(ts) per user for step 1,
-    * then per further step a LEFT join of that step's (pushed-down)
-    * event slice followed by a conditional-min re-aggregation. The
-    * order constraint makes the recurrence inherently sequential
-    * (step k's candidates depend on t_{k−1}), so `steps.length`
-    * passes over per-step event slices IS the funnel plan — every
-    * shuffle keys on user_id (high cardinality), every filter
-    * reaches the scan, and the running state per user is one row of
-    * step timestamps. A per-type global min can NOT replace it: a
-    * view before the signup must not count.
+    * Shape (r9, st07's single-pass recurrence ported to batch): the
+    * step-relevant event slice shuffles ON user_id ONCE; t1..tL are
+    * CHAINED per-user window minima over that one exchange — t1 =
+    * min(ts | step 1), t_k = min(ts | step k ∧ ts > t_{k−1} ∧ ts ≤
+    * t1 + window) — each referencing the previous column, so Catalyst
+    * stacks `steps.length` WindowExecs over the SAME partitioning
+    * (zero further exchanges; the previous shape re-joined and
+    * re-aggregated the event slice per step). The per-user reduce
+    * rides the same partitioning too; the only other exchange carries
+    * ≤ `steps` rows of final counts. A per-type global min can NOT
+    * replace the recurrence: a view before the signup must not count.
     */
   def funnel(events: DataFrame,
       steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
       windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    // only step-typed events can contribute — the isin prunes the
+    // exchange to the funnel-relevant sliver at the scan
     val ev = events
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin(steps: _*))
       .select(col("user_id"), col("event_type"),
         graft.Tables.epochUs(col("ts")).as("ts_us"))
-    var acc = ev.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    var acc = ev.withColumn("t1",
+      min(when(col("event_type") === steps.head, col("ts_us"))).over(w))
     (2 to steps.length).foreach { k =>
-      val nxt = ev.filter(col("event_type") === steps(k - 1))
-        .select(col("user_id"), col("ts_us").as(s"e$k"))
-      val carried = (1 until k).map(i => col(s"t$i"))
-      acc = acc.join(nxt, Seq("user_id"), "left")
-        .groupBy(col("user_id") +: carried: _*)
-        .agg(min(when(col(s"e$k") > col(s"t${k - 1}") &&
-          col(s"e$k") <= col("t1") + windowUs, col(s"e$k")))
-          .as(s"t$k"))
+      acc = acc.withColumn(s"t$k",
+        min(when(col("event_type") === steps(k - 1) &&
+          col("ts_us") > col(s"t${k - 1}") &&
+          col("ts_us") <= col("t1") + windowUs, col("ts_us"))).over(w))
     }
+    // collapse to one row per user (all rows carry identical t1..tL);
+    // the aggregate reuses the window exchange's partitioning
+    val perUser = acc
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"),
+        (2 to steps.length).map(k => max(col(s"t$k")).as(s"t$k")): _*)
+      .filter(col("t1").isNotNull) // funnel entry requires step 1
     // foldRight over (L..2): builds when(tL)… outermost so the
     // DEEPEST satisfied step wins (tk non-null implies t_{k-1} is)
     val depth = (steps.length to 2 by -1).foldRight(lit(1): Column) {
@@ -578,7 +586,7 @@ object Pipeline {
       case (els, (s, i)) => when(col("step_reached") === i + 1, lit(s))
         .otherwise(els)
     }
-    acc
+    perUser
       .withColumn("step_reached", depth.cast("long"))
       .groupBy(col("step_reached"))
       .agg(count(lit(1)).as("n_users"))

@@ -67,7 +67,7 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     def sim(t: String): Long = graft.functions.SimHash64.compute(
       new GenericArrayData(t.trim.toLowerCase.split("\\s+")
-        .map(UTF8String.fromString(_): Any)))
+        .map(UTF8String.fromString(_): Any)), portable = true)
     val ids = texts.keys.toSeq.sorted
     val expected = (for {
       a <- ids; b <- ids if a < b
@@ -350,6 +350,51 @@ class DedupSpec extends AnyFunSuite {
       .filter(not(col("a") <=> col("b")))
       .count()
     assert(mismatches === 0L)
+  }
+
+  test("portable md5_60: kernel digests equal conv(substring(md5,1,15),16,10)") {
+    import graft.functions.{ShingleExprs, TextOps}
+    // the engine↔oracle hash contract: the kernel's byte-wise md5_60
+    // must equal Spark SQL's own md5-hex parse on every corpus shingle
+    // (DuckDB's strpos parse is the third leg, pinned by the driver gate)
+    val docs = Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+    val viaSql = array_sort(transform(TextOps.wordShingles(col("text"), 3),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+    val viaKernel = array_sort(
+      ShingleExprs.shingleHashSetPortable(col("text"), 3))
+    val mismatches = docs
+      .select(viaSql.as("a"), viaKernel.as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(mismatches === 0L)
+    // scalar parity incl. non-ASCII (md5 over UTF-8 bytes)
+    Seq("alpha beta gamma", "嗨 你好 世界", "emoji 😀 here").foreach { s =>
+      val sql = spark.sql(
+        s"SELECT CAST(conv(substring(md5('$s'),1,15),16,10) AS BIGINT)")
+        .head().getLong(0)
+      assert(graft.functions.PortableHash.md5_60(s) === sql, s)
+    }
+  }
+
+  test("portable minhash: permutation constants and signature domain") {
+    import graft.functions.PortableHash
+    // constants regenerate from the md5 strings the oracle uses
+    assert(PortableHash.permA(0) ===
+      PortableHash.md5_60("graft-minhash-a-0") % (PortableHash.M - 1) + 1)
+    assert(PortableHash.permB(63) ===
+      PortableHash.md5_60("graft-minhash-b-63") % PortableHash.M)
+    // a_i nonzero (degenerate permutation would collapse a signature row)
+    (0 until 64).foreach(i => assert(PortableHash.permA(i) > 0))
+    // signatures of a nonempty set are all < M
+    import graft.functions.{HashExprs, ShingleExprs, TextOps}
+    val sigs = Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(HashExprs.minhashSigsPortable(
+        ShingleExprs.shingleHashSetPortable(col("text"), 3), 64).as("sig"))
+    val bad = sigs.filter(exists(col("sig"),
+      s => s < 0 || s >= lit(PortableHash.M))).count()
+    assert(bad === 0L)
   }
 
   test("d11: snapshot diff — planted add/remove/change, null text unchanged") {

@@ -171,6 +171,23 @@ class PipelineSpec extends AnyFunSuite {
       1L -> (("signup", 3L))))  // users 4, 5, 6
   }
 
+  test("q29: single-pass plan — one user_id exchange feeds the window chain") {
+    // the r9 shape: the event sliver shuffles ONCE; t1..t4 are chained
+    // per-user window minima over that exchange, and the per-user
+    // reduce rides the same partitioning. The only other exchange
+    // carries the <= steps rows of final counts.
+    val plan = SparkEntry.queries("q29_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = "\\bWindow \\[".r.findAllIn(plan).size
+    assert(windows === 4, s"expected 4 chained WindowExecs, plan:\n$plan")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size === 2,
+      s"expected one user_id exchange + one tiny counts exchange:\n$plan")
+    assert(exchanges.count(_.contains("user_id")) === 1, plan)
+    assert(exchanges.count(_.contains("step_reached")) === 1, plan)
+  }
+
   test("q30: retention counts conserve users and offset-0 is the cohort") {
     val df = SparkEntry.queries("q30_retention")(spark, sf).collect()
     assert(df.nonEmpty)

@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Global plan-shape audit: every batch query's physical plan is
@@ -57,6 +60,64 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
       }
+  }
+
+  /** Partition-less windows move ALL data to one task — fatal at
+    * 100 TB unless the window's input is by-design bounded. These are
+    * the justified cases (each runs post-aggregation / post-limit on
+    * metadata-scale rows); anything NEW fails the gate loudly instead
+    * of adding another "Moving all data to a single partition" line
+    * to the log noise.
+    */
+  private val partitionlessWindowByDesign = Map(
+    // rank + running coverage AFTER the top-N limit: ≤ topN rows
+    "t08_vocab" -> "post-limit topN rows",
+    // Gini rank over the bin table: ≤ #bins = range/binWidth rows
+    "q34_evenness" -> "post-aggregation #bins rows",
+    // per-bucket metadata ranks: ≤ `buckets` rows
+    "p05_batch_assembly" -> "bucket metadata rows",
+    // BH running-min over the top-25 candidate bins
+    "q24_peak_fdr" -> "post-limit candidate bins",
+    // drift ranks over the per-slice bin table (q24's justification)
+    "q33_dist_drift" -> "post-aggregation #bins rows",
+    // gaps-and-islands over the aggregated bin table: ≤ #bins rows
+    // (bounded by time-range/binSeconds, PlanScan's q12 note)
+    "q12_peak_detect" -> "post-aggregation #bins rows",
+    // ratio-of-total over() on #statuses rows post-aggregation
+    "q13_metrics" -> "post-aggregation #statuses rows",
+    // cumulative share over the fixed-bin histogram: ≤ #bins rows
+    "q07_histogram" -> "post-aggregation #bins rows",
+    // q12's island windows over the local-background bin table
+    "q21_peak_local" -> "post-aggregation #bins rows",
+    // q12's islands + per-island argmax rank, same bounded bin table
+    "q36_peak_summits" -> "post-aggregation #bins rows")
+
+  private def physical(plan: SparkPlan): SparkPlan = plan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case p => p
+  }
+
+  test("partition-less windows only on by-design bounded inputs") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val stale = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (partitionlessWindowByDesign.contains(name)) {
+        if (bare.isEmpty) stale += name
+      } else if (bare.nonEmpty) offenders += s"$name(${bare.mkString(",")})"
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows outside the allowlist: " +
+        s"${offenders.mkString(", ")} — unbounded input would collapse " +
+        "to ONE task; justify and allowlist or partition the window")
+    assert(stale.isEmpty,
+      s"allowlisted but plan no partition-less window (remove): " +
+        s"${stale.mkString(", ")}")
   }
 
   test("document/embedding scans prune to the referenced columns") {

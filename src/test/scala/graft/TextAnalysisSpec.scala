@@ -410,15 +410,26 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("hash expressions survive interpreted (non-codegen) eval") {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
-    val sigs = MinHashSigs.compute(arr, 4, fromDigests = false)
+    val sigs = MinHashSigs.compute(arr, 4, fromDigests = false,
+      portable = false)
     assert(sigs.numElements() === 4)
-    val sim = SimHash64.compute(arr)
+    val sim = SimHash64.compute(arr, portable = false)
     assert(sim !== 0L)
+    // portable mode: signatures live in [0, M), simhash is md5-based
+    val psigs = MinHashSigs.compute(arr, 4, fromDigests = false,
+      portable = true)
+    assert(psigs.toLongArray.forall(s =>
+      s >= 0 && s < graft.functions.PortableHash.M))
+    assert(SimHash64.compute(arr, portable = true) !==
+      SimHash64.compute(arr, portable = false))
     // empty input edge cases
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any]())
-    assert(SimHash64.compute(empty) === 0L)
-    assert(MinHashSigs.compute(empty, 2, fromDigests = false)
-      .toLongArray.forall(_ == Long.MaxValue))
+    assert(SimHash64.compute(empty, portable = false) === 0L)
+    assert(SimHash64.compute(empty, portable = true) === 0L)
+    assert(MinHashSigs.compute(empty, 2, fromDigests = false,
+      portable = false).toLongArray.forall(_ == Long.MaxValue))
+    assert(MinHashSigs.compute(empty, 2, fromDigests = false,
+      portable = true).toLongArray.forall(_ == Long.MaxValue))
   }
 }
 
