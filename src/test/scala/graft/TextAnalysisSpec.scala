@@ -320,6 +320,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((got.head._2, got.head._3) === (("e", "s")))
   }
 
+  test("t13: two-tier training — 256 merges, ONE Spark job, ≡ sequential reference") {
+    // the r9 scale gate: training is one distributed word-frequency
+    // aggregation + a driver-side incremental trainer over the capped
+    // vocab table, so Spark jobs stay constant as nMerges grows — AND
+    // the result must equal the strictly sequential naive-recount
+    // reference (a genuinely different algorithm: BpeRef recounts all
+    // pairs per round; the engine applies inverted-index deltas).
+    // documents.text draws from a 31-word template vocabulary at every
+    // SF (89 learnable merges total), so the 256-merge gate corpus
+    // unions it with customer.c_name (150 distinct words, ~2.5k merge
+    // capacity) — still real driver-generated test data.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(TestSpark.spark, TestSpark.sf)
+      .select(col("text"))
+      .unionAll(Tables.customer(TestSpark.spark, TestSpark.sf)
+        .select(col("c_name").as("text")))
+    val words = docs.select("text").collect()
+      .flatMap(r => Option(r.getString(0)))
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val (got, rounds) = graft.operators.TextAnalysis
+      .bpeMergesCounted(docs, nMerges = 256)
+    val gotSeq = got.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val want = BpeRef.merges(words, 256)
+    assert(gotSeq === want)
+    assert(gotSeq.length === 256, s"corpus exhausted at ${gotSeq.length}")
+    assert(rounds === 1, s"training loop ran $rounds Spark jobs, want 1")
+  }
+
   test("t14: fertility from hand-derived merges; boundaries never fuse") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.lit
