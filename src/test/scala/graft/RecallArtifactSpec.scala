@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** r9 verdict item 3: ANN recall as a machine-diffed artifact, not
+  * spec prose. s02–s05 are rows-only forever (approximate by design),
+  * so their quality signal — recall@k vs the exact s01 baseline at
+  * the REGISTERED default dials — is measured here, written to
+  * `RECALL_r{N}.json` in the repo root (committed each round), and
+  * gated against the pinned floor: a learned-quantizer / codebook
+  * regression that drops any recall by > 0.05 fails the build
+  * instead of slipping through narration.
+  *
+  * Pins are the r9 measured values on the sf0.001 embeddings table
+  * (seeded hyperplanes + bit-deterministic k-means make every number
+  * a constant, not a distribution — see SimilaritySpec determinism
+  * tests). Re-pin deliberately when a dial or codebook changes, with
+  * the new value justified in the commit.
+  */
+class RecallArtifactSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // measured r9 @ sf0.001, registered defaults (k=5, stride 50)
+  private val pins = Map(
+    "s02_ann_ivf" -> 0.28,
+    "s03_ann_lsh" -> 0.24,
+    "s04_ann_pq" -> 0.70,
+    "s05_ann_ivfpq" -> 0.60)
+  private val tolerance = 0.05
+
+  test("ANN recall@5 vs s01 at registered defaults — artifact + pin gate") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.annBruteForce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val measured = List(
+      "s02_ann_ivf" -> recallOf(Similarity.annIvf(e, cacheKey = sf)),
+      "s03_ann_lsh" -> recallOf(Similarity.annLsh(e)),
+      "s04_ann_pq" -> recallOf(Similarity.annPq(e, cacheKey = sf)),
+      "s05_ann_ivfpq" -> recallOf(Similarity.annIvfPq(e, cacheKey = sf)))
+    val round = sys.env.getOrElse("GRAFT_ROUND", "9")
+    val body = measured.map { case (name, r) =>
+      f"""    "$name": {"recall_at_5": ${math.rint(r * 1e4) / 1e4}%s, "pin": ${pins(name)}%s}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "sf": "$sf",
+         |  "k": 5,
+         |  "baseline": "s01_ann_bruteforce",
+         |  "tolerance": $tolerance,
+         |  "queries": {
+         |$body
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"RECALL_r$round.json"),
+      json.getBytes("UTF-8"))
+    measured.foreach { case (name, r) =>
+      assert(r >= pins(name) - tolerance,
+        s"$name recall@5 $r dropped > $tolerance below pin ${pins(name)}")
+    }
+  }
+}
