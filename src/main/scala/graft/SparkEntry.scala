@@ -243,6 +243,9 @@ object SparkEntry {
       Corpus.qualitySample(Tables.documents(s, d))),
     "p10_leak_safe_split" -> ((s, d) =>
       Corpus.leakSafeSplit(Tables.documents(s, d), cacheKey = d)),
+    "k11_ingest_manifest" -> ((s, d) =>
+      graft.sources.IngestManifest.reconcile(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1821,6 +1824,43 @@ object SparkEntry {
          FROM documents
          WHERE lang IN ('en', 'de') AND doc_id >= 100 AND doc_id < 400
          GROUP BY 1, 2""",
+    // k11: the oracle recomputes BOTH manifest sides from the
+    // original table — the delivered side replays the simulated
+    // drop predicates (pure arithmetic on source/doc_id), so
+    // equality proves the staged tree's read-back delivered exactly
+    // the simulated subset, rows, bytes, and checksums alike.
+    "k11_ingest_manifest" ->
+      """WITH exp AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_expected,
+                  CAST(sum(doc_id) AS BIGINT) AS key_expected,
+                  CAST(sum(n_chars) AS BIGINT) AS bytes_expected
+           FROM documents GROUP BY source),
+         del AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_delivered,
+                  CAST(sum(doc_id) AS BIGINT) AS key_delivered,
+                  CAST(sum(n_chars) AS BIGINT) AS bytes_delivered
+           FROM documents
+           WHERE source NOT IN ('src7', 'src13')
+             AND NOT (source = 'src3' AND doc_id % 7 = 3)
+             AND NOT (source = 'src17' AND doc_id % 3 = 2)
+           GROUP BY source)
+         SELECT e.source,
+                'ingest://drop/' || e.source AS uri,
+                e.n_expected,
+                CAST(COALESCE(d.n_delivered, 0) AS BIGINT) AS n_delivered,
+                e.bytes_expected,
+                CAST(COALESCE(d.bytes_delivered, 0) AS BIGINT)
+                  AS bytes_delivered,
+                e.key_expected,
+                CAST(COALESCE(d.key_delivered, 0) AS BIGINT)
+                  AS key_delivered,
+                CASE WHEN d.source IS NULL THEN 'missing'
+                     WHEN d.n_delivered = e.n_expected
+                          AND d.key_delivered = e.key_expected
+                          AND d.bytes_delivered = e.bytes_expected
+                       THEN 'complete'
+                     ELSE 'partial' END AS status
+         FROM exp e LEFT JOIN del d ON e.source = d.source""",
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree
     // byte-for-byte: an exact oracle for normalization-equivalence
