@@ -38,8 +38,17 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated query filter for focused re-measurement
+    // (regression triage); absent = the full registered set, the
+    // driver's standing protocol.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (k, _) =>
+      only.forall(_.contains(k))
+    }
+
     // Untimed warmup: JIT/codegen compile, parquet footer reads, JVM heap.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
     // Min over reps: local[32] timings jitter ~10% run-to-run (GC,
@@ -58,7 +67,7 @@ object Bench {
     // first (or early) in all reps and the min sees each query at
     // least once in a settled position.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val ordered = SparkEntry.queries.toSeq
+    val ordered = selected.toSeq
     val timed = collection.mutable.Map.empty[String, List[(Double, Boolean)]]
       .withDefaultValue(Nil)
     (0 until reps).foreach { r =>

@@ -246,6 +246,8 @@ object SparkEntry {
     "k11_ingest_manifest" -> ((s, d) =>
       graft.sources.IngestManifest.reconcile(Tables.documents(s, d),
         cacheKey = d)),
+    "q39_run_report" -> ((s, d) =>
+      Pipeline.runReport(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1824,6 +1826,54 @@ object SparkEntry {
          FROM documents
          WHERE lang IN ('en', 'de') AND doc_id >= 100 AND doc_id < 400
          GROUP BY 1, 2""",
+    // q39: q37's gate CTE feeds a per-(segment, verdict) rank; the
+    // rendered heads aggregate the rank-filtered slice only, and
+    // numeric sort before VARCHAR cast matches Spark's
+    // array_sort-then-cast exactly. CASE without ELSE yields NULL,
+    // which string_agg skips — the same null-skipping collect_list
+    // does.
+    "q39_run_report" ->
+      """WITH a AS (
+           SELECT o_custkey, count(*) AS n_orders_raw,
+                  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS n_f_raw
+           FROM orders GROUP BY 1),
+         g AS (
+           SELECT c_custkey, c_mktsegment,
+                  (CASE WHEN n_orders_raw IS NOT NULL THEN 1 ELSE 0 END)
+                  * (CASE WHEN coalesce(n_orders_raw, 0) >= 3
+                          THEN 1 ELSE 0 END)
+                  * (CASE WHEN n_orders_raw IS NOT NULL
+                          AND coalesce(n_f_raw, 0) * 5
+                              >= coalesce(n_orders_raw, 0)
+                          THEN 1 ELSE 0 END) AS qc_pass
+           FROM customer LEFT JOIN a ON c_custkey = o_custkey),
+         r AS (
+           SELECT c_mktsegment, c_custkey, qc_pass,
+                  row_number() OVER (PARTITION BY c_mktsegment, qc_pass
+                    ORDER BY c_custkey) AS rnk
+           FROM g),
+         counts AS (
+           SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(qc_pass) AS BIGINT) AS n_completed,
+                  CAST(count(*) - sum(qc_pass) AS BIGINT) AS n_failed
+           FROM g GROUP BY 1),
+         heads AS (
+           SELECT c_mktsegment,
+                  coalesce(string_agg(CASE WHEN qc_pass = 1
+                      THEN CAST(c_custkey AS VARCHAR) END, ' '
+                    ORDER BY c_custkey), '') AS completed_head,
+                  coalesce(string_agg(CASE WHEN qc_pass = 0
+                      THEN CAST(c_custkey AS VARCHAR) END, ' '
+                    ORDER BY c_custkey), '') AS failed_head
+           FROM r WHERE rnk <= 10 GROUP BY 1)
+         SELECT c.c_mktsegment, n_samples, n_completed, n_failed,
+                completed_head, failed_head,
+                'processed ' || n_completed || '/' || n_samples ||
+                ' | completed(head): [' || completed_head ||
+                '] | failed(head): [' || failed_head || ']' AS body
+         FROM counts c JOIN heads h
+           ON c.c_mktsegment = h.c_mktsegment""",
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

@@ -450,6 +450,58 @@ object Pipeline {
         col("qc_pass"))
   }
 
+  /** q39_run_report — the batch completion REPORT, the reference's
+    * `constructEmail` notification (parserTools.py:94-120: "the
+    * following data were successfully processed: ..." / "were NOT
+    * processed: ..." with the sample lists joined into the body).
+    * q13/q14 report metrics and q37 decides pass/fail; this operator
+    * RENDERS the decision into the artifact a human receives: one row
+    * per batch (market segment = the reference's per-user submission)
+    * carrying counts, bounded completed/failed sample lists, and the
+    * assembled body text.
+    *
+    * The rendered lists are HEADS, not full rosters — `headN` per
+    * (batch, verdict) via a partitioned rank window, so per-group
+    * state is bounded no matter how many samples a batch holds (an
+    * email listing 40M sample ids is not a report; counts carry the
+    * magnitude, heads carry the names a reader acts on). collect_list
+    * runs on the rank-filtered slice only — ≤ 2·headN ids per batch
+    * ever aggregate — and numeric sort before cast keeps the
+    * rendering deterministic and oracle-identical.
+    */
+  def runReport(customer: DataFrame, orders: DataFrame,
+      headN: Int = 10): DataFrame = {
+    val gated = qcGate(customer, orders)
+      .join(customer.select(col("c_custkey").as("ck"),
+        col("c_mktsegment")), col("c_custkey") === col("ck"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("qc_pass"))
+    val counts = gated.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_samples"),
+        sum(col("qc_pass")).cast("long").as("n_completed"),
+        (count(lit(1)) - sum(col("qc_pass"))).cast("long")
+          .as("n_failed"))
+    val w = Window.partitionBy(col("c_mktsegment"), col("qc_pass"))
+      .orderBy(col("c_custkey"))
+    def head(pass: Int): org.apache.spark.sql.Column =
+      coalesce(array_join(transform(array_sort(collect_list(
+        when(col("qc_pass") === pass, col("c_custkey")))),
+        _.cast("string")), " "), lit(""))
+    val heads = gated
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= headN)
+      .groupBy(col("c_mktsegment"))
+      .agg(head(1).as("completed_head"), head(0).as("failed_head"))
+    counts.join(heads, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_samples"),
+        col("n_completed"), col("n_failed"),
+        col("completed_head"), col("failed_head"),
+        concat(lit("processed "), col("n_completed").cast("string"),
+          lit("/"), col("n_samples").cast("string"),
+          lit(" | completed(head): ["), col("completed_head"),
+          lit("] | failed(head): ["), col("failed_head"), lit("]"))
+          .as("body"))
+  }
+
   /** q14_status_pivot — status matrix, the sqlite progress log
     * (reference tools.py:8-56): samples × steps → rows × status
     * columns. Spark's relational pivot with an explicit column list
