@@ -248,6 +248,8 @@ object SparkEntry {
         cacheKey = d)),
     "q39_run_report" -> ((s, d) =>
       Pipeline.runReport(Tables.customer(s, d), Tables.orders(s, d))),
+    "st11_stream_ingest" -> ((s, d) =>
+      StreamOps.streamIngest(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -299,6 +301,46 @@ object SparkEntry {
     * near-dup): both probe the same build-once bucketed index — the
     * probe is batching-invariant, so one oracle covers both.
     */
+  /** Shared by k11 (batch read-back reconcile) and st11 (incremental
+    * fold of per-micro-batch partials): both must classify every
+    * source identically, so both check against the same SQL, which
+    * recomputes expected AND delivered from the original table (the
+    * delivered side replays the simulated drop predicates — pure
+    * arithmetic on source/doc_id).
+    */
+  private val k11Sql: String =
+    """WITH exp AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_expected,
+                CAST(sum(doc_id) AS BIGINT) AS key_expected,
+                CAST(sum(n_chars) AS BIGINT) AS bytes_expected
+         FROM documents GROUP BY source),
+       del AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_delivered,
+                CAST(sum(doc_id) AS BIGINT) AS key_delivered,
+                CAST(sum(n_chars) AS BIGINT) AS bytes_delivered
+         FROM documents
+         WHERE source NOT IN ('src7', 'src13')
+           AND NOT (source = 'src3' AND doc_id % 7 = 3)
+           AND NOT (source = 'src17' AND doc_id % 3 = 2)
+         GROUP BY source)
+       SELECT e.source,
+              'ingest://drop/' || e.source AS uri,
+              e.n_expected,
+              CAST(COALESCE(d.n_delivered, 0) AS BIGINT) AS n_delivered,
+              e.bytes_expected,
+              CAST(COALESCE(d.bytes_delivered, 0) AS BIGINT)
+                AS bytes_delivered,
+              e.key_expected,
+              CAST(COALESCE(d.key_delivered, 0) AS BIGINT)
+                AS key_delivered,
+              CASE WHEN d.source IS NULL THEN 'missing'
+                   WHEN d.n_delivered = e.n_expected
+                        AND d.key_delivered = e.key_expected
+                        AND d.bytes_delivered = e.bytes_expected
+                     THEN 'complete'
+                   ELSE 'partial' END AS status
+       FROM exp e LEFT JOIN del d ON e.source = d.source"""
+
   private val d10Sql: String =
     """WITH sets AS (
          SELECT doc_id,
@@ -1879,38 +1921,11 @@ object SparkEntry {
     // drop predicates (pure arithmetic on source/doc_id), so
     // equality proves the staged tree's read-back delivered exactly
     // the simulated subset, rows, bytes, and checksums alike.
-    "k11_ingest_manifest" ->
-      """WITH exp AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_expected,
-                  CAST(sum(doc_id) AS BIGINT) AS key_expected,
-                  CAST(sum(n_chars) AS BIGINT) AS bytes_expected
-           FROM documents GROUP BY source),
-         del AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_delivered,
-                  CAST(sum(doc_id) AS BIGINT) AS key_delivered,
-                  CAST(sum(n_chars) AS BIGINT) AS bytes_delivered
-           FROM documents
-           WHERE source NOT IN ('src7', 'src13')
-             AND NOT (source = 'src3' AND doc_id % 7 = 3)
-             AND NOT (source = 'src17' AND doc_id % 3 = 2)
-           GROUP BY source)
-         SELECT e.source,
-                'ingest://drop/' || e.source AS uri,
-                e.n_expected,
-                CAST(COALESCE(d.n_delivered, 0) AS BIGINT) AS n_delivered,
-                e.bytes_expected,
-                CAST(COALESCE(d.bytes_delivered, 0) AS BIGINT)
-                  AS bytes_delivered,
-                e.key_expected,
-                CAST(COALESCE(d.key_delivered, 0) AS BIGINT)
-                  AS key_delivered,
-                CASE WHEN d.source IS NULL THEN 'missing'
-                     WHEN d.n_delivered = e.n_expected
-                          AND d.key_delivered = e.key_expected
-                          AND d.bytes_delivered = e.bytes_expected
-                       THEN 'complete'
-                     ELSE 'partial' END AS status
-         FROM exp e LEFT JOIN del d ON e.source = d.source""",
+    "k11_ingest_manifest" -> k11Sql,
+    // st11 folds per-micro-batch partials to the same manifest —
+    // sums are associative, so any batching folds to k11's totals
+    // and the streaming run shares k11's oracle verbatim.
+    "st11_stream_ingest" -> k11Sql,
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree
     // byte-for-byte: an exact oracle for normalization-equivalence

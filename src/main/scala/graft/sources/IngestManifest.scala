@@ -56,7 +56,7 @@ object IngestManifest {
     * source and the predicate drops everything or nothing: 7 and 3
     * both cycle; 5 would freeze (src17's ids are all ≡ 2 mod 5).
     */
-  private def deliveredSlice(documents: DataFrame): DataFrame =
+  private[graft] def deliveredSlice(documents: DataFrame): DataFrame =
     documents
       .filter(!col("source").isin(missingSources: _*))
       .filter(!(col("source") === "src3" && col("doc_id") % 7 === 3))
@@ -113,16 +113,28 @@ object IngestManifest {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val dir = stageDrop(documents, cacheKey = cacheKey)
-    val expected = documents
-      .groupBy(col("source"))
-      .agg(count(lit(1)).cast("long").as("n_expected"),
-        sum(col("doc_id")).cast("long").as("key_expected"),
-        sum(col("n_chars")).cast("long").as("bytes_expected"))
     val delivered = spark.read.schema(documents.schema).parquet(dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_delivered"),
         sum(col("doc_id")).cast("long").as("key_delivered"),
         sum(col("n_chars")).cast("long").as("bytes_delivered"))
+    reconcileAgainst(documents, delivered)
+  }
+
+  /** The reconciliation join/classify against an already-computed
+    * delivered manifest — shared by the batch read-back path above
+    * and st11's incremental fold of per-micro-batch partials (the
+    * two paths must classify identically, so the logic lives once).
+    * `delivered`: one row per source that landed ANY rows, columns
+    * (source, n_delivered, key_delivered, bytes_delivered).
+    */
+  private[graft] def reconcileAgainst(documents: DataFrame,
+      delivered: DataFrame): DataFrame = {
+    val expected = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_expected"),
+        sum(col("doc_id")).cast("long").as("key_expected"),
+        sum(col("n_chars")).cast("long").as("bytes_expected"))
     expected.join(delivered, Seq("source"), "left")
       .select(col("source"),
         concat(lit("ingest://drop/"), col("source")).as("uri"),

@@ -656,6 +656,77 @@ object StreamOps {
     readPairs(spark, out)
   }
 
+  /** st11_stream_ingest — k11's landing reconciliation as a LIVE
+    * view: fetch chunks stream in as they land (the reference's
+    * `download_GEO` drops arriving one archive at a time,
+    * /root/reference/parserTools.py:247) and the delivered manifest
+    * is maintained incrementally, so "which sources are complete?"
+    * is answerable DURING the drop, not after a full-tree rescan.
+    *
+    * Per micro-batch: one map-side partial aggregation of the
+    * batch's rows to (source, n, key, bytes) — source-cardinality
+    * output, written idempotently to the batch's own `b<batchId>`
+    * dir (st09's overwrite recipe: a replayed batch rewrites, never
+    * duplicates — retry spec-pinned). The landed partials ARE the
+    * state: no keyed streaming state at all, and the final manifest
+    * is a second-stage fold over batches × sources rows — metadata
+    * scale. Batching invariance is arithmetic: sums are associative,
+    * so ANY split of the arrivals across micro-batches folds to the
+    * same totals, and st11 ≡ k11 row for row (spec-pinned; shares
+    * k11's DuckDB oracle).
+    */
+  private val stagedDropChunks =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val stage = stagedDropChunks.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st11_")
+      graft.sources.IngestManifest.deliveredSlice(docs)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+    val out = graft.Staging.dir("graft_st11_out_")
+    val src = spark.readStream
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeIngestPartial(batch, id, out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.IngestManifest
+      .reconcileAgainst(docs, foldIngestPartials(spark, out))
+  }
+
+  /** One micro-batch's partial manifest, written idempotently to the
+    * batch's own directory (see streamNearDup's recipe).
+    */
+  private[graft] def writeIngestPartial(batch: DataFrame,
+      batchId: Long, out: String): Unit =
+    batch.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("k"),
+        sum(col("n_chars")).cast("long").as("b"))
+      .write.mode("overwrite").parquet(s"$out/b$batchId")
+
+  /** Fold the per-batch partials to the delivered manifest. */
+  private[graft] def foldIngestPartials(spark: SparkSession,
+      out: String): DataFrame =
+    spark.read
+      .schema("source STRING, n BIGINT, k BIGINT, b BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(out)
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_delivered"),
+        sum(col("k")).cast("long").as("key_delivered"),
+        sum(col("b")).cast("long").as("bytes_delivered"))
+
   /** One micro-batch's probe, written idempotently: overwrite of the
     * batch's OWN directory, so a Structured Streaming batch replay
     * rewrites instead of duplicating.

@@ -267,6 +267,57 @@ class StreamOpsSpec extends AnyFunSuite {
       s"replay must be idempotent: $first rows became $second")
   }
 
+  test("st11: incremental landing manifest equals batch k11 exactly") {
+    val batch = SparkEntry.queries("k11_ingest_manifest")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st11_stream_ingest")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch,
+      s"partial-fold must classify like the read-back reconcile")
+    assert(batch.nonEmpty)
+  }
+
+  test("st11: the run is genuinely multi-batch") {
+    // The staged chunk slice is 4 files, one file per trigger: more
+    // than one b<id> partial dir proves the fold spanned real batch
+    // boundaries.
+    val docs = Tables.documents(spark, sf)
+    val out = graft.Staging.dir("graft_st11_mb_")
+    val src = graft.sources.IngestManifest.deliveredSlice(docs)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // simulate two micro-batches by hand through the same writer the
+    // stream uses, then check the fold sums across both
+    graft.streaming.StreamOps.writeIngestPartial(
+      src.filter(col("doc_id") % 2 === 0), 0L, out)
+    graft.streaming.StreamOps.writeIngestPartial(
+      src.filter(col("doc_id") % 2 === 1), 1L, out)
+    val folded = graft.streaming.StreamOps
+      .foldIngestPartials(spark, out)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_delivered"))
+      .toMap
+    val direct = src.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
+      .toMap
+    assert(folded === direct,
+      "fold across batch dirs must equal the one-shot aggregate")
+  }
+
+  test("st11: a replayed micro-batch rewrites its partial, never duplicates") {
+    val docs = Tables.documents(spark, sf)
+    val src = graft.sources.IngestManifest.deliveredSlice(docs)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = graft.Staging.dir("graft_st11_retry_")
+    graft.streaming.StreamOps.writeIngestPartial(src, 0L, out)
+    val first = graft.streaming.StreamOps.foldIngestPartials(spark, out)
+      .agg(sum(col("n_delivered"))).collect()(0).getLong(0)
+    graft.streaming.StreamOps.writeIngestPartial(src, 0L, out)
+    val second = graft.streaming.StreamOps.foldIngestPartials(spark, out)
+      .agg(sum(col("n_delivered"))).collect()(0).getLong(0)
+    assert(second === first,
+      s"replay must be idempotent: $first rows became $second")
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
