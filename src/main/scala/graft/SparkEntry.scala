@@ -250,6 +250,8 @@ object SparkEntry {
       Pipeline.runReport(Tables.customer(s, d), Tables.orders(s, d))),
     "st11_stream_ingest" -> ((s, d) =>
       StreamOps.streamIngest(s, d)),
+    "p11_epoch_mixture" -> ((s, d) =>
+      Corpus.epochMixture(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -340,6 +342,33 @@ object SparkEntry {
                      THEN 'complete'
                    ELSE 'partial' END AS status
        FROM exp e LEFT JOIN del d ON e.source = d.source"""
+
+  /** Built from Corpus's p11 geometry constants (the slidingSql
+    * discipline): full epochs replicate via range(), the fractional
+    * epoch replays the same double-multiply mod-p salted hash in
+    * plain arithmetic. `//` is DuckDB integer division.
+    */
+  private val p11Sql: String = {
+    val cases = graft.operators.Corpus.EpochWeights.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN '$s' THEN $v" }.mkString(" ")
+    val d = graft.operators.Corpus.EpochDefaultPermille
+    val salt = graft.operators.Corpus.EpochSalt
+    s"""WITH w AS (
+         SELECT doc_id, source,
+                CASE source $cases ELSE $d END AS wm,
+                (((doc_id % 1000000007 + $salt) % 1000000007)
+                  * 2654435761 % 1000000007) * 2654435761 % 1000 AS h
+         FROM documents),
+       c AS (
+         SELECT doc_id, source,
+                wm // 1000
+                  + CASE WHEN h < wm % 1000 THEN 1 ELSE 0 END
+                  AS n_copies
+         FROM w)
+       SELECT doc_id, source,
+              CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+       FROM c WHERE n_copies > 0"""
+  }
 
   private val d10Sql: String =
     """WITH sets AS (
@@ -1926,6 +1955,7 @@ object SparkEntry {
     // sums are associative, so any batching folds to k11's totals
     // and the streaming run shares k11's oracle verbatim.
     "st11_stream_ingest" -> k11Sql,
+    "p11_epoch_mixture" -> p11Sql,
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree
     // byte-for-byte: an exact oracle for normalization-equivalence

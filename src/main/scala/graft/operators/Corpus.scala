@@ -243,6 +243,66 @@ object Corpus {
       .filter(saltedBucket(col("doc_id"), salt, 1000L) < permille)
   }
 
+  /** p11_epoch_mixture geometry — shared with the registered oracle
+    * (SparkEntry builds the SQL from THESE constants, the
+    * slidingSql/t14Sql discipline: re-registering with different
+    * weights moves the oracle in lockstep instead of silently
+    * diverging). Weights are EPOCHS in per-mille: 2500 = repeat the
+    * source 2.5×, 400 = keep 40% of one pass.
+    */
+  val EpochWeights: Map[String, Int] =
+    Map("src0" -> 2500, "src1" -> 1300, "src2" -> 400)
+  val EpochDefaultPermille: Int = 1000
+  val EpochSalt: Long = 9257L
+
+  /** p11_epoch_mixture — the training-mixture REPETITION budget:
+    * high-quality sources run for multiple epochs while the long
+    * tail runs fractionally (every serious pretraining mix repeats
+    * its best sources — weights like "2.5 epochs of wiki, 0.4 of
+    * crawl"). p04 expresses only the keep-rate HALF of that
+    * (permille ≤ 1000); this operator is the full budget, and p04's
+    * downsampling falls out as the weight < 1000 special case.
+    *
+    * Mechanics: ⌊w⌋ full copies replicate MAP-SIDE via
+    * explode(sequence) — the q38 replica discipline, fan-out bounded
+    * by the weight — and the fractional epoch admits a document iff
+    * its `saltedBucket` under p11's OWN salt lands below w mod 1000,
+    * so the fractional slice is deterministic, reproducible, and
+    * independent of p02/p04/p08's layers (the double-multiply
+    * mod-p independence argument). Emits (doc_id, source, epoch):
+    * the 0-based copy index is the column downstream shuffles salt
+    * by so repeated copies spread across partitions instead of
+    * stacking on one key — and the column a data-loader dedups
+    * against when a run stops mid-epoch.
+    *
+    * Scale: pure map-side projection+explode — no shuffle, no state,
+    * no RNG; row fan-out = the mixture's total epoch budget, exactly
+    * the factor the training run asked to read.
+    */
+  def epochMixture(documents: DataFrame,
+      weights: Map[String, Int] = EpochWeights,
+      defaultPermille: Int = EpochDefaultPermille,
+      salt: Long = EpochSalt): DataFrame = {
+    val sorted = weights.toSeq.sortBy(_._1)
+    val full = sorted.foldLeft(lit(defaultPermille / 1000)) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, lit(w / 1000)).otherwise(acc)
+    }
+    val fracm = sorted.foldLeft(lit(defaultPermille % 1000)) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, lit(w % 1000)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("n_copies", full +
+        when(saltedBucket(col("doc_id"), salt, 1000L) < fracm, 1)
+          .otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L),
+          col("n_copies").cast("long") - 1)).as("epoch"))
+  }
+
   /** p08_split — deterministic train/val/test assignment: every
     * document lands in exactly ONE split by thresholding the same
     * salted multiplicative hash the sampling layers use (p02/p04),

@@ -194,6 +194,38 @@ class CorpusSpec extends AnyFunSuite {
       s"salted layers must compose independently: $overlap vs $product")
   }
 
+  test("p11: epoch budget — exact copy counts, dense epochs, map-side plan") {
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("p11_epoch_mixture")(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact recompute: n_copies = ⌊w⌋ + [salted hash < w mod 1000]
+    val expected = docs.select("doc_id", "source").collect().map { r =>
+      val id = r.getLong(0); val src = r.getString(1)
+      val w = Corpus.EpochWeights.getOrElse(src,
+        Corpus.EpochDefaultPermille)
+      val h = (id % 1000000007L + Corpus.EpochSalt) % 1000000007L *
+        2654435761L % 1000000007L * 2654435761L % 1000L
+      (id, src) -> (w / 1000 + (if (h < w % 1000) 1 else 0))
+    }.toMap
+    val byDoc = rows.groupBy(r => (r._1, r._2))
+    byDoc.foreach { case (k, copies) =>
+      assert(copies.length == expected(k), s"$k copy count")
+      // epochs are the dense 0-based copy index — what a loader
+      // resumes/dedups against
+      assert(copies.map(_._3).sorted.toSeq ===
+        (0L until copies.length.toLong).toSeq, s"$k epochs")
+    }
+    assert(rows.length ==
+      expected.values.sum, "total fan-out = the mixture's epoch budget")
+    assert(byDoc.keys.map(_._1).toSet ===
+      expected.filter(_._2 > 0).keys.map(_._1).toSet)
+    // the budget is a map-side projection: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"p11 must not shuffle:\n$plan")
+  }
+
   test("p05: hierarchical enumeration equals the flat global row_number") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
