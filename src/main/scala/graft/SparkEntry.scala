@@ -252,6 +252,8 @@ object SparkEntry {
       StreamOps.streamIngest(s, d)),
     "p11_epoch_mixture" -> ((s, d) =>
       Corpus.epochMixture(Tables.documents(s, d))),
+    "q40_interval_complement" -> ((s, d) =>
+      Pipeline.intervalComplement(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1956,6 +1958,55 @@ object SparkEntry {
     // and the streaming run shares k11's oracle verbatim.
     "st11_stream_ingest" -> k11Sql,
     "p11_epoch_mixture" -> p11Sql,
+    // q40: q12's CTE skeleton made per-type, then the complement —
+    // a lag per type for between/leading gaps plus one tail row per
+    // type (LEFT join so a peak-less type emits its whole domain).
+    // 3600000000 µs = the operator's default binSeconds (q12's pin).
+    "q40_interval_complement" ->
+      """WITH bins AS (
+           SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+         peaks AS (
+           SELECT event_type, min(bin_id) AS peak_start,
+                  max(bin_id) AS peak_end
+           FROM (SELECT event_type, bin_id,
+                        bin_id - row_number() OVER (
+                          PARTITION BY event_type ORDER BY bin_id)
+                          AS island
+                 FROM (SELECT event_type, bin_id, n,
+                              avg(n) OVER (PARTITION BY event_type)
+                              + 2 * stddev_pop(n) OVER (
+                                  PARTITION BY event_type) AS thresh
+                       FROM bins) t
+                 WHERE n > thresh) i
+           GROUP BY event_type, island),
+         dom AS (
+           SELECT event_type, min(bin_id) AS dom_start,
+                  max(bin_id) AS dom_end
+           FROM bins GROUP BY 1),
+         before_g AS (
+           SELECT p.event_type,
+                  COALESCE(lag(peak_end) OVER (
+                      PARTITION BY p.event_type ORDER BY peak_start)
+                    + 1, dom_start) AS gap_start,
+                  peak_start - 1 AS gap_end
+           FROM peaks p JOIN dom d ON p.event_type = d.event_type),
+         tail_g AS (
+           SELECT d.event_type,
+                  COALESCE(last_end + 1, dom_start) AS gap_start,
+                  dom_end AS gap_end
+           FROM dom d LEFT JOIN (
+             SELECT event_type, max(peak_end) AS last_end
+             FROM peaks GROUP BY 1) l
+             ON d.event_type = l.event_type),
+         g AS (SELECT * FROM before_g UNION ALL SELECT * FROM tail_g)
+         SELECT event_type, gap_start, gap_end,
+                gap_end - gap_start + 1 AS n_bins_gap
+         FROM g WHERE gap_end >= gap_start""",
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree
     // byte-for-byte: an exact oracle for normalization-equivalence

@@ -144,6 +144,70 @@ object Pipeline {
         sum(col("n")).as("total_events"))
       .drop("island")
 
+  /** q40_interval_complement — the COMPLEMENT of the called peaks:
+    * every uncovered/unenriched range between islands, with the
+    * flanks to the observed domain edges (bedtools complement over
+    * macs2's output — the reference pipeline calls peaks,
+    * tools.py:555-622; every downstream "background region" sample
+    * and browser gap track needs the inverse, which no q11/q12/q23
+    * surface emits). Runs PER event_type — the chromosome analog —
+    * so every window in the plan is PARTITIONED (threshold, island
+    * labeling, and the gap lag all key on event_type): the natural
+    * genomics parallelism, no single-partition funnel anywhere.
+    *
+    * Gap construction: one lag over each type's peaks yields the
+    * before-gap [prev_end+1 (or domain start), peak_start-1]; one
+    * per-type tail row yields [last_end+1 (or domain start),
+    * domain end] — which also makes a peak-less type emit its whole
+    * domain as one gap, the correct degenerate complement. All
+    * windows run on post-aggregation cardinalities (#bins, #peaks
+    * per type), never raw events.
+    */
+  def intervalComplement(events: DataFrame,
+      binSeconds: Long = 3600L): DataFrame = {
+    val bins = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+          .cast("long").as("bin_id"))
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin_id"))
+    val peaks = bins
+      .withColumn("thresh",
+        avg(col("n")).over(byType) +
+          lit(2) * stddev_pop(col("n")).over(byType))
+      .filter(col("n") > col("thresh"))
+      .withColumn("island", col("bin_id") - row_number().over(ordered))
+      .groupBy(col("event_type"), col("island"))
+      .agg(min(col("bin_id")).as("peak_start"),
+        max(col("bin_id")).as("peak_end"))
+    val domain = bins.groupBy(col("event_type"))
+      .agg(min(col("bin_id")).as("dom_start"),
+        max(col("bin_id")).as("dom_end"))
+    val lagW = Window.partitionBy(col("event_type"))
+      .orderBy(col("peak_start"))
+    val before = peaks
+      .withColumn("prev_end", lag(col("peak_end"), 1).over(lagW))
+      .join(domain, Seq("event_type"))
+      .select(col("event_type"),
+        coalesce(col("prev_end") + 1, col("dom_start")).as("gap_start"),
+        (col("peak_start") - 1).as("gap_end"))
+    val tails = domain
+      .join(peaks.groupBy(col("event_type"))
+        .agg(max(col("peak_end")).as("last_end")),
+        Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("last_end") + 1, col("dom_start")).as("gap_start"),
+        col("dom_end").as("gap_end"))
+    before.unionByName(tails)
+      .filter(col("gap_end") >= col("gap_start"))
+      .select(col("event_type"), col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("n_bins_gap"))
+  }
+
   /** q12's bin→enrich→island core, shared with q36: binned counts,
     * bins above the global mean+2σ threshold, adjacent survivors
     * labeled with their island id (bin_id − row_number). All windows

@@ -482,4 +482,54 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("summit_offset") === sb - s)
     }
   }
+
+  test("q40: complement equals an in-memory reference and tiles the domain") {
+    val events = Tables.events(spark, sf)
+    val out = SparkEntry.queries("q40_interval_complement")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap_start"),
+        r.getAs[Long]("gap_end"), r.getAs[Long]("n_bins_gap")))
+    // independent reference: plain Scala over the collected events
+    val binUs = 3600L * 1000000L
+    val raw = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), graft.Tables.epochUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), binUs)))
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ns = counts.values.map(_.toDouble)
+      val mean = ns.sum / ns.size
+      val sd = math.sqrt(ns.map(v => (v - mean) * (v - mean)).sum / ns.size)
+      val thresh = mean + 2 * sd
+      val enriched = counts.filter(_._2 > thresh).keys.toSeq.sorted
+      // adjacency islands
+      val peaks = enriched.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, b) if b == e + 1 => (s, b) :: rest
+        case (acc, b) => (b, b) :: acc
+      }.reverse
+      val domS = counts.keys.min
+      val domE = counts.keys.max
+      val bounds = ((domS - 1) +:
+        peaks.flatMap { case (s, e) => Seq(s, e) }) :+ (domE + 1)
+      // gaps are the open ranges between consecutive peak edges
+      val gaps = bounds.grouped(2).toSeq.collect {
+        case Seq(prevEnd, nextStart) if nextStart - prevEnd > 1 =>
+          (tpe, prevEnd + 1, nextStart - 1, nextStart - prevEnd - 1)
+      }
+      gaps
+    }
+    assert(out.toSet === expected.toSet,
+      s"engine ${out.toSeq.sorted} vs reference ${expected.sorted}")
+    assert(out.nonEmpty)
+    // tiling: per type, gaps are disjoint and inside the domain
+    out.groupBy(_._1).foreach { case (_, gs) =>
+      val sorted = gs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"overlap: $a $b")
+        case _ => ()
+      }
+      gs.foreach(g => assert(g._4 == g._3 - g._2 + 1))
+    }
+  }
 }
