@@ -254,6 +254,8 @@ object SparkEntry {
       Corpus.epochMixture(Tables.documents(s, d))),
     "q40_interval_complement" -> ((s, d) =>
       Pipeline.intervalComplement(Tables.events(s, d))),
+    "p12_soft_dedup_sample" -> ((s, d) =>
+      Corpus.softDedupSample(Tables.documents(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2138,5 +2140,49 @@ object SparkEntry {
                       (((((doc_id % 1000000007 + 9176) % 1000000007) * 2654435761)
                           % 1000000007) * 2654435761) % 1000 AS h
                FROM documents)""",
+    // p12: p10's closure CTE → cluster sizes over rep_id → the exact
+    // integer admission h·s < 10^6 under p12's own salt.
+    "p12_soft_dedup_sample" ->
+      """WITH RECURSIVE sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS na, len(b.sh) AS nb
+             FROM sets a JOIN sets b ON a.doc_id < b.doc_id) t
+           WHERE inter * 1.0 / (na + nb - inter) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_rep
+           FROM reach GROUP BY node),
+         rep AS (
+           SELECT d.doc_id, d.lang, d.source,
+                  coalesce(c.cluster_rep, d.doc_id) AS rep_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         sized AS (
+           SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM rep GROUP BY 1)
+         SELECT doc_id, rep_id, cluster_size, lang, source
+         FROM (SELECT r.doc_id, r.rep_id, s.cluster_size, r.lang,
+                      r.source,
+                      (((((r.doc_id % 1000000007 + 5407) % 1000000007)
+                          * 2654435761) % 1000000007) * 2654435761)
+                        % 1000000 AS h
+               FROM rep r JOIN sized s ON r.rep_id = s.rep_id) t
+         WHERE h * cluster_size < 1000000""",
   )
 }

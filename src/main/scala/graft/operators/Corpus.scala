@@ -364,16 +364,24 @@ object Corpus {
   private val groupsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** The resolved (doc_id, cluster_rep) map, shared by p10 (splits)
+    * and p12 (soft-dedup sampling) — one pair-graph resolution per
+    * corpus cut serves every dedup-aware consumer.
+    */
+  private def resolvedGroups(documents: DataFrame,
+      cacheKey: String): DataFrame = {
+    def resolve(): DataFrame = graft.operators.Dedup.dedupGroups(
+      graft.operators.Dedup.ngramJaccard(documents))
+    if (cacheKey.isEmpty) resolve()
+    else groupsMemo.getOrElseUpdate(
+      (documents.sparkSession, cacheKey),
+      resolve().localCheckpoint(true))
+  }
+
   def leakSafeSplit(documents: DataFrame, testPermille: Int = 10,
       valPermille: Int = 50, salt: Long = 9176L,
       cacheKey: String = ""): DataFrame = {
-    def resolve(): DataFrame = graft.operators.Dedup.dedupGroups(
-      graft.operators.Dedup.ngramJaccard(documents))
-    val groups =
-      if (cacheKey.isEmpty) resolve()
-      else groupsMemo.getOrElseUpdate(
-        (documents.sparkSession, cacheKey),
-        resolve().localCheckpoint(true))
+    val groups = resolvedGroups(documents, cacheKey)
     val h = saltedBucket(col("rep_id"), salt, 1000L)
     documents
       .select(col("doc_id"), col("lang"), col("source"))
@@ -386,6 +394,49 @@ object Corpus {
           .otherwise(lit("train")))
       .select(col("doc_id"), col("rep_id"), col("lang"), col("source"),
         col("split"))
+  }
+
+  /** p12_soft_dedup_sample — count each near-dup cluster ONCE in the
+    * mixture without hard-dropping: every document is admitted with
+    * probability 1/|its cluster|, so a 40-copy boilerplate cluster
+    * contributes ~one document's worth of mass while keeping copy
+    * DIVERSITY (different members survive under different salts —
+    * the soft alternative to p03's keep-one-representative, which
+    * always serves the canonical copy and discards the edit
+    * variation near-dups carry). Hard dedup vs soft down-weighting
+    * is a standard LLM-mixture dial; this is the down-weighting end,
+    * built on the SAME resolved pair graph p10 splits with (one
+    * d04→d07 resolution per corpus cut serves every dedup-aware
+    * consumer).
+    *
+    * Admission is exact integer arithmetic: h·s < 10^6 with h =
+    * `saltedBucket(doc_id, salt, 10^6)` and s the cluster size —
+    * P(admit) = ⌈10^6/s⌉/10^6 ≈ 1/s per member, expected cluster
+    * contribution ≈ 1 at any size, and singletons (s = 1) pass
+    * ALWAYS (h < 10^6 by construction): the un-duplicated corpus is
+    * untouched, only dup mass shrinks. Deterministic, partitioning-
+    * independent, layer-independent (own salt).
+    *
+    * Scale: the pair graph is the memoized build-once artifact; the
+    * size column is one count window over the rep_id exchange
+    * (high-cardinality key); admission is a map-side integer
+    * predicate. No new shuffle shape beyond p10's.
+    */
+  def softDedupSample(documents: DataFrame, salt: Long = 5407L,
+      cacheKey: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = resolvedGroups(documents, cacheKey)
+    val h = saltedBucket(col("doc_id"), salt, 1000000L)
+    documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(groups.select(col("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("rep_id"))))
+      .filter(h * col("cluster_size") < 1000000L)
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        col("lang"), col("source"))
   }
 
   /** p09_quality_sample — quality-CURRICULUM sampling: keep rate

@@ -226,6 +226,34 @@ class CorpusSpec extends AnyFunSuite {
       s"p11 must not shuffle:\n$plan")
   }
 
+  test("p12: 1/cluster-size admission — exact, singleton-total, size-aware") {
+    val out = SparkEntry.queries("p12_soft_dedup_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rep map from p10's registered surface (its own specs pin it);
+    // the admission arithmetic is recomputed independently here
+    val reps = SparkEntry.queries("p10_leak_safe_split")(spark, sf)
+      .select("doc_id", "rep_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val size = reps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = reps.map { case (id, rep) =>
+      val h = (id % 1000000007L + 5407L) % 1000000007L * 2654435761L %
+        1000000007L * 2654435761L % 1000000L
+      (id, rep, size(rep), h * size(rep) < 1000000L)
+    }
+    assert(out.map(r => (r._1, r._2, r._3)).toSet ===
+      expected.filter(_._4).map(e => (e._1, e._2, e._3)).toSet)
+    // singletons always pass: h < 10^6 by construction, so s = 1
+    // means the un-duplicated corpus is untouched
+    val singletons = expected.filter(_._3 == 1L).map(_._1).toSet
+    val admitted = out.map(_._1).toSet
+    assert(singletons.subsetOf(admitted))
+    // dup mass shrinks: clusters of size >= 2 keep fewer than all
+    val multi = expected.filter(_._3 >= 2L)
+    assert(multi.nonEmpty, "harness corpus must contain clusters")
+    assert(multi.count(_._4) < multi.length)
+  }
+
   test("p05: hierarchical enumeration equals the flat global row_number") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
