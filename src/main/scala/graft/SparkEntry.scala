@@ -256,6 +256,8 @@ object SparkEntry {
       Pipeline.intervalComplement(Tables.events(s, d))),
     "p12_soft_dedup_sample" -> ((s, d) =>
       Corpus.softDedupSample(Tables.documents(s, d), cacheKey = d)),
+    "q41_interval_join" -> ((s, d) =>
+      Pipeline.intervalOverlapJoin(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2009,6 +2011,55 @@ object SparkEntry {
          SELECT event_type, gap_start, gap_end,
                 gap_end - gap_start + 1 AS n_bins_gap
          FROM g WHERE gap_end >= gap_start""",
+    // q41: the oracle states the overlap CONTRACT as the naive
+    // non-equi join over the two peak sets (q40's typed CTE + q12's
+    // global CTE) — affordable at oracle scale, so the engine's
+    // bucketed equi-join is proven a pure execution strategy.
+    "q41_interval_join" ->
+      """WITH bins AS (
+           SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+         tpeaks AS (
+           SELECT event_type, min(bin_id) AS tp_start,
+                  max(bin_id) AS tp_end
+           FROM (SELECT event_type, bin_id,
+                        bin_id - row_number() OVER (
+                          PARTITION BY event_type ORDER BY bin_id)
+                          AS island
+                 FROM (SELECT event_type, bin_id, n,
+                              avg(n) OVER (PARTITION BY event_type)
+                              + 2 * stddev_pop(n) OVER (
+                                  PARTITION BY event_type) AS thresh
+                       FROM bins) t
+                 WHERE n > thresh) i
+           GROUP BY event_type, island),
+         gbins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1),
+         gpeaks AS (
+           SELECT min(bin_id) AS gp_start, max(bin_id) AS gp_end
+           FROM (SELECT bin_id,
+                        bin_id - row_number() OVER (ORDER BY bin_id)
+                          AS island
+                 FROM (SELECT bin_id, n,
+                              avg(n) OVER ()
+                              + 2 * stddev_pop(n) OVER () AS thresh
+                       FROM gbins) t
+                 WHERE n > thresh) i
+           GROUP BY island)
+         SELECT t.event_type, t.tp_start, t.tp_end,
+                g.gp_start, g.gp_end,
+                least(t.tp_end, g.gp_end)
+                  - greatest(t.tp_start, g.gp_start) + 1 AS overlap_bins
+         FROM tpeaks t JOIN gpeaks g
+           ON t.tp_start <= g.gp_end AND g.gp_start <= t.tp_end""",
     // t11: both engines implement UAX #15 NFC (java.text.Normalizer
     // vs utf8proc), so the canonical forms — and their md5s — agree
     // byte-for-byte: an exact oracle for normalization-equivalence

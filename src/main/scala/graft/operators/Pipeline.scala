@@ -163,19 +163,27 @@ object Pipeline {
     * windows run on post-aggregation cardinalities (#bins, #peaks
     * per type), never raw events.
     */
-  def intervalComplement(events: DataFrame,
-      binSeconds: Long = 3600L): DataFrame = {
-    val bins = events
+  /** Per-type binned counts — q40/q41's shared scan shape. */
+  private def typedBins(events: DataFrame,
+      binSeconds: Long): DataFrame =
+    events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("event_type"),
         floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
           .cast("long").as("bin_id"))
       .groupBy(col("event_type"), col("bin_id"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-type enriched islands (q12's recipe with every window
+    * PARTITIONED by event_type) — shared by q40 (complement) and
+    * q41 (overlap join).
+    */
+  private def perTypePeaks(events: DataFrame,
+      binSeconds: Long): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     val ordered = Window.partitionBy(col("event_type"))
       .orderBy(col("bin_id"))
-    val peaks = bins
+    typedBins(events, binSeconds)
       .withColumn("thresh",
         avg(col("n")).over(byType) +
           lit(2) * stddev_pop(col("n")).over(byType))
@@ -184,6 +192,12 @@ object Pipeline {
       .groupBy(col("event_type"), col("island"))
       .agg(min(col("bin_id")).as("peak_start"),
         max(col("bin_id")).as("peak_end"))
+  }
+
+  def intervalComplement(events: DataFrame,
+      binSeconds: Long = 3600L): DataFrame = {
+    val bins = typedBins(events, binSeconds)
+    val peaks = perTypePeaks(events, binSeconds)
     val domain = bins.groupBy(col("event_type"))
       .agg(min(col("bin_id")).as("dom_start"),
         max(col("bin_id")).as("dom_end"))
@@ -206,6 +220,53 @@ object Pipeline {
       .filter(col("gap_end") >= col("gap_start"))
       .select(col("event_type"), col("gap_start"), col("gap_end"),
         (col("gap_end") - col("gap_start") + 1).as("n_bins_gap"))
+  }
+
+  /** q41_interval_join — interval-vs-interval OVERLAP join, bedtools
+    * intersect: which per-type peaks (the sample-level calls) overlap
+    * the global consensus peaks (q12's), with the overlap extent —
+    * the comparison every multi-sample peak analysis runs
+    * (consensus filtering, blacklist removal; the reference stops at
+    * per-sample calls, tools.py:555-622, and q11/q23 join POINTS to
+    * intervals, not intervals to intervals).
+    *
+    * The scale move is the BUCKETED range join: each interval
+    * explodes to the fixed-width buckets it covers
+    * (`bucketBins` bins per bucket), the pair space collapses to an
+    * EQUI-join on bucket, and a post-filter keeps true overlaps
+    * (distinct collapses pairs sharing several buckets). Fan-out per
+    * interval = length/W + 1 rows — the standard distributed
+    * interval-join shape; the naive alternative is a non-equi
+    * BroadcastNestedLoopJoin that crosses every pair of intervals,
+    * exactly what PlanAuditSpec bans (the spec asserts this plan
+    * hash-joins). The oracle states the CONTRACT as the naive
+    * non-equi join — affordable on oracle-scale interval counts —
+    * so the bucketing is proven a pure execution strategy.
+    */
+  def intervalOverlapJoin(events: DataFrame, binSeconds: Long = 3600L,
+      bucketBins: Long = 4L): DataFrame = {
+    def buckets(start: Column, end: Column): Column =
+      sequence(floor(start / bucketBins).cast("long"),
+        floor(end / bucketBins).cast("long"))
+    val a = perTypePeaks(events, binSeconds)
+      .select(col("event_type"), col("peak_start").as("tp_start"),
+        col("peak_end").as("tp_end"))
+      .withColumn("bucket",
+        explode(buckets(col("tp_start"), col("tp_end"))))
+    val b = peakDetect(events, binSeconds)
+      .select(col("peak_start").as("gp_start"),
+        col("peak_end").as("gp_end"))
+      .withColumn("bucket",
+        explode(buckets(col("gp_start"), col("gp_end"))))
+    a.join(b, Seq("bucket"))
+      .filter(col("tp_start") <= col("gp_end") &&
+        col("gp_start") <= col("tp_end"))
+      .select(col("event_type"), col("tp_start"), col("tp_end"),
+        col("gp_start"), col("gp_end"))
+      .distinct()
+      .withColumn("overlap_bins",
+        least(col("tp_end"), col("gp_end")) -
+          greatest(col("tp_start"), col("gp_start")) + 1)
   }
 
   /** q12's bin→enrich→island core, shared with q36: binned counts,

@@ -483,6 +483,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q41: bucketed overlap join equals the naive pair scan, hash-joined") {
+    val events = Tables.events(spark, sf)
+    val out = SparkEntry.queries("q41_interval_join")(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("tp_start"),
+        r.getAs[Long]("tp_end"), r.getAs[Long]("gp_start"),
+        r.getAs[Long]("gp_end"), r.getAs[Long]("overlap_bins")))
+    assert(rows.nonEmpty, "harness peaks must overlap the consensus")
+    // naive reference: collect both interval sets, cross in Scala
+    val binUs = 3600L * 1000000L
+    val raw = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), graft.Tables.epochUs(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), binUs)))
+    def islands(bins: Map[Long, Long]): Seq[(Long, Long)] = {
+      val ns = bins.values.map(_.toDouble)
+      val mean = ns.sum / ns.size
+      val sd = math.sqrt(ns.map(v => (v - mean) * (v - mean)).sum / ns.size)
+      val enriched = bins.filter(_._2 > mean + 2 * sd).keys.toSeq.sorted
+      enriched.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, b) if b == e + 1 => (s, b) :: rest
+        case (acc, b) => (b, b) :: acc
+      }.reverse
+    }
+    val global = islands(raw.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap)
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val tp = islands(rs.groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap)
+      for {
+        (ts, te) <- tp
+        (gs, ge) <- global
+        if ts <= ge && gs <= te
+      } yield (tpe, ts, te, gs, ge,
+        math.min(te, ge) - math.max(ts, gs) + 1)
+    }
+    assert(rows.toSet === expected.toSet)
+    // the bucketed rewrite must plan as an EQUI hash join — the
+    // whole point vs the naive non-equi nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q41 must equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/merge join on bucket:\n$plan")
+  }
+
   test("q40: complement equals an in-memory reference and tiles the domain") {
     val events = Tables.events(spark, sf)
     val out = SparkEntry.queries("q40_interval_complement")(spark, sf)

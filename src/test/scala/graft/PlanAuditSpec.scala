@@ -91,7 +91,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q12's island windows over the local-background bin table
     "q21_peak_local" -> "post-aggregation #bins rows",
     // q12's islands + per-island argmax rank, same bounded bin table
-    "q36_peak_summits" -> "post-aggregation #bins rows")
+    "q36_peak_summits" -> "post-aggregation #bins rows",
+    // q41's consensus side IS q12's global islands — same bin table
+    "q41_interval_join" -> "post-aggregation #bins rows (q12 side)")
 
   private def physical(plan: SparkPlan): SparkPlan = plan match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
