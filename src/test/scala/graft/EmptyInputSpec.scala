@@ -71,4 +71,18 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.sources.Formats.csvRoundtrip(emptyDocs).count() === 0)
     assert(graft.sources.Formats.jsonlRoundtrip(emptyDocs).count() === 0)
   }
+
+  test("round-9 operators yield empty, not errors") {
+    import graft.operators.{Corpus, Pipeline}
+    val emptyEvents = Tables.events(spark, sf).filter("event_id < 0")
+    val emptyOrders = Tables.orders(spark, sf).filter("o_orderkey < 0")
+    val emptyCust = Tables.customer(spark, sf).filter("c_custkey < 0")
+    assert(Corpus.epochMixture(emptyDocs).count() === 0)
+    assert(Corpus.softDedupSample(emptyDocs).count() === 0)
+    assert(Pipeline.intervalComplement(emptyEvents).count() === 0)
+    assert(Pipeline.intervalOverlapJoin(emptyEvents).count() === 0)
+    // an empty catalog has nothing to reconcile or report on
+    assert(graft.sources.IngestManifest.reconcile(emptyDocs).count() === 0)
+    assert(Pipeline.runReport(emptyCust, emptyOrders).count() === 0)
+  }
 }
