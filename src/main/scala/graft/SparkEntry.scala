@@ -258,6 +258,8 @@ object SparkEntry {
       Corpus.softDedupSample(Tables.documents(s, d), cacheKey = d)),
     "q41_interval_join" -> ((s, d) =>
       Pipeline.intervalOverlapJoin(Tables.events(s, d))),
+    "d13_ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -972,6 +974,28 @@ object SparkEntry {
                 round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
          FROM pairs
          WHERE inter * 1.0 / (na + nb - inter) >= 0.6""",
+    // d13: d04's set CTE with the asymmetric denominator — engine
+    // counts hash digests where the oracle intersects strings (d01's
+    // documented probabilistic gap).
+    "d13_ngram_containment" ->
+      """WITH sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) AS na, len(b.sh) AS nb
+           FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                round(inter * 1.0 / least(na, nb), 4) AS containment
+         FROM pairs
+         WHERE inter * 1.0 / least(na, nb) >= 0.9""",
     // d07: connected components over the d04 pair graph. The oracle's
     // recursive closure enumerates (node, reachable-node) pairs —
     // O(C^2) per component, fine for an oracle at sf0.01; the ENGINE

@@ -315,6 +315,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d13_ngram_containment — asymmetric CONTAINMENT pairs:
+    * C = |A∩B| / min(|A|,|B|), the score that catches a SMALL
+    * document embedded verbatim in a much larger one (a quoted
+    * article inside an aggregator page, a README pasted into a
+    * monorepo dump) — pairs symmetric Jaccard structurally misses:
+    * J = inter/union ≤ min/max, so a 50-shingle doc fully contained
+    * in a 5000-shingle doc scores J ≈ 0.01 and never crosses d04's
+    * τ, while C = 1.0 (the spec PLANTS exactly that shape and pins
+    * d13 flagging what d04 does not). Same candidate discipline as
+    * d04 — one reused posting exchange, df ≤ maxDf join guard, pairs
+    * share ≥ 1 surviving shingle or never meet — with ONE deliberate
+    * difference: d04's length-ratio prune is ABSENT, because for
+    * containment the extreme size ratio IS the signal, not a
+    * disqualifier (that prune is only lossless for J). The df cap
+    * still bounds the pair blowup at Σdf²; a hot-shingle drop can
+    * lower an observed intersection (d04's documented recall
+    * tradeoff, identical here).
+    */
+  def ngramContainment(documents: DataFrame, n: Int = 3,
+      tau: Double = 0.9, maxDf: Int = 128): DataFrame = {
+    val exploded = shingleSets(documents, n)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
+      .repartition(col("gh"))
+    val posting = {
+      import org.apache.spark.sql.expressions.Window
+      exploded
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    }
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** d06_decontaminate — benchmark decontamination: flag corpus
     * documents whose n-gram shingles overlap an evaluation set (here:
     * docs below `benchmarkMaxId`, standing in for a held-out

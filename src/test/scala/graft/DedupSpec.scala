@@ -81,6 +81,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out.find(t => (t._1, t._2) == ((1L, 2L))).get._3 === 0L)
   }
 
+  test("d13: containment flags a small doc embedded in a big one; jaccard misses it") {
+    import spark.implicits._
+    val small = (1 to 20).map(i => s"core$i").mkString(" ")
+    val big = small + " " + (1 to 300).map(i => s"fill$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val c = Dedup.ngramContainment(docs).collect()
+    assert(c.length == 1)
+    val r = c.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0,
+      "every small-doc shingle is inside the big doc")
+    assert(r.getAs[Long]("na") == 18L, "20 tokens -> 18 trigram shingles")
+    // the same pair is structurally invisible to symmetric jaccard:
+    // J = 18/(18+318-18) well under d04's tau
+    assert(Dedup.ngramJaccard(docs).collect().isEmpty)
+  }
+
+  test("d13: containment dominates jaccard — every high-J pair appears") {
+    // C = inter/min >= inter/union = J, so any d04 pair with
+    // J >= d13's tau must also be a d13 pair (the symmetric case is
+    // subsumed; the corpus's dups are in fact SUBSET pairs — C = 1.0
+    // with na != nb — which is exactly d13's territory)
+    val docs = Tables.documents(spark, sf)
+    val highJ = Dedup.ngramJaccard(docs).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cont = Dedup.ngramContainment(docs).collect()
+    val contPairs = cont
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cont.nonEmpty, "harness corpus must contain containment pairs")
+    assert(highJ.subsetOf(contPairs))
+    // and the corpus really exercises the asymmetric shape
+    assert(cont.exists(r => r.getAs[Long]("na") != r.getAs[Long]("nb")),
+      "expected subset (na != nb) containment pairs in the corpus")
+  }
+
   test("d04: exact jaccard math on planted pair") {
     val rows = Dedup.ngramJaccard(planted, tau = 0.5).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

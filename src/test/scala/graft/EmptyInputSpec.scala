@@ -78,6 +78,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyOrders = Tables.orders(spark, sf).filter("o_orderkey < 0")
     val emptyCust = Tables.customer(spark, sf).filter("c_custkey < 0")
     assert(Corpus.epochMixture(emptyDocs).count() === 0)
+    assert(Dedup.ngramContainment(emptyDocs).count() === 0)
     assert(Corpus.softDedupSample(emptyDocs).count() === 0)
     assert(Pipeline.intervalComplement(emptyEvents).count() === 0)
     assert(Pipeline.intervalOverlapJoin(emptyEvents).count() === 0)
