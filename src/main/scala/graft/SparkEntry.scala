@@ -260,6 +260,8 @@ object SparkEntry {
       Pipeline.intervalOverlapJoin(Tables.events(s, d))),
     "d13_ngram_containment" -> ((s, d) =>
       Dedup.ngramContainment(Tables.documents(s, d))),
+    "q42_asof_tolerance" -> ((s, d) =>
+      Asof.eventAsofTolerance(Tables.events(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1399,6 +1401,54 @@ object SparkEntry {
     // on the single-batch harness, so it shares the oracle.
     "q25_asof_anchor" -> asofSql,
     "st05_stream_asof" -> asofSql,
+    // q42: the union+double-carry replayed in SQL — the two flag
+    // orders make both directions inclusive at equal ts; tolerance
+    // and the nearest pick (ties backward) are plain arithmetic.
+    "q42_asof_tolerance" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (SELECT event_id, user_id, event_type, ts_us
+               FROM e WHERE event_type <> 'signup'),
+         a AS (SELECT DISTINCT user_id, ts_us
+               FROM e WHERE event_type = 'signup'),
+         u AS (
+           SELECT user_id, ts_us, 0 AS af, event_id, event_type FROM f
+           UNION ALL
+           SELECT user_id, ts_us, 1 AS af, NULL, NULL FROM a),
+         c AS (
+           SELECT user_id, ts_us, af, event_id, event_type,
+                  last_value(CASE WHEN af = 1 THEN ts_us END
+                    IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts_us ASC, af DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS prev_ts,
+                  first_value(CASE WHEN af = 1 THEN ts_us END
+                    IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts_us ASC, af ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS next_ts
+           FROM u),
+         p AS (
+           SELECT event_id, user_id, event_type, ts_us,
+                  CASE
+                    WHEN prev_ts IS NOT NULL
+                         AND ts_us - prev_ts <= 21600000000
+                         AND next_ts IS NOT NULL
+                         AND next_ts - ts_us <= 21600000000
+                      THEN CASE WHEN ts_us - prev_ts <= next_ts - ts_us
+                                THEN prev_ts ELSE next_ts END
+                    WHEN prev_ts IS NOT NULL
+                         AND ts_us - prev_ts <= 21600000000
+                      THEN prev_ts
+                    WHEN next_ts IS NOT NULL
+                         AND next_ts - ts_us <= 21600000000
+                      THEN next_ts
+                  END AS anchor_ts_us
+           FROM c WHERE af = 0)
+         SELECT event_id, user_id, event_type, ts_us, anchor_ts_us,
+                ts_us - anchor_ts_us AS gap_us
+         FROM p""",
     "t07_seq_packing" ->
       """WITH t AS (
            SELECT doc_id, source,

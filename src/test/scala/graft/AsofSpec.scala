@@ -33,6 +33,39 @@ class AsofSpec extends AnyFunSuite {
       103L -> Some(30L), 104L -> Some(30L), 200L -> None))
   }
 
+  test("q42 kernel: direction + tolerance semantics, planted") {
+    val (facts, anchors) = planted
+    def run(dir: String, tol: Long): Map[Long, Option[Long]] =
+      Asof.asofTolerance(facts, anchors, "k", "t", dir, tol, "a_ts")
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Long]("a_ts")).map(_.longValue)).toMap
+    // backward + infinite tolerance == q25's asofJoin exactly
+    assert(run("backward", Long.MaxValue) === Map(
+      100L -> None, 101L -> Some(10L), 102L -> Some(10L),
+      103L -> Some(30L), 104L -> Some(30L), 200L -> None))
+    // forward: inclusive at equal ts, next anchor otherwise
+    assert(run("forward", Long.MaxValue) === Map(
+      100L -> Some(10L), 101L -> Some(10L), 102L -> Some(30L),
+      103L -> Some(30L), 104L -> None, 200L -> None))
+    // nearest: fact 20 is 10 from both anchors -> tie goes BACKWARD;
+    // fact 5 only has a forward candidate; fact 35 only backward
+    assert(run("nearest", Long.MaxValue) === Map(
+      100L -> Some(10L), 101L -> Some(10L), 102L -> Some(10L),
+      103L -> Some(30L), 104L -> Some(30L), 200L -> None))
+    // tolerance prunes both sides: 4 cuts fact 5 (gap 5) and
+    // fact 35 (gap 5); equal-ts matches (gap 0) survive
+    assert(run("nearest", 4L) === Map(
+      100L -> None, 101L -> Some(10L), 102L -> None,
+      103L -> Some(30L), 104L -> None, 200L -> None))
+  }
+
+  test("q42: plan stays one key exchange — no nested-loop join") {
+    val plan = SparkEntry.queries("q42_asof_tolerance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("q25 kernel: duplicate anchors never replicate fact rows") {
     val (facts, anchors) = planted
     assert(Asof.asofJoin(facts, anchors, "k", "t").count() === facts.count())
