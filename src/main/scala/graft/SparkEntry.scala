@@ -262,6 +262,9 @@ object SparkEntry {
       Dedup.ngramContainment(Tables.documents(s, d))),
     "q42_asof_tolerance" -> ((s, d) =>
       Asof.eventAsofTolerance(Tables.events(s, d))),
+    "k12_partition_upsert" -> ((s, d) =>
+      graft.sources.PartitionUpsert.upsertSummary(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2025,6 +2028,32 @@ object SparkEntry {
                 '] | failed(head): [' || failed_head || ']' AS body
          FROM counts c JOIN heads h
            ON c.c_mktsegment = h.c_mktsegment""",
+    // k12: the oracle rebuilds the post-apply state relationally —
+    // latest-wins changelog (delete seq 2 beats upsert seq 1) over
+    // the original table, confined to the two changed langs; the
+    // n_upserted predicate is the SAME text-suffix LIKE both engines
+    // evaluate on the merged text.
+    "k12_partition_upsert" ->
+      """WITH latest AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM documents
+           WHERE lang IN ('en', 'de')
+             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+         merged AS (
+           SELECT d.doc_id, d.lang,
+                  CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
+                       ELSE d.text END AS text
+           FROM documents d LEFT JOIN latest l
+             ON d.doc_id = l.doc_id AND d.lang = l.lang
+           WHERE coalesce(l.op, 'keep') <> 'delete')
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_upserted
+         FROM merged GROUP BY lang""",
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

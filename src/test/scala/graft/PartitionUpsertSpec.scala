@@ -1,0 +1,96 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PartitionUpsert
+
+/** k12: the sink's whole value is what does NOT happen — partitions
+  * the changelog doesn't touch must stay byte-identical on disk —
+  * plus q28's merge semantics on what does, and idempotence under
+  * re-apply (the CDC job that runs twice must not corrupt).
+  */
+class PartitionUpsertSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** (file name, size, mtime) per lang directory. */
+  private def listing(dir: String): Map[String, Set[(String, Long, Long)]] =
+    new File(dir).listFiles().filter(_.getName.startsWith("lang="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+
+  test("k12: untouched partitions stay byte-identical on disk") {
+    val dir = graft.Staging.dir("graft_k12_spec_") + "/tree"
+    docs.select(col("doc_id"), col("source"), col("text"), col("lang"))
+      .repartition(col("lang"), pmod(xxhash64(col("doc_id")), lit(4)))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(dir)
+    val before = listing(dir)
+    PartitionUpsert.applyChanges(spark, dir,
+      PartitionUpsert.changelog(docs))
+    val after = listing(dir)
+    val changed = PartitionUpsert.ChangedLangs.map("lang=" + _).toSet
+    before.keys.filterNot(changed).foreach { lang =>
+      assert(after(lang) === before(lang),
+        s"$lang was rewritten despite an empty changelog for it")
+    }
+    changed.filter(before.contains).foreach { lang =>
+      assert(after(lang) !== before(lang), s"$lang must be rewritten")
+    }
+  }
+
+  test("k12: read-back equals the relational merge of base + changelog") {
+    val out = SparkEntry.queries("k12_partition_upsert")(spark, sf)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("key_checksum"),
+          r.getAs[Long]("chars_checksum"), r.getAs[Long]("n_upserted")))
+      .toMap
+    val changedLangs = PartitionUpsert.ChangedLangs.toSet
+    val expected = docs
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("hit", col("lang").isin(changedLangs.toSeq: _*))
+      .withColumn("del", col("hit") && pmod(col("doc_id"), lit(11L)) === 4L)
+      .withColumn("up",
+        col("hit") && pmod(col("doc_id"), lit(3L)) === 0L && !col("del"))
+      .filter(!col("del"))
+      .withColumn("text_out",
+        when(col("up"), concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("k"),
+        sum(length(col("text_out"))).cast("long").as("c"),
+        sum(when(col("text_out").like("% v2"), 1L).otherwise(0L))
+          .cast("long").as("u"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Long]("c"),
+          r.getAs[Long]("u")))
+      .toMap
+    assert(out === expected)
+    assert(PartitionUpsert.ChangedLangs.exists(l =>
+      out.get(l).exists(_._4 > 0)), "changed langs must show upserts")
+  }
+
+  test("k12: re-applying the same changelog is idempotent") {
+    val dir = PartitionUpsert.stageApplied(docs, cacheKey = sf)
+    def summarize() =
+      spark.read
+        .schema("doc_id BIGINT, source STRING, text STRING, lang STRING")
+        .parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getAs[Long]("c"))).toSet
+    val first = summarize()
+    PartitionUpsert.applyChanges(spark, dir,
+      PartitionUpsert.changelog(docs))
+    assert(summarize() === first,
+      "second apply of the same changelog must not change state")
+  }
+}
