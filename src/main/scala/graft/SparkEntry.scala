@@ -265,6 +265,8 @@ object SparkEntry {
     "k12_partition_upsert" -> ((s, d) =>
       graft.sources.PartitionUpsert.upsertSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "st12_stream_upsert" -> ((s, d) =>
+      StreamOps.streamUpsert(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -316,6 +318,35 @@ object SparkEntry {
     * near-dup): both probe the same build-once bucketed index — the
     * probe is batching-invariant, so one oracle covers both.
     */
+  /** Shared by k12 (sequential partition-pruned apply) and st12 (the
+    * convergent streaming apply): both must land the identical
+    * post-merge state, rebuilt here relationally from the original
+    * table (delete seq 2 beats upsert seq 1; changes confined to the
+    * two changed langs; n_upserted is the SAME text-suffix LIKE both
+    * engines evaluate on the merged text).
+    */
+  private val k12Sql: String =
+    """WITH latest AS (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                     ELSE 'upsert' END AS op
+         FROM documents
+         WHERE lang IN ('en', 'de')
+           AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+       merged AS (
+         SELECT d.doc_id, d.lang,
+                CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
+                     ELSE d.text END AS text
+         FROM documents d LEFT JOIN latest l
+           ON d.doc_id = l.doc_id AND d.lang = l.lang
+         WHERE coalesce(l.op, 'keep') <> 'delete')
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+              CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+              CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upserted
+       FROM merged GROUP BY lang"""
+
   /** Shared by k11 (batch read-back reconcile) and st11 (incremental
     * fold of per-micro-batch partials): both must classify every
     * source identically, so both check against the same SQL, which
@@ -2033,27 +2064,11 @@ object SparkEntry {
     // the original table, confined to the two changed langs; the
     // n_upserted predicate is the SAME text-suffix LIKE both engines
     // evaluate on the merged text.
-    "k12_partition_upsert" ->
-      """WITH latest AS (
-           SELECT doc_id, lang,
-                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
-                       ELSE 'upsert' END AS op
-           FROM documents
-           WHERE lang IN ('en', 'de')
-             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
-         merged AS (
-           SELECT d.doc_id, d.lang,
-                  CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
-                       ELSE d.text END AS text
-           FROM documents d LEFT JOIN latest l
-             ON d.doc_id = l.doc_id AND d.lang = l.lang
-           WHERE coalesce(l.op, 'keep') <> 'delete')
-         SELECT lang, count(*) AS n_docs,
-                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
-                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
-                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_upserted
-         FROM merged GROUP BY lang""",
+    "k12_partition_upsert" -> k12Sql,
+    // st12 applies the same feed through the convergent (max-seq,
+    // tombstoned) merge — final state is argmax(seq) regardless of
+    // batching/order, so the streaming run shares k12's oracle.
+    "st12_stream_upsert" -> k12Sql,
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

@@ -120,12 +120,83 @@ object PartitionUpsert {
       cacheKey: String = ""): DataFrame = {
     val spark = documents.sparkSession
     val dir = stageApplied(documents, cacheKey)
-    spark.read.schema(treeSchema).parquet(dir)
+    summarize(spark.read.schema(treeSchema).parquet(dir))
+  }
+
+  private[graft] def summarize(tree: DataFrame): DataFrame =
+    tree
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).cast("long").as("key_checksum"),
         sum(length(col("text"))).cast("long").as("chars_checksum"),
         sum(when(col("text").like("% v2"), 1L).otherwise(0L))
           .cast("long").as("n_upserted"))
+
+  // ---- st12: the CONVERGENT (order-independent) variant ----------
+
+  /** st12's tree schema: every row carries the seq that produced it
+    * and deletes persist as TOMBSTONES — the two additions that make
+    * incremental application ORDER-INDEPENDENT. k12's sequential
+    * apply is correct when batches arrive in seq order; a streaming
+    * CDC feed does not promise that (a retried/partitioned feed can
+    * deliver seq 2 before seq 1), and without the stored seq a late
+    * low-seq upsert would overwrite a newer row — and without the
+    * tombstone it would RESURRECT a deleted key. With both, each
+    * merge keeps the max-seq version per key, so the final state is
+    * argmax(seq) over base ∪ all changelog entries regardless of
+    * how the feed was batched (spec applies the batches REVERSED
+    * and gets the identical tree).
+    */
+  private val convergentSchema =
+    "doc_id BIGINT, source STRING, text STRING, seq BIGINT, " +
+      "deleted BOOLEAN, lang STRING"
+
+  private[graft] def stageConvergentBase(documents: DataFrame,
+      dir: String): Unit =
+    writeTree(documents
+      .select(col("doc_id"), col("source"), col("text"),
+        lit(0L).as("seq"), lit(false).as("deleted"), col("lang")),
+      dir)
+
+  /** Merge one changelog batch into the convergent tree: max-seq
+    * wins per (doc_id, lang), tombstones persist. Affected-partition
+    * pruning + dynamic overwrite exactly as k12.
+    */
+  private[graft] def applyConvergent(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val incoming = batch
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max_by(struct(col("op"), col("new_text"), col("seq")),
+        col("seq")).as("c"))
+      .select(col("doc_id"), col("lang"),
+        lit(null).cast("string").as("in_source"),
+        col("c.new_text").as("in_text"), col("c.seq").as("in_seq"),
+        (col("c.op") === "delete").as("in_deleted"))
+    val affected = incoming.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val base = spark.read.schema(convergentSchema).parquet(dir)
+      .filter(col("lang").isin(affected: _*))
+    val merged = base.join(incoming, Seq("doc_id", "lang"), "full_outer")
+      .select(col("doc_id"),
+        // keep the stored row unless the incoming seq is newer
+        when(col("in_seq").isNotNull &&
+          (col("seq").isNull || col("in_seq") > col("seq")),
+          struct(coalesce(col("source"), col("in_source")).as("source"),
+            col("in_text").as("text"), col("in_seq").as("seq"),
+            col("in_deleted").as("deleted")))
+          .otherwise(struct(col("source"), col("text"), col("seq"),
+            col("deleted"))).as("r"),
+        col("lang"))
+      .select(col("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"), col("r.seq").as("seq"),
+        col("r.deleted").as("deleted"), col("lang"))
+    writeTree(merged, dir)
   }
+
+  /** Live (non-tombstone) rows of a convergent tree. */
+  private[graft] def convergentState(spark: SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema(convergentSchema).parquet(dir)
+      .filter(!col("deleted"))
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
 }

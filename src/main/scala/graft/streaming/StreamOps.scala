@@ -727,6 +727,55 @@ object StreamOps {
         sum(col("k")).cast("long").as("key_delivered"),
         sum(col("b")).cast("long").as("bytes_delivered"))
 
+  /** st12_stream_upsert — continuous CDC apply: k12's MERGE INTO
+    * run as the feed arrives, which is THE streaming-lakehouse
+    * ingest shape (a CDC stream lands all day; consumers read a
+    * tree that is always a consistent merge of everything applied
+    * so far). The hard part is ORDER: k12's sequential latest-wins
+    * is only correct if batches arrive in seq order, and a
+    * partitioned/retried feed does not promise that. st12 therefore
+    * applies through the CONVERGENT merge (PartitionUpsert
+    * .applyConvergent): tree rows carry their seq, deletes persist
+    * as tombstones, every batch keeps the max-seq version per key —
+    * so the final state is argmax(seq) over base ∪ feed no matter
+    * how the feed was batched OR ordered (spec applies the batches
+    * reversed and diffs the trees), and a REPLAYED batch is a
+    * natural no-op (equal seq never wins — no b<id> machinery
+    * needed). Per batch: affected-partition pruning + dynamic
+    * overwrite, k12's exact IO contract. Final summary filters
+    * tombstones and equals batch k12 row-for-row (shared oracle).
+    */
+  private val stagedCdcChunks =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionUpsert
+    val docs = graft.Tables.documents(spark, dir)
+    val chunks = stagedCdcChunks.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st12_cdc_")
+      PartitionUpsert.changelog(docs)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+    val tree = graft.Staging.dir("graft_st12_tree_") + "/tree"
+    PartitionUpsert.stageConvergentBase(docs, tree)
+    val src = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, seq BIGINT, op STRING, " +
+        "new_text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PartitionUpsert.applyConvergent(spark, tree, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    PartitionUpsert.summarize(
+      PartitionUpsert.convergentState(spark, tree))
+  }
+
   /** One micro-batch's probe, written idempotently: overwrite of the
     * batch's OWN directory, so a Structured Streaming batch replay
     * rewrites instead of duplicating.

@@ -77,6 +77,51 @@ class PartitionUpsertSpec extends AnyFunSuite {
       out.get(l).exists(_._4 > 0)), "changed langs must show upserts")
   }
 
+  test("st12: streaming convergent apply equals batch k12 exactly") {
+    val batch = SparkEntry.queries("k12_partition_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st12_stream_upsert")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("st12: application is ORDER-independent (reversed feed, same tree)") {
+    import graft.sources.PartitionUpsert
+    val full = PartitionUpsert.changelog(docs).cache()
+    val b1 = full.filter(col("seq") === 1L) // upserts
+    val b2 = full.filter(col("seq") === 2L) // deletes
+    def stateAfter(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val dir = graft.Staging.dir("graft_st12_order_") + "/tree"
+      PartitionUpsert.stageConvergentBase(docs, dir)
+      batches.foreach(b => PartitionUpsert.applyConvergent(spark, dir, b))
+      PartitionUpsert.convergentState(spark, dir)
+        .collect().map(_.toSeq).toSet
+    }
+    val forward = stateAfter(Seq(b1, b2))
+    val reversed = stateAfter(Seq(b2, b1))
+    assert(forward === reversed,
+      "max-seq + tombstones must converge under any arrival order")
+    // the deletes really do beat the upserts they overlap with: the
+    // reversed run must NOT resurrect a deleted key
+    val deletedIds = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reversed.forall(r => !deletedIds(r.head.asInstanceOf[Long])))
+  }
+
+  test("st12: a replayed batch is a natural no-op (equal seq never wins)") {
+    import graft.sources.PartitionUpsert
+    val dir = graft.Staging.dir("graft_st12_replay_") + "/tree"
+    PartitionUpsert.stageConvergentBase(docs, dir)
+    val batch = PartitionUpsert.changelog(docs)
+    PartitionUpsert.applyConvergent(spark, dir, batch)
+    val first = PartitionUpsert.convergentState(spark, dir)
+      .collect().map(_.toSeq).toSet
+    PartitionUpsert.applyConvergent(spark, dir, batch)
+    val second = PartitionUpsert.convergentState(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(second === first)
+  }
+
   test("k12: re-applying the same changelog is idempotent") {
     val dir = PartitionUpsert.stageApplied(docs, cacheKey = sf)
     def summarize() =
