@@ -70,6 +70,14 @@ import org.apache.spark.sql.SparkSession
   *    conditional-count aggregate below them. q34's
   *    ObjectHashAggregate is the exact-median buffer over those same
   *    #bins rows (q20's justification, bounded input).
+  *  - q35 BNLJ: t08's scalar-subquery shape — the broadcast side is
+  *    exactly ONE row (the BAMPE auto-detect mode flag).
+  *  - q43 ObjectHashAggregate: the Misra–Gries
+  *    TypedImperativeAggregate — ≤ k-entry buffers per group, hash
+  *    keyed by lang (q20's sketch-buffer justification).
+  *  - t15 Window: d09's guard/islands discipline turned within-doc —
+  *    per-(doc, gh) repeat guard over the doc_id exchange,
+  *    per-(doc, diagonal) islands bounded by matched docs.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {

@@ -267,6 +267,12 @@ object SparkEntry {
         cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
+    "q43_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
+    "d14_snapshot_overlap" -> ((s, d) =>
+      Dedup.snapshotOverlapDemo(Tables.documents(s, d))),
+    "t15_repetition_scrub" -> ((s, d) =>
+      Dedup.repetitionScrub(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -688,6 +694,8 @@ object SparkEntry {
          FROM islands GROUP BY island""",
     // The flag word replays the engine's bit derivation predicate for
     // predicate; masks are integer bitwise ops, exact in both engines.
+    // run_mode is the BAMPE auto-detect (tools.py:580): a scalar over
+    // the PRE-filter census, identical on every output row.
     "q35_flag_census" ->
       """WITH f AS (
            SELECT (CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END)
@@ -703,7 +711,9 @@ object SparkEntry {
                 ((flag >> 1) & 1) AS b_proper,
                 ((flag >> 2) & 1) AS b_unmapped,
                 ((flag >> 3) & 1) AS b_short,
-                ((flag >> 4) & 1) AS b_dup
+                ((flag >> 4) & 1) AS b_dup,
+                (SELECT CASE WHEN max(flag & 1) > 0 THEN 'BAMPE'
+                        ELSE 'BAM' END FROM f) AS run_mode
          FROM f
          WHERE (flag & 4) = 0 AND (flag & 1) = 1
          GROUP BY flag""",
@@ -1792,6 +1802,77 @@ object SparkEntry {
            FROM isl GROUP BY doc_a, doc_b, diag, grp),
          removed AS (
            SELECT DISTINCT doc_b AS doc_id,
+                  unnest(range(b_start, b_start + span_tokens)) AS pos
+           FROM spans),
+         toks AS (
+           SELECT t.doc_id, unnest(t.tk) AS tok,
+                  CAST(unnest(range(len(t.tk))) AS BIGINT) AS pos
+           FROM t
+           WHERE t.doc_id IN (SELECT doc_id FROM removed)),
+         marked AS (
+           SELECT k.doc_id, k.pos, k.tok, r.pos IS NOT NULL AS rm
+           FROM toks k LEFT JOIN removed r
+             ON k.doc_id = r.doc_id AND k.pos = r.pos)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                  ORDER BY pos), '') AS scrubbed,
+                CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed_tokens,
+                count(*) AS n_tokens
+         FROM marked GROUP BY 1""",
+    // q43: the oracle is the PLAIN exact answer — the MG sketch only
+    // prunes the candidate space (superset guarantee), so the
+    // sketch+exact-recount composition must EQUAL this HAVING query.
+    "q43_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT lang,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents WHERE text IS NOT NULL),
+         t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+         tot AS (SELECT lang, count(*) AS n_total FROM t2 GROUP BY 1)
+         SELECT t.lang, token, count(*) AS n_occ,
+                round(count(*) * 1.0 / n_total, 6) AS share
+         FROM t2 t JOIN tot USING (lang)
+         GROUP BY t.lang, token, n_total
+         HAVING count(*) * 32 > n_total""",
+    // t15: d12's scrub oracle turned inward — within-doc self-join
+    // (pa < pb), per-(doc, gram) cap, islands per (doc, diag), b-side
+    // removal, positional reassembly. Grams compare as STRINGS where
+    // the engine joins 64-bit hashes (d01's documented gap).
+    "t15_repetition_scrub" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - 3 + 2)) AS i
+           FROM t WHERE len(tk) >= 3),
+         s AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+           FROM p),
+         capped AS (
+           SELECT doc_id, g FROM s
+           GROUP BY doc_id, g HAVING count(*) <= 64),
+         m AS (
+           SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb,
+                  b.pos - a.pos AS diag
+           FROM s a
+           JOIN capped c ON a.doc_id = c.doc_id AND a.g = c.g
+           JOIN s b ON b.doc_id = a.doc_id AND b.g = a.g
+           WHERE a.pos < b.pos),
+         isl AS (
+           SELECT doc_id, diag, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_id, diag
+                    ORDER BY pa) AS grp
+           FROM m),
+         spans AS (
+           SELECT doc_id, min(pb) AS b_start,
+                  CAST(max(pb) - min(pb) + 3 AS BIGINT) AS span_tokens
+           FROM isl GROUP BY doc_id, diag, grp),
+         removed AS (
+           SELECT DISTINCT doc_id,
                   unnest(range(b_start, b_start + span_tokens)) AS pos
            FROM spans),
          toks AS (

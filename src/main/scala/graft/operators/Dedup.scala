@@ -498,6 +498,87 @@ object Dedup {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** t15_repetition_scrub — remove INTRA-document repetition: t05
+    * measures duplicated n-grams per document but nothing removes
+    * them; this is the within-doc counterpart of d12 (cross-doc span
+    * scrub), the "same paragraph pasted twice in one page" fix-up the
+    * Gopher/C4 repetition FILTERS only reject wholesale. Every later
+    * re-occurrence of a token run of ≥ `spanTokens` tokens is
+    * deleted; the EARLIEST occurrence survives (a self-overlapping
+    * periodic run — "x x x x" — collapses to its leading token, the
+    * aggressive-but-correct edge: position 0 is never removable, so
+    * no document scrubs to empty). (Reference
+    * analog: trim cuts matched subsequences out of otherwise-kept
+    * records, /root/reference/tools.py:145, generalized within-doc.)
+    *
+    * Mechanism is d09's diagonal-islands machinery turned inward:
+    * positioned spanTokens-gram hashes self-joined WITHIN each doc on
+    * (doc_id, gh) with pa < pb; a repeated run of m ≥ spanTokens
+    * tokens yields m−spanTokens+1 consecutive matches on the
+    * diagonal diag = pb−pa, so gaps-and-islands per (doc, diag)
+    * rebuilds each maximal repeated span exactly; removal positions
+    * are the b-side (later) spans, distinct-unioned across diagonals
+    * so a thrice-repeated run scrubs to one copy. Reassembly is
+    * d12's recipe verbatim: semi-join to affected docs BEFORE the
+    * token explode, one bounded per-doc collect_list.
+    *
+    * Scale shape: the self-join keys on (doc_id, gh) — one exchange,
+    * both sides, partition-local fan-out. The per-(doc, gh) `maxRep`
+    * cap bounds a degenerate doc's pair fan-out at maxRep² and is
+    * CONSERVATIVE the same way d09's df cap is: dropping a
+    * pathological gram can only split or skip a span, never invent
+    * one. Window cardinality is (doc, diag) over matched docs only.
+    */
+  def repetitionScrub(documents: DataFrame, spanTokens: Int = 3,
+      maxRep: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.ShingleExprs
+          .shingleHashSeq(col("text"), spanTokens)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("gh"))
+      .repartition(col("doc_id"))
+    val capped = posting
+      .withColumn("rep",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gh"))))
+      .filter(col("rep") <= maxRep)
+      .drop("rep")
+    val w = Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))
+    val removed = capped.as("a")
+      .join(capped.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.gh") === col("b.gh") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pa"),
+        col("b.pos").as("pb"), (col("b.pos") - col("a.pos")).as("diag"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg(min(col("pb")).as("b_start"),
+        (max(col("pb")) - min(col("pb")) + spanTokens).as("span_tokens"))
+      .select(col("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val affected = removed.select(col("doc_id")).distinct()
+    val toks = documents
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    toks
+      .join(removed.withColumn("rm", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rm").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("scrubbed"),
+        sum(coalesce(col("rm"), lit(0))).cast("long")
+          .as("n_removed_tokens"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** d11_snapshot_diff — dataset-version diffing: which documents
     * were ADDED, REMOVED, or CHANGED between two corpus snapshots —
     * the bookkeeping every versioned training set needs before
@@ -540,6 +621,61 @@ object Dedup {
         when(pmod(col("doc_id"), lit(7L)) === 0L,
           concat(col("text"), lit(" rev2"))).otherwise(col("text")))
     snapshotDiff(oldSnap, newSnap)
+  }
+
+  /** d14_snapshot_overlap — the SKETCH tier of d11: estimate how much
+    * two corpus snapshots share WITHOUT materializing the diff. d11's
+    * full-outer join is the exact answer, but at 100 TB you run the
+    * cheap estimate daily and pay for the exact diff only when the
+    * estimate says something moved — the same exact/approx pairing as
+    * q15/q43 and q19 vs count(distinct).
+    *
+    * Mechanism: elements are (doc_id, content-hash) pairs — a changed
+    * document is a different element on each side, so
+    * common ≈ unchanged documents. Three HLL++ sketches in ONE
+    * aggregate over the tagged union (old-side, new-side, union);
+    * inclusion–exclusion then yields intersection and the two
+    * one-sided differences. Everything after the map-side partial
+    * aggregation is three fixed-size HLL buffers per partition — no
+    * per-document shuffle at all, strictly cheaper than d11's
+    * 16-bytes-per-doc exchange.
+    *
+    * Rows-only by declaration (HLL estimates are not
+    * SQL-replayable); the spec bounds every estimate against the
+    * exact d11-side answer. rsd 0.01 ⇒ ±~1.6% at 2σ — tight enough
+    * that a daily drift gate on est_only_new/est_new is meaningful.
+    */
+  def snapshotOverlap(oldSnap: DataFrame, newSnap: DataFrame,
+      rsd: Double = 0.01): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df.select(
+      concat_ws(":", col("doc_id"),
+        xxhash64(TextOps.normText(col("text")))).as("k"),
+      lit(side).as("side"))
+    keyed(oldSnap, "a").unionByName(keyed(newSnap, "b"))
+      .agg(
+        approx_count_distinct(when(col("side") === "a", col("k")), rsd)
+          .as("est_old"),
+        approx_count_distinct(when(col("side") === "b", col("k")), rsd)
+          .as("est_new"),
+        approx_count_distinct(col("k"), rsd).as("est_union"))
+      .select(col("est_old"), col("est_new"), col("est_union"),
+        (col("est_old") + col("est_new") - col("est_union"))
+          .as("est_common"),
+        (col("est_union") - col("est_new")).as("est_only_old"),
+        (col("est_union") - col("est_old")).as("est_only_new"))
+  }
+
+  /** Driver entry: the same two deterministic snapshot cuts as d11,
+    * so the spec can compare the estimates against d11's exact
+    * answer on the same data.
+    */
+  def snapshotOverlapDemo(documents: DataFrame): DataFrame = {
+    val oldSnap = documents.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+    val newSnap = documents.filter(pmod(col("doc_id"), lit(13L)) =!= 5L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    snapshotOverlap(oldSnap, newSnap)
   }
 
   /** d10_dedup_incremental — dedup ARRIVING documents against a

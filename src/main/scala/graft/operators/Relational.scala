@@ -279,18 +279,29 @@ object Relational {
     * cast to long — order-insensitive, oracle-exact.
     */
   def flagCensus(lineitem: DataFrame, excludeMask: Int = 4,
-      requireMask: Int = 1): DataFrame =
-    lineitem
-      .withColumn("flag", samFlag)
+      requireMask: Int = 1): DataFrame = {
+    val flagged = lineitem.withColumn("flag", samFlag)
+    // BAMPE-vs-BAM auto-detect (tools.py:580's `view -c -f 1` mode
+    // switch): one paired read anywhere in the PRE-filter census —
+    // before -F/-f masks drop anything — flips the run to paired-end
+    // mode. A 1-row broadcast scalar, not a window: the census stays
+    // one shuffle and the detect folds into the same scan map-side.
+    val mode = flagged.agg(
+      when(max(col("flag").bitwiseAND(lit(1))) > 0, lit("BAMPE"))
+        .otherwise(lit("BAM")).as("run_mode"))
+    flagged
       .filter(col("flag").bitwiseAND(lit(excludeMask)) === 0 &&
         col("flag").bitwiseAND(lit(requireMask)) === requireMask)
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_reads"),
         sum(col("l_quantity")).cast("long").as("qty_sum"))
+      .crossJoin(broadcast(mode))
       .select(col("flag"), col("n_reads"), col("qty_sum"),
         col("flag").bitwiseAND(lit(1)).as("b_paired"),
         shiftright(col("flag"), 1).bitwiseAND(lit(1)).as("b_proper"),
         shiftright(col("flag"), 2).bitwiseAND(lit(1)).as("b_unmapped"),
         shiftright(col("flag"), 3).bitwiseAND(lit(1)).as("b_short"),
-        shiftright(col("flag"), 4).bitwiseAND(lit(1)).as("b_dup"))
+        shiftright(col("flag"), 4).bitwiseAND(lit(1)).as("b_dup"),
+        col("run_mode"))
+  }
 }

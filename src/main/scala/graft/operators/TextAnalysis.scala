@@ -606,4 +606,58 @@ object TextAnalysis {
           / col("_total"), 6))
       .drop("_total")
   }
+
+  /** q43_heavy_hitters — per-stratum frequent items via a mergeable
+    * Misra–Gries sketch + an exact verification pass: every token
+    * holding more than 1/`shareDenom` of its language's token mass,
+    * with its EXACT count. The approximate cousin of q15/q26 that a
+    * 100 TB monitoring stack actually runs continuously, and the
+    * corpus-scale analog of the reference's "most frequent failure
+    * step" progress readout (/root/reference/tools.py:28-56).
+    *
+    * Two scans, no token-key shuffle in either:
+    *  1. sketch pass — groupBy(lang).agg(misra_gries(token, k),
+    *     count(*)): partial aggregation folds each map partition into
+    *     a k-entry buffer, so the exchange carries ≤ k entries per
+    *     (partition, lang), never the token stream. With
+    *     k ≥ shareDenom the MG bound (undercount ≤ n/(k+1))
+    *     guarantees the candidate set is a SUPERSET of the true
+    *     heavy hitters — no false negatives, ever.
+    *  2. exact pass — recount ONLY the candidates: the broadcast
+    *     inner join prunes the token stream map-side to ≤ k·langs
+    *     keys, so the count shuffle is bounded by candidates ×
+    *     partitions (with map-side combine), not corpus tokens.
+    *
+    * Because pass 2 is exact and pass 1 cannot miss a true heavy
+    * hitter, the composed result EQUALS the plain
+    * groupBy-count-filter answer — which is why this sketch operator
+    * is oracle-checkable (plain SQL HAVING) where q19/q20's sketches
+    * are not: the sketch only prunes the candidate space, it never
+    * decides a count. k defaults to 2·shareDenom: the guarantee
+    * needs only k ≥ shareDenom, the slack halves the candidate
+    * false-positive tail pass 2 has to recount.
+    */
+  def heavyHitterTokens(documents: DataFrame, shareDenom: Int = 32,
+      k: Int = 64): DataFrame = {
+    require(k >= shareDenom,
+      s"MG needs k >= shareDenom for the superset guarantee ($k < $shareDenom)")
+    def toks = documents
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = toks
+      .groupBy(col("lang"))
+      .agg(graft.functions.FreqSketch.misraGries(col("token"), k).as("cand"),
+        count(lit(1)).as("n_total"))
+    val candidates = sketch
+      .select(col("lang"), col("n_total"), explode(col("cand")).as("c"))
+      .select(col("lang"), col("n_total"), col("c.item").as("token"))
+    toks
+      .join(broadcast(candidates), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"), col("n_total"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * shareDenom > col("n_total"))
+      .select(col("lang"), col("token"), col("n_occ"),
+        round(col("n_occ") / col("n_total"), 6).as("share"))
+  }
 }

@@ -509,4 +509,58 @@ class DedupSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("t15: planted tail repeat scrubs to the leading copy") {
+    import spark.implicits._
+    val docs = Seq(
+      // run of 5 repeated verbatim: later copy (pos 5..9) removed
+      (1L, "one two three four five one two three four five"),
+      // no repeated trigram: untouched (absent from output)
+      (2L, "a b c d e f g"),
+      // thrice-repeated run: both later copies removed
+      (3L, "p q r s x p q r s y p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repetitionScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("one two three four five", 5L, 10L)))
+    assert(!out.contains(2L))
+    assert(out(3L) === (("p q r s x y", 8L, 14L)))
+  }
+
+  test("t15: periodic self-overlap collapses, never to empty") {
+    import spark.implicits._
+    val docs = Seq((7L, "x x x x x x")).toDF("doc_id", "text")
+    val out = Dedup.repetitionScrub(docs).collect()
+    assert(out.length === 1)
+    // position 0 is never removable (every removed pos is a b-side
+    // pos >= 1), so the leading token survives
+    assert(out.head.getString(1) === "x")
+    assert(out.head.getLong(2) === 5L)
+  }
+
+  test("t15: scrub is idempotent on its own output (planted docs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five one two three four five"),
+      (3L, "p q r s x p q r s y p q r s")).toDF("doc_id", "text")
+    val once = Dedup.repetitionScrub(docs)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    assert(Dedup.repetitionScrub(once).count() === 0)
+  }
+
+  test("t15: finds intra-doc repeats on the real corpus (sf0.001)") {
+    val out = SparkEntry.queries("t15_repetition_scrub")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every affected doc actually lost tokens, and lost fewer than all
+    rows.foreach { r =>
+      val removed = r.getAs[Long]("n_removed_tokens")
+      val total = r.getAs[Long]("n_tokens")
+      assert(removed > 0 && removed < total)
+      val kept = r.getAs[String]("scrubbed")
+        .split("\\s+").filter(_.nonEmpty).length
+      assert(kept === total - removed)
+    }
+  }
 }

@@ -41,9 +41,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** s05 composes s02's probe cross (queries × broadcast centroids)
     * with s04's LUT broadcast — the same by-design tiny sides.
     */
+  /** q35's BAMPE auto-detect is t08's scalar-subquery shape: the
+    * broadcast side is exactly ONE row (the pre-filter mode flag).
+    */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq")
+      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "q35_flag_census")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
