@@ -149,17 +149,26 @@ class SketchSpec extends AnyFunSuite {
       .filter("doc_id % 11 != 3 AND doc_id % 13 != 5 AND doc_id % 7 != 0")
       .count()
     val nUnion = nOld + nNew - nCommon
-    def within(est: Long, exact: Long, tag: String): Unit = {
-      val slack = math.max(3.0, exact * 0.05)
+    // Error budgets propagate: a DIRECT estimate carries z·rsd·n; the
+    // derived quantities are sums/differences of sketches, so their
+    // bounds ADD (est_common combines three sketches, est_only_* two).
+    // z = 3 keeps the gate about gross regressions (wrong key, wrong
+    // side filter — O(n) errors), not sketch noise.
+    val rsd = 0.02
+    def within(est: Long, exact: Long, budget: Long, tag: String): Unit = {
+      val slack = math.max(3.0, 3 * rsd * budget)
       assert(math.abs(est - exact) <= slack,
         s"$tag: est=$est exact=$exact slack=$slack")
     }
-    within(r.getAs[Long]("est_old"), nOld, "est_old")
-    within(r.getAs[Long]("est_new"), nNew, "est_new")
-    within(r.getAs[Long]("est_union"), nUnion, "est_union")
-    within(r.getAs[Long]("est_common"), nCommon, "est_common")
-    within(r.getAs[Long]("est_only_old"), nOld - nCommon, "est_only_old")
-    within(r.getAs[Long]("est_only_new"), nNew - nCommon, "est_only_new")
+    within(r.getAs[Long]("est_old"), nOld, nOld, "est_old")
+    within(r.getAs[Long]("est_new"), nNew, nNew, "est_new")
+    within(r.getAs[Long]("est_union"), nUnion, nUnion, "est_union")
+    within(r.getAs[Long]("est_common"), nCommon,
+      nOld + nNew + nUnion, "est_common")
+    within(r.getAs[Long]("est_only_old"), nOld - nCommon,
+      nUnion + nNew, "est_only_old")
+    within(r.getAs[Long]("est_only_new"), nNew - nCommon,
+      nUnion + nOld, "est_only_new")
   }
 
   test("d14 on empty snapshots: zero estimates, no errors") {
