@@ -273,6 +273,8 @@ object SparkEntry {
       Dedup.snapshotOverlapDemo(Tables.documents(s, d))),
     "t15_repetition_scrub" -> ((s, d) =>
       Dedup.repetitionScrub(Tables.documents(s, d))),
+    "st13_stream_heavy" -> ((s, d) =>
+      StreamOps.streamHeavyHitters(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -589,6 +591,24 @@ object SparkEntry {
     (0 until 15).map { k =>
       s"strpos('123456789abcdef', $hexCol[${k + 1}]) * ${1L << (4 * (14 - k))}"
     }.mkString("(", " + ", ")")
+
+  /** Shared by q43 (batch sketch+recount) and st13 (streaming MG fold
+    * + the same exact closing recount): both must equal the plain
+    * HAVING answer, so one oracle covers both.
+    */
+  private val q43Sql: String =
+    """WITH tok AS (
+         SELECT lang,
+                unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS token
+         FROM documents WHERE text IS NOT NULL),
+       t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+       tot AS (SELECT lang, count(*) AS n_total FROM t2 GROUP BY 1)
+       SELECT t.lang, token, count(*) AS n_occ,
+              round(count(*) * 1.0 / n_total, 6) AS share
+       FROM t2 t JOIN tot USING (lang)
+       GROUP BY t.lang, token, n_total
+       HAVING count(*) * 32 > n_total"""
 
   def oracleSql: Map[String, String] = Map(
     "q32_online_outlier" -> onlineOutlierSql,
@@ -1823,19 +1843,12 @@ object SparkEntry {
     // q43: the oracle is the PLAIN exact answer — the MG sketch only
     // prunes the candidate space (superset guarantee), so the
     // sketch+exact-recount composition must EQUAL this HAVING query.
-    "q43_heavy_hitters" ->
-      """WITH tok AS (
-           SELECT lang,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
-                    AS token
-           FROM documents WHERE text IS NOT NULL),
-         t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
-         tot AS (SELECT lang, count(*) AS n_total FROM t2 GROUP BY 1)
-         SELECT t.lang, token, count(*) AS n_occ,
-                round(count(*) * 1.0 / n_total, 6) AS share
-         FROM t2 t JOIN tot USING (lang)
-         GROUP BY t.lang, token, n_total
-         HAVING count(*) * 32 > n_total""",
+    "q43_heavy_hitters" -> q43Sql,
+    // st13 folds the same MG sketch per micro-batch and closes with
+    // q43's exact recount over the landed corpus — the final board
+    // EQUALS the batch answer, so one oracle covers both (st09/d10
+    // precedent).
+    "st13_stream_heavy" -> q43Sql,
     // t15: d12's scrub oracle turned inward — within-doc self-join
     // (pa < pb), per-(doc, gram) cap, islands per (doc, diag), b-side
     // removal, positional reassembly. Grams compare as STRINGS where

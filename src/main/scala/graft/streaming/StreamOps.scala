@@ -792,4 +792,117 @@ object StreamOps {
       .schema("doc_id BIGINT, dup_of BIGINT, jaccard DOUBLE")
       .option("recursiveFileLookup", "true")
       .parquet(out)
+
+  /** Token row flowing into the streaming heavy-hitter state. */
+  final case class TokRow(lang: String, token: String)
+
+  /** Per-lang Misra–Gries state: exact stream length, a monotone
+    * snapshot version, and the ≤ k counter entries. Bounded by
+    * construction — k entries per key, EVER, no watermark needed.
+    */
+  final case class MgEntry(token: String, est: Long)
+  final case class MgState(n_total: Long, version: Long,
+      entries: List[MgEntry])
+  final case class MgOut(lang: String, version: Long, n_total: Long,
+      token: String, est: Long)
+
+  private val stagedHhDocs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** st13_stream_heavy — q43's frequent-items monitor as a LIVE
+    * readout: documents stream in as they land and each micro-batch
+    * UPDATES a per-lang Misra–Gries state (k counters + the exact
+    * token total), emitting the refreshed candidate snapshot — the
+    * "most frequent failure step" board (tools.py:28-56) that
+    * repaints DURING the run instead of rescanning the log. The
+    * sequential fold preserves MG's guarantee at every instant: any
+    * token holding > n/(k+1) of the tokens seen SO FAR is on the
+    * board (order-independent superset; the ScalaCheck kernel
+    * properties cover exactly this update path).
+    *
+    * State is the operator's scale story: k entries + two longs per
+    * lang — not per token, not per doc — so a year of stream costs
+    * the same state as a minute. Snapshots version monotonically;
+    * the memory sink keeps every repaint (Update mode), and the
+    * final board per lang is the max-version slice.
+    *
+    * The registered query then CLOSES the stream the way q43's pass
+    * 2 closes the sketch: the final candidates (a superset of the
+    * true heavy hitters, with n_total the EXACT stream length) are
+    * exact-recounted against the landed corpus batch-side, so
+    * st13's output EQUALS q43's — one oracle covers both (st09/d10,
+    * st12/k12 precedent).
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String,
+      shareDenom: Int = 32, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val stage = stagedHhDocs.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st13_")
+      docs.select(col("doc_id"), col("lang"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+    val src = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val toks = src
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .as[TokRow]
+    val updates = toks
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[MgState, MgOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (lang, rows, state: GroupState[MgState]) =>
+          val prior = state.getOption.getOrElse(MgState(0L, 0L, Nil))
+          val buf = scala.collection.mutable.HashMap
+            .from(prior.entries.map(e => e.token -> e.est))
+          var n = prior.n_total
+          rows.foreach { r =>
+            graft.functions.MisraGriesOps.update(buf, r.token, k)
+            n += 1
+          }
+          val snap = graft.functions.MisraGriesOps.sorted(buf)
+            .map { case (t, e) => MgEntry(t, e) }.toList
+          val v = prior.version + 1
+          state.update(MgState(n, v, snap))
+          snap.iterator.map(e => MgOut(lang, v, n, e.token, e.est))
+      }
+    val sink = s"st13_mem_${System.nanoTime()}"
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snaps = spark.table(sink)
+    // final board per lang = the max-version snapshot (metadata-scale:
+    // ≤ batches·k rows per lang ever landed in the sink; a window
+    // instead of a groupBy self-join — the memory view resolves to
+    // the same attribute ids on both sides of a join)
+    val candidates = snaps
+      .withColumn("maxv", max(col("version"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))))
+      .filter(col("version") === col("maxv"))
+      .select(col("lang"), col("n_total"), col("token"))
+    // q43's exact closing pass over the landed corpus
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(candidates), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"), col("n_total"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * shareDenom > col("n_total"))
+      .select(col("lang"), col("token"), col("n_occ"),
+        round(col("n_occ") / col("n_total"), 6).as("share"))
+  }
 }

@@ -318,6 +318,27 @@ class StreamOpsSpec extends AnyFunSuite {
       s"replay must be idempotent: $first rows became $second")
   }
 
+  test("st13: streaming MG fold + exact close equals batch q43 exactly") {
+    val batch = SparkEntry.queries("q43_heavy_hitters")(spark, sf)
+      .select(col("lang"), col("token"), col("n_occ"))
+    val stream = SparkEntry.queries("st13_stream_heavy")(spark, sf)
+      .select(col("lang"), col("token"), col("n_occ"))
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("st13: per-lang state stays bounded at k entries per snapshot") {
+    // The state class invariant via its own update path: folding any
+    // token stream through the per-batch update keeps <= k entries
+    // (MG trims in-place) — a year of stream costs a minute's state.
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    (0 until 10000).foreach { i =>
+      graft.functions.MisraGriesOps.update(buf, s"tok${i % 997}", 64)
+      assert(buf.size <= 64)
+    }
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
