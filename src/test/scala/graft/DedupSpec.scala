@@ -510,6 +510,29 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("t15: posting exchange reused at scale; reassembly is the 2nd scan") {
+    // d04/d09's at-scale shape, turned within-doc: with broadcast off
+    // (what corpus-scale stats force), the (doc_id, gh) posting
+    // exchange must feed the guard window AND both self-join sides
+    // (ReusedExchange); the ONLY other corpus scan is the reassembly
+    // token read, which semi-joins to affected docs first.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.repetitionScrub(Tables.documents(spark, sf))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage"),
+        s"t15 must reuse the posting exchange:\n$plan")
+      val scans = plan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("documents"))
+      assert(scans === 2,
+        s"t15: posting scan + reassembly scan only (found $scans)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("t15: planted tail repeat scrubs to the leading copy") {
     import spark.implicits._
     val docs = Seq(
