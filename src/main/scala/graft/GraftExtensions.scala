@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{BpeTokenCount, DotProduct, HyperplaneSig, MinHashSigs, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{BpeTokenCount, DotProduct, HyperplaneSig, MinHashSigs, MisraGries, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -149,6 +149,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           StopwordHits(toks, stringSeqArg(words, "words"))
         case _ => throw new IllegalArgumentException(
           "stopword_hits(tokens, array('w1', 'w2', …))")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, k) =>
+          MisraGries(item, intArg(k, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item, k)")
       }))
     ext.injectFunction((
       FunctionIdentifier("bpe_token_count"),

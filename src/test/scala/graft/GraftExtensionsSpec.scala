@@ -97,6 +97,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("misra_gries is SQL-callable: aggregate returns the MG board") {
+    // 'a' holds 5/9 > 1/(k+1) of the stream — must be on the board
+    // with est <= true count; the board never exceeds k entries.
+    val rows = sqlSpark.sql(
+      """SELECT misra_gries(t, 3) AS board
+         FROM (SELECT explode(array('a','a','b','a','c','a','d','a','e'))
+                 AS t)""").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.length <= 3)
+    val a = rows.find(_.getString(0) == "a")
+    assert(a.isDefined, s"heavy item 'a' missing from $rows")
+    assert(a.get.getLong(1) >= 1L && a.get.getLong(1) <= 5L)
+    // GROUP BY composes: one independent board per group
+    val grouped = sqlSpark.sql(
+      """SELECT g, misra_gries(t, 2) AS board FROM (
+           SELECT 'x' AS g, explode(array('p','p','q')) AS t
+           UNION ALL
+           SELECT 'y' AS g, explode(array('r','r','r','s')) AS t)
+         GROUP BY g""").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet)
+      .toMap
+    assert(grouped("x").contains("p") && grouped("y").contains("r"))
+  }
+
   test("arity errors are rejected with a usable message") {
     sqlSpark.sql("SELECT 1").collect() // force init
     val e = intercept[Exception] {
