@@ -275,6 +275,9 @@ object SparkEntry {
       Dedup.repetitionScrub(Tables.documents(s, d))),
     "st13_stream_heavy" -> ((s, d) =>
       StreamOps.streamHeavyHitters(s, d)),
+    "k13_sketch_ledger" -> ((s, d) =>
+      graft.sources.SketchLedger.rollingUniques(Tables.events(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming

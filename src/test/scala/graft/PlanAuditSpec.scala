@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "st06_stream_sink", "st07_stream_funnel", "k05_orc_roundtrip",
       "st08_stream_outlier", "k06_csv_roundtrip", "k07_jsonl_roundtrip",
       "k11_ingest_manifest", "st11_stream_ingest",
-      "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy")
+      "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy",
+      "k13_sketch_ledger")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a

@@ -482,4 +482,70 @@ class PropertySpec extends AnyFunSuite {
       out == expected.toSet
     }, n = 6)
   }
+
+  test("t15 property: scrub equals the brute-force removal closure") {
+    import spark.implicits._
+    // Tiny vocab + short docs force repeats (incl. periodic overlap);
+    // lengths stay far under the maxRep=64 per-(doc, gram) cap so the
+    // cap is inert and the reference need not model it.
+    val genDoc = for {
+      len <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks
+    val genCase = Gen.listOfN(6, genDoc)
+    check("t15", Prop.forAll(genCase) { docsToks =>
+      val L = 3
+      // reference: removal set = union over ALL matched pairs
+      // (pa < pb, equal L-grams) of [pb, pb+L) — identical to the
+      // islands construction because consecutive-diagonal matches
+      // union to exactly the island's b-side span.
+      val expected = docsToks.zipWithIndex.flatMap { case (t, id) =>
+        val grams = t.sliding(L).toVector.filter(_.size == L)
+        val removed = (for {
+          a <- grams.indices; b <- grams.indices
+          if a < b && grams(a) == grams(b)
+          p <- b until b + L
+        } yield p).toSet
+        if (removed.isEmpty) None
+        else Some((id.toLong,
+          t.indices.filterNot(removed).map(t).mkString(" "),
+          removed.size.toLong, t.size.toLong))
+      }.toSet
+      val df = docsToks.zipWithIndex
+        .map { case (t, id) => (id.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.repetitionScrub(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == expected
+    }, n = 8)
+  }
+
+  test("q43 property: sketch+recount equals exact on random skewed docs") {
+    import spark.implicits._
+    val genDoc = for {
+      lang <- Gen.oneOf("en", "de")
+      hot <- Gen.choose(0, 20)
+      tail <- Gen.listOfN(10, Gen.choose(0, 50).map(i => s"w$i"))
+    } yield (lang, (List.fill(hot)("hot") ++ tail).mkString(" "))
+    check("q43", Prop.forAll(Gen.listOfN(25, genDoc)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, l, t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.operators.TextAnalysis
+        .heavyHitterTokens(df, shareDenom = 8, k = 16)
+        .select("lang", "token", "n_occ").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // reference: plain in-memory count + threshold
+      val want = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+        val toks = ds.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+        val n = toks.size
+        toks.groupBy(identity).collect {
+          case (t, o) if o.size.toLong * 8 > n =>
+            (lang, t, o.size.toLong)
+        }
+      }.toSet
+      got == want
+    }, n = 8)
+  }
 }
