@@ -278,6 +278,8 @@ object SparkEntry {
     "k13_sketch_ledger" -> ((s, d) =>
       graft.sources.SketchLedger.rollingUniques(Tables.events(s, d),
         cacheKey = d)),
+    "st14_stream_ledger" -> ((s, d) =>
+      StreamOps.streamSketchLedger(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming

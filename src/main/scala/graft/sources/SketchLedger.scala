@@ -66,8 +66,16 @@ object SketchLedger {
     * aggregates fold them where they sit.
     */
   def rollingUniques(events: DataFrame, cacheKey: String,
-      windowDays: Int = 7): DataFrame = {
-    val led = ledger(events, cacheKey)
+      windowDays: Int = 7): DataFrame =
+    rollingFromLedger(ledger(events, cacheKey), windowDays)
+
+  /** The readout over ANY (day, event_type, sk, n_events) ledger —
+    * the staged batch build above, or st14's fold of per-micro-batch
+    * partial sketches (sketch mergeability is exactly what makes the
+    * two ledgers interchangeable here).
+    */
+  private[graft] def rollingFromLedger(led: DataFrame,
+      windowDays: Int): DataFrame = {
     // each source day contributes to target days d .. d+window-1
     val contrib = led.select(
       explode(sequence(lit(0), lit(windowDays - 1))).as("i"),

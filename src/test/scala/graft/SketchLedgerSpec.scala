@@ -67,6 +67,36 @@ class SketchLedgerSpec extends AnyFunSuite {
       "repeat readouts must hit the same staged ledger files")
   }
 
+  test("st14: incrementally-landed ledger readout equals batch k13") {
+    // Sketch MERGEABILITY on the finite harness: per-micro-batch
+    // partial sketches union to the same ledger the single-pass
+    // build produces, so the readouts must agree row for row (at
+    // these cardinalities DataSketches HLL is in exact sparse mode;
+    // exact counters must agree regardless).
+    val batch = SparkEntry.queries("k13_sketch_ledger")(spark, sf)
+    val stream = SparkEntry.queries("st14_stream_ledger")(spark, sf)
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("st14: a replayed micro-batch rewrites its partial, never dups") {
+    import org.apache.spark.sql.functions.to_date
+    val e = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("user_id"))
+    val out = graft.Staging.dir("graft_st14_retry_")
+    graft.streaming.StreamOps.writeLedgerPartial(e, 0L, out)
+    def total() = graft.streaming.StreamOps
+      .foldLedgerPartials(spark, out)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val first = total()
+    graft.streaming.StreamOps.writeLedgerPartial(e, 0L, out)
+    assert(total() === first,
+      "replay must be idempotent via the b<id> overwrite")
+  }
+
   test("k13: readout plan folds sketches, never rescans events") {
     // the registered query's plan must read the LEDGER parquet, and
     // the only events scan allowed is the (memoized) build — once
