@@ -77,7 +77,14 @@ import org.apache.spark.sql.SparkSession
   *    keyed by lang (q20's sketch-buffer justification).
   *  - t15 Window: d09's guard/islands discipline turned within-doc —
   *    per-(doc, gh) repeat guard over the doc_id exchange,
-  *    per-(doc, diagonal) islands bounded by matched docs.
+  *    per-(doc, diagonal) islands bounded by matched docs. Its
+  *    ObjectHashAggregate is d12's per-doc reassembly collect_list
+  *    buffer (bounded by one document's tokens).
+  *  - k13/st14 ObjectHashAggregate: DataSketches HLL buffers
+  *    (hll_sketch_agg / hll_union_agg) — fixed-size per (day, type),
+  *    q20's sketch-buffer justification.
+  *  - st13 Window: the max-version board slice over the memory-sink
+  *    snapshot table — ≤ batches·k rows per lang, metadata scale.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {

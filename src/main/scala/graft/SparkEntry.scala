@@ -280,6 +280,8 @@ object SparkEntry {
         cacheKey = d)),
     "st14_stream_ledger" -> ((s, d) =>
       StreamOps.streamSketchLedger(s, d)),
+    "p13_token_mixture" -> ((s, d) =>
+      Corpus.tokenBudgetMixture(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -425,6 +427,47 @@ object SparkEntry {
        SELECT doc_id, source,
               CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
        FROM c WHERE n_copies > 0"""
+  }
+
+  /** Built from Corpus's p13 geometry constants (p11Sql's
+    * discipline): per-source token mass → integer-derived epoch rate
+    * (two floor divisions, ratio capped) → p11's replicate+salted
+    * fractional admission. `//` is DuckDB integer division; the
+    * salted hash replays saltedBucket in plain arithmetic.
+    */
+  private val p13Sql: String = {
+    val cases = graft.operators.Corpus.BudgetTargets.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN '$s' THEN $v" }.mkString(" ")
+    val d = graft.operators.Corpus.BudgetDefaultTargetPermille
+    val beta = graft.operators.Corpus.BudgetBetaPermille
+    val salt = graft.operators.Corpus.BudgetSalt
+    val maxR = graft.operators.Corpus.BudgetMaxRatePermille
+    val tcap = graft.operators.Corpus.BudgetTCap
+    s"""WITH tok AS (
+         SELECT doc_id, source,
+                len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+         FROM documents),
+       src AS (
+         SELECT source, CAST(sum(nt) AS BIGINT) AS toks
+         FROM tok GROUP BY 1),
+       tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t_corpus FROM src),
+       rates AS (
+         SELECT source,
+                least(($beta * (CASE source $cases ELSE $d END)
+                       * least((t_corpus * 1000) // toks, $tcap))
+                      // 1000000,
+                      $maxR) AS r
+         FROM src, tot),
+       adm AS (
+         SELECT d.doc_id, d.source,
+                r // 1000 + CASE WHEN
+                  (((d.doc_id % 1000000007 + $salt) % 1000000007)
+                    * 2654435761 % 1000000007) * 2654435761 % 1000
+                  < r % 1000 THEN 1 ELSE 0 END AS n_copies
+         FROM documents d JOIN rates ON d.source = rates.source)
+       SELECT doc_id, source,
+              CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+       FROM adm WHERE n_copies > 0"""
   }
 
   private val d10Sql: String =
@@ -1854,6 +1897,7 @@ object SparkEntry {
     // EQUALS the batch answer, so one oracle covers both (st09/d10
     // precedent).
     "st13_stream_heavy" -> q43Sql,
+    "p13_token_mixture" -> p13Sql,
     // t15: d12's scrub oracle turned inward — within-doc self-join
     // (pa < pb), per-(doc, gram) cap, islands per (doc, diag), b-side
     // removal, positional reassembly. Grams compare as STRINGS where

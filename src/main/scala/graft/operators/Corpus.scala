@@ -303,6 +303,84 @@ object Corpus {
           col("n_copies").cast("long") - 1)).as("epoch"))
   }
 
+  /** p13_token_mixture geometry — shared with the registered oracle
+    * (SparkEntry builds the SQL from THESE constants, the p11
+    * discipline). Targets are shares of the TOKEN budget in
+    * per-mille; the budget itself is `BudgetBetaPermille` of the
+    * corpus's token mass (400 = train on a 40%-of-corpus token
+    * budget). Sources absent from the map get
+    * `BudgetDefaultTargetPermille` each.
+    */
+  val BudgetTargets: Map[String, Int] =
+    Map("src0" -> 300, "src1" -> 200, "src2" -> 100)
+  val BudgetDefaultTargetPermille: Int = 20
+  val BudgetBetaPermille: Int = 400
+  val BudgetSalt: Long = 5077L
+  val BudgetMaxRatePermille: Long = 4000L
+  /** Cap on the 1000·T/T_s ratio so the rate product stays in LONG
+    * range even for a near-empty source (1e6 · 1e10 < 2^63).
+    */
+  val BudgetTCap: Long = 10000000000L
+
+  /** p13_token_mixture — the mixture dial as real recipes state it:
+    * "X% of training TOKENS from each source", not X% of documents
+    * (p04/p11 weight documents, which over-serves short-doc sources
+    * and starves long-doc ones). Per-source epoch rates are DERIVED
+    * from the measured token mass: rate_s = β·w_s·T/(1000·T_s)
+    * per-mille of epochs — a source holding little token mass but a
+    * big target share repeats (up to `BudgetMaxRatePermille`), a
+    * heavy source downsamples, exactly the knob a token-budgeted
+    * pretraining run turns. Admission and replication then reuse
+    * p11's geometry verbatim (⌊r⌋ map-side copies + salted-hash
+    * fractional epoch under p13's OWN salt).
+    *
+    * Every step is INTEGER arithmetic (two floor divisions, ratio
+    * capped at BudgetTCap) so the oracle replays it exactly; the
+    * divisions bound intermediates inside LONG at any corpus size.
+    *
+    * Scale shape: pass 1 reads (source, text) once — one algebraic
+    * aggregate to source-cardinality rows; the rate table derives on
+    * those metadata rows and BROADCASTS. Pass 2 reads only
+    * (doc_id, source) — the text column is scanned exactly once
+    * corpus-wide — and admits/replicates map-side. No shuffle
+    * anywhere except the tiny pass-1 aggregate.
+    */
+  def tokenBudgetMixture(documents: DataFrame,
+      targets: Map[String, Int] = BudgetTargets,
+      defaultTargetPermille: Int = BudgetDefaultTargetPermille,
+      betaPermille: Int = BudgetBetaPermille,
+      salt: Long = BudgetSalt): DataFrame = {
+    val perSrc = documents
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("toks"))
+    val total = perSrc.agg(sum(col("toks")).as("t_corpus"))
+    val w = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultTargetPermille)) { case (acc, (s, v)) =>
+        when(col("source") === s, lit(v)).otherwise(acc)
+      }
+    val rates = perSrc.crossJoin(broadcast(total))
+      .withColumn("w_permille", w.cast("long"))
+      .withColumn("tr",
+        least(expr("(t_corpus * 1000) DIV toks"), lit(BudgetTCap)))
+      .withColumn("r",
+        least(expr(s"($betaPermille * w_permille * tr) DIV 1000000"),
+          lit(BudgetMaxRatePermille)))
+      .select(col("source"), col("r"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("n_copies",
+        expr("r DIV 1000") +
+          when(saltedBucket(col("doc_id"), salt, 1000L) <
+            pmod(col("r"), lit(1000L)), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L),
+          col("n_copies").cast("long") - 1)).as("epoch"))
+  }
+
   /** p08_split — deterministic train/val/test assignment: every
     * document lands in exactly ONE split by thresholding the same
     * salted multiplicative hash the sampling layers use (p02/p04),

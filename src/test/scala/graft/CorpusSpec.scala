@@ -472,4 +472,43 @@ class CorpusSpec extends AnyFunSuite {
       assert(p10(x)._2 === p10(y)._2, s"pair ($x,$y) must not straddle")
     }
   }
+
+  test("p13: derived token-budget rates + admission equal an exact replay") {
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val t = Option(r.getString(2)).map(_.trim.toLowerCase)
+        // split with limit -1: Spark's split keeps trailing empties
+        (r.getLong(0), r.getString(1),
+          t.map(_.split("\\s+", -1).length.toLong))
+      }
+    val P = 1000000007L; val K = 2654435761L
+    def bucket(id: Long, salt: Long): Long =
+      ((id % P + salt) % P) * K % P * K % 1000L
+    val tokBySrc = rows.groupBy(_._2)
+      .map { case (s, rs) => s -> rs.flatMap(_._3).sum }
+    val tCorpus = tokBySrc.values.sum
+    val expected = rows.flatMap { case (id, src, _) =>
+      val toks = tokBySrc(src)
+      val wS = Corpus.BudgetTargets.getOrElse(src,
+        Corpus.BudgetDefaultTargetPermille).toLong
+      val tr = math.min(tCorpus * 1000L / toks, Corpus.BudgetTCap)
+      val r = math.min(Corpus.BudgetBetaPermille * wS * tr / 1000000L,
+        Corpus.BudgetMaxRatePermille)
+      val copies = r / 1000L +
+        (if (bucket(id, Corpus.BudgetSalt) < r % 1000L) 1L else 0L)
+      (0L until copies).map(e => (id, src, e))
+    }.toSet
+    val got = SparkEntry.queries("p13_token_mixture")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // directional sanity: the token-light named source repeats, the
+    // corpus-dominant tail downsamples (rates differ across sources)
+    val perSrcEpochs = got.groupBy(_._2).map { case (s, g) =>
+      s -> g.map(_._1).toSet.size
+    }
+    assert(perSrcEpochs.size > 1)
+  }
 }
