@@ -86,4 +86,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.sources.IngestManifest.reconcile(emptyDocs).count() === 0)
     assert(Pipeline.runReport(emptyCust, emptyOrders).count() === 0)
   }
+
+  test("round-11 operators yield empty, not errors") {
+    import graft.operators.Corpus
+    val emptyEvents = Tables.events(spark, sf).filter("event_id < 0")
+    assert(TextAnalysis.heavyHitterTokens(emptyDocs).count() === 0)
+    assert(Dedup.repetitionScrub(emptyDocs).count() === 0)
+    assert(Corpus.tokenBudgetMixture(emptyDocs).count() === 0)
+    // k13 on an empty slice: an empty ledger yields an empty readout
+    assert(graft.sources.SketchLedger
+      .rollingUniques(emptyEvents, cacheKey = "").count() === 0)
+    // d14 on empty snapshots returns its single zero-estimate row —
+    // asserted with the overlap specs in SketchSpec
+  }
 }
