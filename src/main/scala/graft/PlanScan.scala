@@ -85,6 +85,9 @@ import org.apache.spark.sql.SparkSession
   *    q20's sketch-buffer justification.
   *  - st13 Window: the max-version board slice over the memory-sink
   *    snapshot table — ≤ batches·k rows per lang, metadata scale.
+  *  - p13 BNLJ: the corpus-total scalar crossed onto the
+  *    source-cardinality rate table (t08's 1-row-broadcast shape);
+  *    the corpus-sized admission join is a broadcast HASH join.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {

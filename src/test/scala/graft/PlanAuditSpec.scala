@@ -45,9 +45,15 @@ class PlanAuditSpec extends AnyFunSuite {
   /** q35's BAMPE auto-detect is t08's scalar-subquery shape: the
     * broadcast side is exactly ONE row (the pre-filter mode flag).
     */
+  /** p13's corpus-total cross joins ONE broadcast row onto the
+    * source-cardinality rate table (metadata-scale left side) — the
+    * same scalar shape; the corpus-sized admission join below it is
+    * a broadcast HASH join on source.
+    */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "q35_flag_census")
+      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "q35_flag_census",
+      "p13_token_mixture")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
