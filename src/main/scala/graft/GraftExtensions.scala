@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{BpeTokenCount, DotProduct, HyperplaneSig, MinHashSigs, MisraGries, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{BpeTokenCount, CdcChunks, DotProduct, HyperplaneSig, MinHashSigs, MisraGries, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -149,6 +149,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           StopwordHits(toks, stringSeqArg(words, "words"))
         case _ => throw new IllegalArgumentException(
           "stopword_hits(tokens, array('w1', 'w2', …))")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => CdcChunks(c)
+        case Seq(c, w) => CdcChunks(c, intArg(w, "window"))
+        case Seq(c, w, mb) => CdcChunks(c, intArg(w, "window"),
+          maskBits = intArg(mb, "maskBits"))
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunks(payload[, window[, maskBits]])")
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

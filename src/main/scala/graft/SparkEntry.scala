@@ -282,6 +282,8 @@ object SparkEntry {
       StreamOps.streamSketchLedger(s, d)),
     "p13_token_mixture" -> ((s, d) =>
       Corpus.tokenBudgetMixture(Tables.documents(s, d))),
+    "m07_cdc_dedup" -> ((s, d) =>
+      Multimodal.cdcDedup(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -762,6 +764,43 @@ object SparkEntry {
          FROM islands GROUP BY island""",
     // The flag word replays the engine's bit derivation predicate for
     // predicate; masks are integer bitwise ops, exact in both engines.
+    // m07: the oracle replays the stateless CDC rule declaratively —
+    // bytes via the hex/strpos parse (h60Sql's trick), the 8-byte
+    // window hash as an unrolled fold, boundary iff H % 32 = 0 (or
+    // the forced final byte), chunks from the sorted boundary list,
+    // digest = md5 of the lowercase-hex slice (the portable form:
+    // DuckDB md5 is VARCHAR-only, hex is ASCII on both engines).
+    "m07_cdc_dedup" ->
+      """WITH pay AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, hx, n,
+                  [strpos('123456789abcdef', hx[2*i+1]) * 16
+                   + strpos('123456789abcdef', hx[2*i+2])
+                   for i in range(0, n)] AS bl
+           FROM pay WHERE n >= 1),
+         ends AS (
+           SELECT doc_id, hx,
+                  list_sort(list_distinct(list_append(
+                    [i for i in range(8, n + 1)
+                     if (((((((((((((((bl[i-7]) * 31 + bl[i-6]) % 1000000007) * 31 + bl[i-5]) % 1000000007) * 31 + bl[i-4]) % 1000000007) * 31 + bl[i-3]) % 1000000007) * 31 + bl[i-2]) % 1000000007) * 31 + bl[i-1]) % 1000000007) * 31 + bl[i]) % 1000000007) % 32 = 0], n))) AS es
+           FROM b),
+         ch AS (
+           SELECT doc_id, hx, e,
+                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+                           0) AS prev
+           FROM (SELECT doc_id, hx, unnest(es) AS e FROM ends)),
+         sel AS (
+           SELECT doc_id, md5(hx[2 * prev + 1 : 2 * e]) AS chunk_md5,
+                  e - prev AS n_bytes
+           FROM ch)
+         SELECT chunk_md5, min(doc_id) AS rep_id, count(*) AS n_copies,
+                CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+                CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
+                  AS saved_bytes
+         FROM sel GROUP BY 1""",
     // run_mode is the BAMPE auto-detect (tools.py:580): a scalar over
     // the PRE-filter census, identical on every output row.
     "q35_flag_census" ->

@@ -194,6 +194,43 @@ object Multimodal {
         count(lit(1)).as("n_copies"),
         min(col("n_bytes")).as("n_bytes"))
 
+  /** m07_cdc_dedup — CHUNK-level binary dedup via content-defined
+    * chunking: m05 dedups only byte-identical payloads and m06 only
+    * whole-payload perceptual neighbors; neither sees the "same
+    * media, re-muxed with a new header" or "shard re-exported with
+    * ten rows prepended" case, where most BYTES are shared but no
+    * payload-level key matches. CDC boundaries (CdcChunks kernel:
+    * rolling-hash test, rsync/LBFS) re-synchronize after an edit, so
+    * shared runs land in identical chunks and dedup by chunk digest
+    * — the storage-level dedup a 100 TB multimodal corpus runs, and
+    * d09's substring-dedup idea carried to BINARY payloads.
+    *
+    * Chunk digest = md5 of the LOWERCASE-HEX rendering of the chunk
+    * bytes — the portable form (DuckDB's md5 is VARCHAR-only; hex is
+    * ASCII, so both engines hash identical bytes). Scale shape: one
+    * payload scan, boundaries + digests map-side (the kernel is one
+    * O(n) pass, chunk slices never leave the executor unhashed); the
+    * only shuffle carries (16-byte digest, id, len) per CHUNK —
+    * corpus bytes / 2^maskBits rows; the group-by is algebraic.
+    * Emits per distinct chunk: representative, copy count, and the
+    * bytes chunk-level dedup would reclaim.
+    */
+  def cdcDedup(documents: DataFrame): DataFrame =
+    payloads(documents)
+      .select(col("doc_id"), col("payload"),
+        posexplode(graft.functions.CdcExprs.cdcChunks(col("payload"))))
+      .select(col("doc_id"),
+        md5(lower(hex(expr(
+          "substring(payload, CAST(col.start AS INT) + 1, " +
+            "CAST(col.len AS INT))")))).as("chunk_md5"),
+        col("col.len").as("n_bytes"))
+      .groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).cast("long").as("n_bytes"))
+      .withColumn("saved_bytes",
+        ((col("n_copies") - 1) * col("n_bytes")).cast("long"))
+
   /** Per-payload perceptual hash record: the 64-bit aHash as eight
     * 8-bit chunk values (chunk k = bits [8k, 8k+8)) — stored split
     * so the band join keys on a chunk directly and no signed-64

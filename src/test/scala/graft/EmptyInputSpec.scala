@@ -93,6 +93,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.heavyHitterTokens(emptyDocs).count() === 0)
     assert(Dedup.repetitionScrub(emptyDocs).count() === 0)
     assert(Corpus.tokenBudgetMixture(emptyDocs).count() === 0)
+    assert(Multimodal.cdcDedup(emptyDocs).count() === 0)
     // k13 on an empty slice: an empty ledger yields an empty readout
     assert(graft.sources.SketchLedger
       .rollingUniques(emptyEvents, cacheKey = "").count() === 0)

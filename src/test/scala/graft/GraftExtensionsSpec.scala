@@ -121,6 +121,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(grouped("x").contains("p") && grouped("y").contains("r"))
   }
 
+  test("cdc_chunks is SQL-callable: exact cover of the payload") {
+    val rows = sqlSpark.sql(
+      """SELECT cdc_chunks(CAST('the quick brown fox jumps over a dog'
+           AS BINARY)) AS ch""").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.nonEmpty && rows.head.getLong(0) === 0L)
+    assert(rows.map(_.getLong(1)).sum === 36L)
+  }
+
   test("arity errors are rejected with a usable message") {
     sqlSpark.sql("SELECT 1").collect() // force init
     val e = intercept[Exception] {

@@ -252,4 +252,54 @@ class MultimodalSpec extends AnyFunSuite {
     // derives the same empty set through the full hash pipeline)
     assert(Multimodal.phashDedup(docs).collect().isEmpty)
   }
+
+  test("m07: CDC chunks partition every payload exactly") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 30).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(400)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + "é€") // multibyte tail
+    }
+    texts.foreach { case (_, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val arr = graft.functions.CdcChunks.compute(bytes, 8, 31L,
+        1000000007L, 5)
+      val chunks = (0 until arr.numElements()).map { k =>
+        val r = arr.getStruct(k, 2); (r.getLong(0), r.getLong(1))
+      }
+      // exact cover: starts chain, lengths positive, total = n
+      assert(chunks.nonEmpty)
+      assert(chunks.head._1 === 0L)
+      chunks.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s1 + l1 === s2)
+        case _ =>
+      }
+      assert(chunks.forall(_._2 > 0))
+      assert(chunks.map(_._2).sum === bytes.length.toLong)
+    }
+    // empty payload → no chunks
+    assert(graft.functions.CdcChunks
+      .compute(Array.emptyByteArray, 8, 31L, 1000000007L, 5)
+      .numElements() === 0)
+  }
+
+  test("m07: boundaries re-sync after an insertion (the CDC property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = (0 until 3000)
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val b = "PREPENDED-HEADER-" + a // shifted by 17 bytes
+    val out = Multimodal.cdcDedup(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text")).collect()
+    val shared = out.filter(_.getAs[Long]("n_copies") >= 2L)
+    val aChunks = graft.functions.CdcChunks
+      .compute(a.getBytes("UTF-8"), 8, 31L, 1000000007L, 5)
+      .numElements()
+    // most of A's chunks must reappear verbatim inside B despite the
+    // 17-byte shift — fixed-size blocks would share NOTHING
+    assert(shared.length >= aChunks / 2,
+      s"only ${shared.length} of $aChunks chunks re-synced")
+    // and the reclaimed bytes are most of A's length
+    val saved = shared.map(_.getAs[Long]("saved_bytes")).sum
+    assert(saved >= a.length / 2)
+  }
 }
