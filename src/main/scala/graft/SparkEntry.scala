@@ -459,7 +459,7 @@ object SparkEntry {
                        * least((t_corpus * 1000) // toks, $tcap))
                       // 1000000,
                       $maxR) AS r
-         FROM src, tot),
+         FROM src, tot WHERE toks IS NOT NULL AND toks > 0),
        adm AS (
          SELECT d.doc_id, d.source,
                 r // 1000 + CASE WHEN
@@ -651,7 +651,7 @@ object SparkEntry {
          SELECT lang,
                 unnest(string_split_regex(lower(trim(text)), '\s+'))
                   AS token
-         FROM documents WHERE text IS NOT NULL),
+         FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
        t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
        tot AS (SELECT lang, count(*) AS n_total FROM t2 GROUP BY 1)
        SELECT t.lang, token, count(*) AS n_occ,

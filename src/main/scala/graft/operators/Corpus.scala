@@ -360,7 +360,15 @@ object Corpus {
       .foldLeft(lit(defaultTargetPermille)) { case (acc, (s, v)) =>
         when(col("source") === s, lit(v)).otherwise(acc)
       }
+    // A source with UNMEASURABLE token mass (all-null texts → toks
+    // null; zero can't occur, any non-null text tokenizes to ≥ 1)
+    // contributes NOTHING to a token-budget mixture — without this
+    // guard, `least` would skip the null ratio and drive the rate to
+    // the CAP, flooding the mix with 4 copies of every token-less
+    // doc (and DuckDB/Spark least() null semantics differ, so the
+    // oracle could diverge).
     val rates = perSrc.crossJoin(broadcast(total))
+      .filter(col("toks").isNotNull && col("toks") > 0)
       .withColumn("w_permille", w.cast("long"))
       .withColumn("tr",
         least(expr("(t_corpus * 1000) DIV toks"), lit(BudgetTCap)))

@@ -280,22 +280,31 @@ object Relational {
     */
   def flagCensus(lineitem: DataFrame, excludeMask: Int = 4,
       requireMask: Int = 1): DataFrame = {
-    val flagged = lineitem.withColumn("flag", samFlag)
-    // BAMPE-vs-BAM auto-detect (tools.py:580's `view -c -f 1` mode
-    // switch): one paired read anywhere in the PRE-filter census —
-    // before -F/-f masks drop anything — flips the run to paired-end
-    // mode. A 1-row broadcast scalar, not a window: the census stays
-    // one shuffle and the detect folds into the same scan map-side.
-    val mode = flagged.agg(
-      when(max(col("flag").bitwiseAND(lit(1))) > 0, lit("BAMPE"))
-        .otherwise(lit("BAM")).as("run_mode"))
-    flagged
-      .filter(col("flag").bitwiseAND(lit(excludeMask)) === 0 &&
-        col("flag").bitwiseAND(lit(requireMask)) === requireMask)
+    // ONE pre-filter rollup serves both outputs: the -F/-f masks are
+    // functions of the flag alone, so filter-then-aggregate equals
+    // aggregate-then-filter on the ≤ 2^bits rollup rows — the census
+    // is the mask-filtered slice of the rollup, and the BAMPE
+    // auto-detect (tools.py:580's `view -c -f 1` mode switch: one
+    // paired read anywhere PRE-filter flips the run to paired-end) is
+    // a partition-less window max over the SAME rollup rows (the
+    // q13/q07 post-aggregation-bounded pattern; a separate aggregate
+    // branch would let Catalyst push the mask filter through the
+    // census groupBy and split the scan in two). The base table is
+    // scanned and the flag word derived exactly ONCE (spec-asserted),
+    // and the mask filter cannot push below a partition-less window.
+    import org.apache.spark.sql.expressions.Window
+    val rollup = lineitem
+      .withColumn("flag", samFlag)
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_reads"),
         sum(col("l_quantity")).cast("long").as("qty_sum"))
-      .crossJoin(broadcast(mode))
+    rollup
+      .withColumn("run_mode",
+        when(max(col("flag").bitwiseAND(lit(1)))
+          .over(Window.partitionBy()) > 0, lit("BAMPE"))
+          .otherwise(lit("BAM")))
+      .filter(col("flag").bitwiseAND(lit(excludeMask)) === 0 &&
+        col("flag").bitwiseAND(lit(requireMask)) === requireMask)
       .select(col("flag"), col("n_reads"), col("qty_sum"),
         col("flag").bitwiseAND(lit(1)).as("b_paired"),
         shiftright(col("flag"), 1).bitwiseAND(lit(1)).as("b_proper"),

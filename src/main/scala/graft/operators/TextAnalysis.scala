@@ -641,8 +641,12 @@ object TextAnalysis {
       k: Int = 64): DataFrame = {
     require(k >= shareDenom,
       s"MG needs k >= shareDenom for the superset guarantee ($k < $shareDenom)")
+    // lang.isNotNull keeps q43 and st13 bit-aligned by construction:
+    // a null-lang group would otherwise ride the sketch pass only to
+    // be silently discarded by the candidate equi-join — benign
+    // today, a divergence trap if the close join ever changes.
     def toks = documents
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val sketch = toks

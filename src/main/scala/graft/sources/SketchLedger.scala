@@ -43,8 +43,9 @@ object SketchLedger {
     val spark = events.sparkSession
     def build(): String = {
       val d = graft.Staging.dir("graft_k13_")
+      // Tables.events drops null-ts/null-user rows AT THE LOADER —
+      // no re-filter here.
       events
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(to_date(col("ts")).as("day"), col("event_type"),
           col("user_id"))
         .groupBy(col("day"), col("event_type"))

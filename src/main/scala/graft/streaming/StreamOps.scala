@@ -750,7 +750,6 @@ object StreamOps {
     val stage = stagedLedgerEvents.getOrElseUpdate(dir, {
       val s = graft.Staging.dir("graft_st14_")
       events
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(to_date(col("ts")).as("day"), col("event_type"),
           col("user_id"))
         .repartition(4)

@@ -42,9 +42,6 @@ class PlanAuditSpec extends AnyFunSuite {
   /** s05 composes s02's probe cross (queries × broadcast centroids)
     * with s04's LUT broadcast — the same by-design tiny sides.
     */
-  /** q35's BAMPE auto-detect is t08's scalar-subquery shape: the
-    * broadcast side is exactly ONE row (the pre-filter mode flag).
-    */
   /** p13's corpus-total cross joins ONE broadcast row onto the
     * source-cardinality rate table (metadata-scale left side) — the
     * same scalar shape; the corpus-sized admission join below it is
@@ -52,8 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "q35_flag_census",
-      "p13_token_mixture")
+      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "p13_token_mixture")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
@@ -104,7 +100,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q12's islands + per-island argmax rank, same bounded bin table
     "q36_peak_summits" -> "post-aggregation #bins rows",
     // q41's consensus side IS q12's global islands — same bin table
-    "q41_interval_join" -> "post-aggregation #bins rows (q12 side)")
+    "q41_interval_join" -> "post-aggregation #bins rows (q12 side)",
+    // BAMPE detect over the census rollup: ≤ 2^bits flag rows
+    "q35_flag_census" -> "post-aggregation 2^bits flag rows")
 
   private def physical(plan: SparkPlan): SparkPlan = plan match {
     case a: AdaptiveSparkPlanExec => a.executedPlan

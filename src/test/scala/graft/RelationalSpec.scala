@@ -192,4 +192,20 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Int]("flag")).toSet
     assert(both === Set(3, 31), s"requireMask is all-of, not any-of: $both")
   }
+
+  test("q35: run_mode detect rides the census rollup — ONE base scan") {
+    // the mode is a partition-less window over the ≤ 2^bits rollup
+    // rows (a separate aggregate branch would let the mask filter
+    // push through the census groupBy and split the scan in two)
+    val df = SparkEntry.queries("q35_flag_census")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"q35 must scan lineitem once (found $scans)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // and the BAMPE detect still reads the PRE-filter census
+    assert(df.collect().forall(_.getAs[String]("run_mode") == "BAMPE"))
+  }
 }
