@@ -646,10 +646,14 @@ object SparkEntry {
     * + the same exact closing recount): both must equal the plain
     * HAVING answer, so one oracle covers both.
     */
-  private val q43Sql: String =
-    """WITH tok AS (
+  private val q43Sql: String = {
+    // Interpolated from the operator's own registered default (the
+    // p13Sql discipline): change HeavyShareDenom and this oracle
+    // re-derives with it.
+    val denom = graft.operators.TextAnalysis.HeavyShareDenom
+    s"""WITH tok AS (
          SELECT lang,
-                unnest(string_split_regex(lower(trim(text)), '\s+'))
+                unnest(string_split_regex(lower(trim(text)), '\\s+'))
                   AS token
          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
        t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
@@ -658,7 +662,114 @@ object SparkEntry {
               round(count(*) * 1.0 / n_total, 6) AS share
        FROM t2 t JOIN tot USING (lang)
        GROUP BY t.lang, token, n_total
-       HAVING count(*) * 32 > n_total"""
+       HAVING count(*) * $denom > n_total"""
+  }
+
+  /** t15 oracle, interpolated from the operator's registered defaults
+    * (Dedup.ScrubSpanTokens / ScrubMaxRep — the p13Sql discipline).
+    */
+  private val t15Sql: String = {
+    val span = graft.operators.Dedup.ScrubSpanTokens
+    val maxRep = graft.operators.Dedup.ScrubMaxRep
+    s"""WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk) - $span + 2)) AS i
+           FROM t WHERE len(tk) >= $span),
+         s AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(list_slice(tk, i, i + ${span - 1}), ' ')
+                    AS g
+           FROM p),
+         capped AS (
+           SELECT doc_id, g FROM s
+           GROUP BY doc_id, g HAVING count(*) <= $maxRep),
+         m AS (
+           SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb,
+                  b.pos - a.pos AS diag
+           FROM s a
+           JOIN capped c ON a.doc_id = c.doc_id AND a.g = c.g
+           JOIN s b ON b.doc_id = a.doc_id AND b.g = a.g
+           WHERE a.pos < b.pos),
+         isl AS (
+           SELECT doc_id, diag, pa, pb,
+                  pa - row_number() OVER (PARTITION BY doc_id, diag
+                    ORDER BY pa) AS grp
+           FROM m),
+         spans AS (
+           SELECT doc_id, min(pb) AS b_start,
+                  CAST(max(pb) - min(pb) + $span AS BIGINT) AS span_tokens
+           FROM isl GROUP BY doc_id, diag, grp),
+         removed AS (
+           SELECT DISTINCT doc_id,
+                  unnest(range(b_start, b_start + span_tokens)) AS pos
+           FROM spans),
+         toks AS (
+           SELECT t.doc_id, unnest(t.tk) AS tok,
+                  CAST(unnest(range(len(t.tk))) AS BIGINT) AS pos
+           FROM t
+           WHERE t.doc_id IN (SELECT doc_id FROM removed)),
+         marked AS (
+           SELECT k.doc_id, k.pos, k.tok, r.pos IS NOT NULL AS rm
+           FROM toks k LEFT JOIN removed r
+             ON k.doc_id = r.doc_id AND k.pos = r.pos)
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                  ORDER BY pos), '') AS scrubbed,
+                CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed_tokens,
+                count(*) AS n_tokens
+         FROM marked GROUP BY 1"""
+  }
+
+  /** m07 oracle, interpolated from the CDC kernel's registered
+    * defaults (CdcChunks.Default* — the p13Sql discipline). The
+    * rolling window hash is emitted as an unrolled fold generated
+    * from the SAME window/base/mod the kernel runs with.
+    */
+  private val m07Sql: String = {
+    val w = graft.functions.CdcChunks.DefaultWindow
+    val base = graft.functions.CdcChunks.DefaultBase
+    val mod = graft.functions.CdcChunks.DefaultMod
+    val div = 1L << graft.functions.CdcChunks.DefaultMaskBits
+    val fold = (w - 2 to 0 by -1).foldLeft(s"(bl[i-${w - 1}])") {
+      (acc, off) =>
+        val idx = if (off == 0) "bl[i]" else s"bl[i-$off]"
+        s"(($acc * $base + $idx) % $mod)"
+    }
+    s"""WITH pay AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, hx, n,
+                  [strpos('123456789abcdef', hx[2*i+1]) * 16
+                   + strpos('123456789abcdef', hx[2*i+2])
+                   for i in range(0, n)] AS bl
+           FROM pay WHERE n >= 1),
+         ends AS (
+           SELECT doc_id, hx,
+                  list_sort(list_distinct(list_append(
+                    [i for i in range($w, n + 1)
+                     if $fold % $div = 0], n))) AS es
+           FROM b),
+         ch AS (
+           SELECT doc_id, hx, e,
+                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+                           0) AS prev
+           FROM (SELECT doc_id, hx, unnest(es) AS e FROM ends)),
+         sel AS (
+           SELECT doc_id, md5(hx[2 * prev + 1 : 2 * e]) AS chunk_md5,
+                  e - prev AS n_bytes
+           FROM ch)
+         SELECT chunk_md5, min(doc_id) AS rep_id, count(*) AS n_copies,
+                CAST(min(n_bytes) AS BIGINT) AS n_bytes,
+                CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
+                  AS saved_bytes
+         FROM sel GROUP BY 1"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q32_online_outlier" -> onlineOutlierSql,
@@ -770,37 +881,7 @@ object SparkEntry {
     // the forced final byte), chunks from the sorted boundary list,
     // digest = md5 of the lowercase-hex slice (the portable form:
     // DuckDB md5 is VARCHAR-only, hex is ASCII on both engines).
-    "m07_cdc_dedup" ->
-      """WITH pay AS (
-           SELECT doc_id, lower(hex(encode(text))) AS hx,
-                  octet_length(encode(text)) AS n
-           FROM documents WHERE text IS NOT NULL),
-         b AS (
-           SELECT doc_id, hx, n,
-                  [strpos('123456789abcdef', hx[2*i+1]) * 16
-                   + strpos('123456789abcdef', hx[2*i+2])
-                   for i in range(0, n)] AS bl
-           FROM pay WHERE n >= 1),
-         ends AS (
-           SELECT doc_id, hx,
-                  list_sort(list_distinct(list_append(
-                    [i for i in range(8, n + 1)
-                     if (((((((((((((((bl[i-7]) * 31 + bl[i-6]) % 1000000007) * 31 + bl[i-5]) % 1000000007) * 31 + bl[i-4]) % 1000000007) * 31 + bl[i-3]) % 1000000007) * 31 + bl[i-2]) % 1000000007) * 31 + bl[i-1]) % 1000000007) * 31 + bl[i]) % 1000000007) % 32 = 0], n))) AS es
-           FROM b),
-         ch AS (
-           SELECT doc_id, hx, e,
-                  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
-                           0) AS prev
-           FROM (SELECT doc_id, hx, unnest(es) AS e FROM ends)),
-         sel AS (
-           SELECT doc_id, md5(hx[2 * prev + 1 : 2 * e]) AS chunk_md5,
-                  e - prev AS n_bytes
-           FROM ch)
-         SELECT chunk_md5, min(doc_id) AS rep_id, count(*) AS n_copies,
-                CAST(min(n_bytes) AS BIGINT) AS n_bytes,
-                CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
-                  AS saved_bytes
-         FROM sel GROUP BY 1""",
+    "m07_cdc_dedup" -> m07Sql,
     // run_mode is the BAMPE auto-detect (tools.py:580): a scalar over
     // the PRE-filter census, identical on every output row.
     "q35_flag_census" ->
@@ -1941,57 +2022,7 @@ object SparkEntry {
     // (pa < pb), per-(doc, gram) cap, islands per (doc, diag), b-side
     // removal, positional reassembly. Grams compare as STRINGS where
     // the engine joins 64-bit hashes (d01's documented gap).
-    "t15_repetition_scrub" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
-           FROM documents),
-         p AS (
-           SELECT doc_id, tk, unnest(range(1, len(tk) - 3 + 2)) AS i
-           FROM t WHERE len(tk) >= 3),
-         s AS (
-           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                  array_to_string(list_slice(tk, i, i + 2), ' ') AS g
-           FROM p),
-         capped AS (
-           SELECT doc_id, g FROM s
-           GROUP BY doc_id, g HAVING count(*) <= 64),
-         m AS (
-           SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb,
-                  b.pos - a.pos AS diag
-           FROM s a
-           JOIN capped c ON a.doc_id = c.doc_id AND a.g = c.g
-           JOIN s b ON b.doc_id = a.doc_id AND b.g = a.g
-           WHERE a.pos < b.pos),
-         isl AS (
-           SELECT doc_id, diag, pa, pb,
-                  pa - row_number() OVER (PARTITION BY doc_id, diag
-                    ORDER BY pa) AS grp
-           FROM m),
-         spans AS (
-           SELECT doc_id, min(pb) AS b_start,
-                  CAST(max(pb) - min(pb) + 3 AS BIGINT) AS span_tokens
-           FROM isl GROUP BY doc_id, diag, grp),
-         removed AS (
-           SELECT DISTINCT doc_id,
-                  unnest(range(b_start, b_start + span_tokens)) AS pos
-           FROM spans),
-         toks AS (
-           SELECT t.doc_id, unnest(t.tk) AS tok,
-                  CAST(unnest(range(len(t.tk))) AS BIGINT) AS pos
-           FROM t
-           WHERE t.doc_id IN (SELECT doc_id FROM removed)),
-         marked AS (
-           SELECT k.doc_id, k.pos, k.tok, r.pos IS NOT NULL AS rm
-           FROM toks k LEFT JOIN removed r
-             ON k.doc_id = r.doc_id AND k.pos = r.pos)
-         SELECT doc_id,
-                COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' '
-                  ORDER BY pos), '') AS scrubbed,
-                CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_removed_tokens,
-                count(*) AS n_tokens
-         FROM marked GROUP BY 1""",
+    "t15_repetition_scrub" -> t15Sql,
     // t09: oracle counts bigram STRINGS where the engine counts
     // xxhash64 digests (d01's documented gap); each probability is
     // one long·1e6/long division (identical IEEE both engines),

@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, St
   * payload — and `doGenCode` emits a single static call into the
   * compiled kernel (the ShingleHashes discipline).
   */
-case class CdcChunks(child: Expression, window: Int = 8,
-    base: Long = 31L, mod: Long = 1000000007L, maskBits: Int = 5)
+case class CdcChunks(child: Expression,
+    window: Int = CdcChunks.DefaultWindow,
+    base: Long = CdcChunks.DefaultBase,
+    mod: Long = CdcChunks.DefaultMod,
+    maskBits: Int = CdcChunks.DefaultMaskBits)
   extends UnaryExpression {
 
   require(window > 0 && base > 1 && mod > 1 && mod < (1L << 31) &&
@@ -73,6 +76,16 @@ case class CdcChunks(child: Expression, window: Int = 8,
 
 object CdcChunks {
 
+  /** Registered m07 defaults. The oracle SQL in SparkEntry is BUILT
+    * from these same values (the p13Sql discipline), so changing a
+    * default here re-derives the oracle instead of silently
+    * desynchronizing engine and oracle.
+    */
+  val DefaultWindow: Int = 8
+  val DefaultBase: Long = 31L
+  val DefaultMod: Long = 1000000007L
+  val DefaultMaskBits: Int = 5
+
   /** Interpreted twin of the boundary scan (also the codegen target —
     * a single static call, no per-byte virtual dispatch).
     */
@@ -106,8 +119,10 @@ object CdcChunks {
 object CdcExprs {
 
   /** Column API: CDC byte ranges of a binary payload. */
-  def cdcChunks(payload: Column, window: Int = 8, base: Long = 31L,
-      mod: Long = 1000000007L, maskBits: Int = 5): Column =
+  def cdcChunks(payload: Column, window: Int = CdcChunks.DefaultWindow,
+      base: Long = CdcChunks.DefaultBase,
+      mod: Long = CdcChunks.DefaultMod,
+      maskBits: Int = CdcChunks.DefaultMaskBits): Column =
     Shim.column(CdcChunks(Shim.expression(payload), window, base, mod,
       maskBits))
 }

@@ -24,6 +24,15 @@ import graft.functions.{HashExprs, TextOps, VectorOps}
   */
 object Dedup {
 
+  /** t15 registered defaults: every later re-occurrence of a run of
+    * ≥ ScrubSpanTokens tokens is removed; per-(doc, gram) fan-out is
+    * capped at ScrubMaxRep. The t15 oracle SQL is BUILT from these
+    * (the p13Sql discipline) so engine and oracle cannot silently
+    * desynchronize.
+    */
+  val ScrubSpanTokens: Int = 3
+  val ScrubMaxRep: Int = 64
+
   /** d01_dedup_exact — exact duplicate groups on normalized text.
     * GroupBy on `xxhash64(normText)` so the exchange carries 8 bytes
     * per row instead of the document; `min(doc_id)` picks the
@@ -529,8 +538,9 @@ object Dedup {
     * pathological gram can only split or skip a span, never invent
     * one. Window cardinality is (doc, diag) over matched docs only.
     */
-  def repetitionScrub(documents: DataFrame, spanTokens: Int = 3,
-      maxRep: Int = 64): DataFrame = {
+  def repetitionScrub(documents: DataFrame,
+      spanTokens: Int = Dedup.ScrubSpanTokens,
+      maxRep: Int = Dedup.ScrubMaxRep): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val posting = documents
       .select(col("doc_id"),
@@ -662,10 +672,17 @@ object Dedup {
           .as("est_new"),
         approx_count_distinct(col("k"), rsd).as("est_union"))
       .select(col("est_old"), col("est_new"), col("est_union"),
-        (col("est_old") + col("est_new") - col("est_union"))
+        // Clamp the inclusion–exclusion derivatives at zero: HLL
+        // noise can push est_union past est_old + est_new when the
+        // true overlap is near empty, and a negative "common docs"
+        // readout is nonsense for the daily drift gate.
+        greatest(lit(0L),
+          col("est_old") + col("est_new") - col("est_union"))
           .as("est_common"),
-        (col("est_union") - col("est_new")).as("est_only_old"),
-        (col("est_union") - col("est_old")).as("est_only_new"))
+        greatest(lit(0L), col("est_union") - col("est_new"))
+          .as("est_only_old"),
+        greatest(lit(0L), col("est_union") - col("est_old"))
+          .as("est_only_new"))
   }
 
   /** Driver entry: the same two deterministic snapshot cuts as d11,

@@ -16,6 +16,15 @@ import graft.functions.{RollingHash, TextOps}
   */
 object TextAnalysis {
 
+  /** q43/st13 registered defaults: heavy hitter = token holding more
+    * than 1/HeavyShareDenom of its language's mass; the MG sketch
+    * runs with k = 2·shareDenom slack. The q43 oracle SQL is BUILT
+    * from HeavyShareDenom (the p13Sql discipline) so engine and
+    * oracle can never silently desynchronize.
+    */
+  val HeavyShareDenom: Int = 32
+  val HeavyK: Int = 2 * HeavyShareDenom
+
   /** Language → stopword list for the n-gram/stopword-hit heuristic.
     * Deliberately tiny: the heuristic's value is its shape (argmax of
     * per-language evidence, deterministic tiebreak), not lexicon size.
@@ -637,8 +646,9 @@ object TextAnalysis {
     * needs only k ≥ shareDenom, the slack halves the candidate
     * false-positive tail pass 2 has to recount.
     */
-  def heavyHitterTokens(documents: DataFrame, shareDenom: Int = 32,
-      k: Int = 64): DataFrame = {
+  def heavyHitterTokens(documents: DataFrame,
+      shareDenom: Int = TextAnalysis.HeavyShareDenom,
+      k: Int = TextAnalysis.HeavyK): DataFrame = {
     require(k >= shareDenom,
       s"MG needs k >= shareDenom for the superset guarantee ($k < $shareDenom)")
     // lang.isNotNull keeps q43 and st13 bit-aligned by construction:

@@ -902,7 +902,8 @@ object StreamOps {
     * st12/k12 precedent).
     */
   def streamHeavyHitters(spark: SparkSession, dir: String,
-      shareDenom: Int = 32, k: Int = 64): DataFrame = {
+      shareDenom: Int = graft.operators.TextAnalysis.HeavyShareDenom,
+      k: Int = graft.operators.TextAnalysis.HeavyK): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
     val stage = stagedHhDocs.getOrElseUpdate(dir, {
@@ -954,12 +955,22 @@ object StreamOps {
     // ≤ batches·k rows per lang ever landed in the sink; a window
     // instead of a groupBy self-join — the memory view resolves to
     // the same attribute ids on both sides of a join)
-    val candidates = snaps
+    val candView = snaps
       .withColumn("maxv", max(col("version"))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang"))))
       .filter(col("version") === col("maxv"))
       .select(col("lang"), col("n_total"), col("token"))
+    // Materialize the candidate board eagerly (≤ k rows per lang —
+    // the MG state bound) so the Update-mode memory sink can be
+    // dropped; without the drop every snapshot row of every
+    // invocation stays in driver memory for the session's lifetime.
+    val candidates = {
+      import scala.jdk.CollectionConverters._
+      val rows = candView.collect().toSeq
+      spark.catalog.dropTempView(sink)
+      spark.createDataFrame(rows.asJava, candView.schema)
+    }
     // q43's exact closing pass over the landed corpus
     docs
       .filter(col("text").isNotNull)

@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 probe-data generator (VERDICT r11 item 1): derive a ~10×
+  * corpus from the driver's sf0.1 tables so the "would this plan
+  * survive a 10× scale-up" argument is MEASURED, not prose. The
+  * driver's generator is not available to us (TESTDATA.md: testdata
+  * is read-only), so sf1 is derived by k-fold replication with
+  * per-copy transforms chosen to preserve each workload's SHAPE:
+  *
+  *  - documents: doc_id shifts by copy·(max+1); text passes through a
+  *    per-copy Caesar rotation (`translate`, copy 0 = identity) of
+  *    letters and digits. Rotation preserves length, whitespace, and
+  *    the intra-copy token/shingle/df structure EXACTLY while making
+  *    copies token-disjoint — verbatim replication would plant a
+  *    10-copy exact+near-dup clique on every document, inflating the
+  *    dedup family's pair term quadratically (a blowup no real 10×
+  *    corpus has; a real one has ~the same duplication RATE). lang /
+  *    source / n_chars keep (strata count fixed, strata sizes ×k —
+  *    the realistic growth axis).
+  *  - embeddings: vec_id shifts; the vector rotates left by copy
+  *    positions (norm- and distribution-preserving; copies are not
+  *    mutual near-neighbors). label keeps.
+  *  - events: event_id and user_id shift (more users at the same
+  *    per-user activity — the realistic growth; shifting only the
+  *    event_id would instead 10× every user's history and change
+  *    per-key window costs superlinearly). ts/type/value/props keep:
+  *    k× the event density over the same time range.
+  *  - orders/lineitem: orderkey shifts on both sides (FK preserved);
+  *    partkey/suppkey/custkey KEEP — the dims are deliberately not
+  *    replicated, so each dim key serves k× the fact rows, which is
+  *    how a fact table actually outgrows its dimensions.
+  *  - region/nation/customer/supplier/part: copied unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> [factor=10]
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digit = "0123456789"
+
+  private def rot(s: String, k: Int): String = {
+    val n = s.length
+    val kk = ((k % n) + n) % n
+    s.substring(kk) + s.substring(0, kk)
+  }
+
+  /** Per-copy alphabet rotation: identity at k=0. */
+  private def caesar(c: org.apache.spark.sql.Column, k: Int) =
+    if (k == 0) c
+    else translate(c, Lower + Upper + Digit,
+      rot(Lower, k) + rot(Upper, k) + rot(Digit, k))
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    def shiftBase(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    // unchanged dims
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(read(t), t))
+
+    val docs = read("documents")
+    val dShift = shiftBase(docs, "doc_id")
+    write((0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * dShift)).as("doc_id"),
+        caesar(col("text"), k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_)), "documents")
+
+    val emb = read("embeddings")
+    val vShift = shiftBase(emb, "vec_id")
+    write((0 until factor).map { k =>
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, 100000),
+          slice(col("embedding"), 1, k))
+      emb.select((col("vec_id") + lit(k * vShift)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_.unionByName(_)), "embeddings")
+
+    val ev = read("events")
+    val eShift = shiftBase(ev, "event_id")
+    val uShift = shiftBase(ev, "user_id")
+    write((0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * eShift)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * uShift)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_)), "events")
+
+    val ord = read("orders")
+    val oShift = shiftBase(ord, "o_orderkey")
+    write((0 until factor).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * oShift))
+    }.reduce(_.unionByName(_)), "orders")
+
+    val li = read("lineitem")
+    write((0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * oShift))
+    }.reduce(_.unionByName(_)), "lineitem")
+
+    println(s"SCALEUP_DONE: $out factor=$factor")
+    spark.stop()
+  }
+}
