@@ -147,6 +147,8 @@ object SparkEntry {
       Corpus.stratifiedSample(Tables.documents(s, d))),
     "p03_dedup_corpus" -> ((s, d) =>
       Corpus.dedupCorpus(Tables.documents(s, d))),
+    "p14_training_build" -> ((s, d) =>
+      Corpus.trainingBuild(Tables.documents(s, d))),
     "q19_approx_distinct" -> ((s, d) =>
       Corpus.approxMetrics(Tables.orders(s, d))),
     "q20_approx_quantiles" -> ((s, d) =>
@@ -470,6 +472,137 @@ object SparkEntry {
        SELECT doc_id, source,
               CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
        FROM adm WHERE n_copies > 0"""
+  }
+
+  /** p14's oracle — the full training-data build replayed
+    * relationally, stitched from the component oracles it composes
+    * (p01's quality score, p03's dedup closure, p08's salted-hash
+    * split, p13's integer rate derivation, t07's packing window) and
+    * interpolated from the SAME constants the operator runs with
+    * (Corpus.Build* / Budget*).
+    */
+  private val p14Sql: String = {
+    val minQ = graft.operators.Corpus.BuildMinQualityBp / 10000.0
+    val budget = graft.operators.Corpus.BuildBudgetTokens
+    val test = graft.operators.Corpus.BuildTestPermille
+    val valP = graft.operators.Corpus.BuildValPermille
+    val sSalt = graft.operators.Corpus.BuildSplitSalt
+    val cases = graft.operators.Corpus.BudgetTargets.toSeq.sortBy(_._1)
+      .map { case (s, v) => s"WHEN '$s' THEN $v" }.mkString(" ")
+    val dflt = graft.operators.Corpus.BudgetDefaultTargetPermille
+    val beta = graft.operators.Corpus.BudgetBetaPermille
+    val mSalt = graft.operators.Corpus.BudgetSalt
+    val maxR = graft.operators.Corpus.BudgetMaxRatePermille
+    val tcap = graft.operators.Corpus.BudgetTCap
+    def bucket(salt: Long): String =
+      s"(((doc_id % 1000000007 + $salt) % 1000000007) " +
+        s"* 2654435761 % 1000000007) * 2654435761 % 1000"
+    s"""WITH RECURSIVE b AS (
+           SELECT doc_id, source, text, lower(trim(text)) AS t,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source, text, len(toks) AS n_tokens,
+             round((length(regexp_replace(t, '[^a-z]', '', 'g')) * 1.0
+                    / nullif(length(t), 0)) * 0.5
+                   + least(len(toks) / 100.0, 1.0) * 0.3
+                   + least(len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is'], x)))
+                     * 1.0 / nullif(len(toks), 0) * 5.0, 1.0) * 0.2,
+                   4) AS quality_score
+           FROM b),
+         qual AS (
+           SELECT doc_id, source, text, n_tokens FROM scored
+           WHERE quality_score >= $minQ),
+         survivors AS (
+           SELECT min(doc_id) AS doc_id
+           FROM qual
+           GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+         docs AS (
+           SELECT q.doc_id, q.source, q.n_tokens, q.text
+           FROM qual q JOIN survivors s USING (doc_id)),
+         sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM docs)
+           WHERE len(t) >= 3),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS na, len(b.sh) AS nb
+             FROM sets a JOIN sets b ON a.doc_id < b.doc_id) t
+           WHERE inter * 1.0 / (na + nb - inter) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         comp AS (
+           SELECT node AS doc_id, min(lbl) AS cluster_rep
+           FROM reach GROUP BY node),
+         kept AS (
+           SELECT d.doc_id, d.source, d.n_tokens
+           FROM docs d LEFT JOIN comp c USING (doc_id)
+           WHERE c.doc_id IS NULL OR c.cluster_rep = d.doc_id),
+         sp AS (
+           SELECT doc_id, source, n_tokens,
+                  CASE WHEN ${bucket(sSalt)} < $test THEN 'test'
+                       WHEN ${bucket(sSalt)} < ${test + valP} THEN 'val'
+                       ELSE 'train' END AS split
+           FROM kept),
+         src AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS toks
+           FROM sp WHERE split = 'train' GROUP BY 1),
+         tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t_corpus FROM src),
+         rates AS (
+           SELECT source,
+                  least(($beta * (CASE source $cases ELSE $dflt END)
+                         * least((t_corpus * 1000) // toks, $tcap))
+                        // 1000000,
+                        $maxR) AS r
+           FROM src, tot WHERE toks IS NOT NULL AND toks > 0),
+         adm AS (
+           SELECT sp.doc_id, sp.source, sp.split, sp.n_tokens,
+                  r // 1000 + CASE WHEN ${bucket(mSalt)} < r % 1000
+                    THEN 1 ELSE 0 END AS n_copies
+           FROM sp JOIN rates USING (source)
+           WHERE split = 'train'),
+         reps AS (
+           SELECT doc_id, source, split, n_tokens,
+                  CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+           FROM adm WHERE n_copies > 0
+           UNION ALL
+           SELECT doc_id, source, split, n_tokens, 0 AS epoch
+           FROM sp WHERE split <> 'train'),
+         packed AS (
+           SELECT split, source, epoch, doc_id, n_tokens,
+                  (CAST(sum(n_tokens) OVER (
+                     PARTITION BY split, source, epoch ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - n_tokens) // $budget AS seq_id
+           FROM reps),
+         lvl1 AS (
+           SELECT split, source, epoch, count(*) AS n_rows,
+                  CAST(sum(n_tokens) AS BIGINT) AS tok,
+                  max(seq_id) + 1 AS n_seq,
+                  CAST(sum(doc_id) AS BIGINT) AS ck
+           FROM packed GROUP BY 1, 2, 3)
+         SELECT split, source,
+                CAST(sum(CASE WHEN epoch = 0 THEN n_rows END) AS BIGINT)
+                  AS n_docs,
+                CAST(sum(n_rows) AS BIGINT) AS n_copies,
+                CAST(sum(n_seq) AS BIGINT) AS n_seqs,
+                CAST(sum(tok) AS BIGINT) AS sum_tokens,
+                CAST(sum(CASE WHEN epoch = 0 THEN ck END) AS BIGINT)
+                  AS id_checksum
+         FROM lvl1 GROUP BY 1, 2"""
   }
 
   private val d10Sql: String =
@@ -2023,6 +2156,10 @@ object SparkEntry {
     // removal, positional reassembly. Grams compare as STRINGS where
     // the engine joins 64-bit hashes (d01's documented gap).
     "t15_repetition_scrub" -> t15Sql,
+    // p14: the composed build replayed from the component oracles;
+    // engine joins shingle/text HASHES where the oracle joins strings
+    // (d01's documented gap), everything else integer-exact.
+    "p14_training_build" -> p14Sql,
     // t09: oracle counts bigram STRINGS where the engine counts
     // xxhash64 digests (d01's documented gap); each probability is
     // one long·1e6/long division (identical IEEE both engines),

@@ -702,4 +702,145 @@ object Corpus {
         countDistinct(col("source")).as("n_sources"),
         sum(col("doc_id")).as("id_checksum"))
   }
+
+  /** p14 geometry — shared with the registered oracle (SparkEntry
+    * builds the SQL from THESE constants, the p13 discipline).
+    */
+  val BuildMinQualityBp: Int = 5000 // basis points: 0.5
+  val BuildBudgetTokens: Long = 2048L
+  val BuildTestPermille: Int = 10
+  val BuildValPermille: Int = 50
+  val BuildSplitSalt: Long = 9176L
+
+  /** p14_training_build — the composition CAPSTONE: the whole
+    * training-data build as ONE declarative plan, proving the
+    * operator surface composes without re-scanning the corpus at
+    * each stage. The chain is the pipeline a real pretraining drop
+    * runs, each stage this library's registered operator:
+    *
+    *   clean (p01's quality gate) → exact dedup (p03's min-id layer)
+    *   → fuzzy dedup graph (d04 pairs → d07 components, reps kept)
+    *   → train/val/test split (p08's salted hash; LEAK-SAFE BY
+    *     CONSTRUCTION here — p10 exists because near-dup pairs can
+    *     straddle a split boundary, but this pipeline hard-dedups
+    *     first, so every cluster is already one representative and
+    *     rep_id = doc_id for every surviving row)
+    *   → token-budget mixture on the train slice (p13's integer rate
+    *     derivation from measured token mass, epochs replicated
+    *     map-side)
+    *   → sequence packing per (split, source, epoch) (t07's
+    *     concat-then-chunk)
+    *   → the manifest rollup a consumer validates the drop with
+    *     (k09's completeness grain: docs, copies, sequences, token
+    *     mass, id checksum per (split, source)).
+    *
+    * Scale shape — ONE corpus scan (spec-asserted, the p03
+    * precedent): a single projection computes quality score, exact
+    * hash, shingle digests, and token count per document, then TEXT
+    * IS DROPPED; every downstream stage shuffles hashes and longs.
+    * The exact layer's nh-window exchange is the reuse point feeding
+    * both the fuzzy candidate pipeline and the split/mixture/packing
+    * tail. The mixture's rate table is a source-cardinality aggregate
+    * broadcast back (p13's pass-1, here fed from the SAME scan
+    * instead of a second one — composing the stages SAVES p13's
+    * second text scan, which is the capstone's point). Packing
+    * windows partition by (split, source, epoch); the final rollup
+    * is two algebraic hash aggregates on post-window cardinality.
+    */
+  def trainingBuild(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{ShingleExprs, TextOps}
+    val minQ = BuildMinQualityBp / 10000.0
+    // ONE scan: quality + exact-dedup hash + shingle digests + token
+    // count, text dropped immediately after this projection.
+    val enriched = TextAnalysis
+      .qualityScore(documents, passthrough = Seq("lang", "source", "text"))
+      .filter(col("quality_score") >= minQ)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        xxhash64(TextOps.normText(col("text"))).as("nh"),
+        ShingleExprs.shingleHashSet(col("text"), 3).as("sh"))
+    // exact layer: min-id survivor per normalized-text hash (p03)
+    val surv = Window.partitionBy(col("nh"))
+    val sets = enriched
+      .withColumn("_min", min(col("doc_id")).over(surv))
+      .filter(col("doc_id") === col("_min"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("sh"), size(col("sh")).as("nsh"))
+    // fuzzy layer: d04 candidate pipeline → d07 components; only the
+    // dup-graph sliver flows here, reps survive (p03's contract)
+    val groups = Dedup.dedupGroups(Dedup.ngramJaccardFromSets(
+      sets.filter(col("nsh") > 0).select(col("doc_id"), col("sh"),
+        col("nsh"))))
+    val dropped = groups.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    val kept = sets.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    // split: p08's salted hash on doc_id (≡ rep_id after hard dedup)
+    val h = saltedBucket(col("doc_id"), BuildSplitSalt, 1000L)
+    val withSplit = kept.withColumn("split",
+      when(h < BuildTestPermille, lit("test"))
+        .when(h < BuildTestPermille + BuildValPermille, lit("val"))
+        .otherwise(lit("train")))
+    // mixture (train slice only): p13's integer rate derivation from
+    // the CLEANED, DEDUPED train token mass — metadata-scale agg,
+    // broadcast back
+    val train = withSplit.filter(col("split") === "train")
+    val perSrc = train.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("toks"))
+    val total = perSrc.agg(sum(col("toks")).as("t_corpus"))
+    val w = BudgetTargets.toSeq.sortBy(_._1)
+      .foldLeft(lit(BudgetDefaultTargetPermille)) { case (acc, (s, v)) =>
+        when(col("source") === s, lit(v)).otherwise(acc)
+      }
+    val rates = perSrc.crossJoin(broadcast(total))
+      .filter(col("toks").isNotNull && col("toks") > 0)
+      .withColumn("w_permille", w.cast("long"))
+      .withColumn("tr",
+        least(expr("(t_corpus * 1000) DIV toks"), lit(BudgetTCap)))
+      .withColumn("r",
+        least(expr(s"($BudgetBetaPermille * w_permille * tr) DIV 1000000"),
+          lit(BudgetMaxRatePermille)))
+      .select(col("source"), col("r"))
+    val trainRep = train
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("n_copies",
+        expr("r DIV 1000") +
+          when(saltedBucket(col("doc_id"), BudgetSalt, 1000L) <
+            pmod(col("r"), lit(1000L)), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          col("n_copies").cast("long") - 1)).as("epoch"))
+    val heldOut = withSplit.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+        lit(0L).as("epoch"))
+    // packing (t07) per (split, source, epoch): strata pack
+    // independently, replicas of different epochs never share a
+    // sequence
+    val packW = Window
+      .partitionBy(col("split"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = trainRep.unionByName(heldOut)
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(packW) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_tok DIV $BuildBudgetTokens"))
+    // manifest rollup (k09 grain): two algebraic aggregates on
+    // post-window cardinality
+    packed
+      .groupBy(col("split"), col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tokens")).as("tok"),
+        (max(col("seq_id")) + 1).as("n_seq"),
+        sum(col("doc_id")).as("ck"))
+      .groupBy(col("split"), col("source"))
+      .agg(
+        sum(when(col("epoch") === 0L, col("n_rows"))).cast("long")
+          .as("n_docs"),
+        sum(col("n_rows")).cast("long").as("n_copies"),
+        sum(col("n_seq")).cast("long").as("n_seqs"),
+        sum(col("tok")).cast("long").as("sum_tokens"),
+        sum(when(col("epoch") === 0L, col("ck"))).cast("long")
+          .as("id_checksum"))
+  }
 }

@@ -511,4 +511,73 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(perSrcEpochs.size > 1)
   }
+
+  test("p14: manifest conserves the cleaned+deduped corpus across splits") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.trainingBuild(docs).collect()
+    // independent expectation: quality gate → dedupCorpus (exact +
+    // fuzzy keep-one) on the same slice
+    val cleaned = graft.operators.TextAnalysis
+      .qualityScore(docs,
+        passthrough = Seq("lang", "source", "text", "n_chars"))
+      .filter(col("quality_score") >= 0.5)
+      .select(docs.columns.map(col): _*)
+    val keptIds = Corpus.dedupCorpus(cleaned).collect()
+      .map(_.getLong(0)).toSet
+    // p08's split arithmetic on the kept ids (post-dedup, every doc
+    // is its own representative, so doc_id IS rep_id)
+    val P = 1000000007L; val K = 2654435761L
+    def bucket(id: Long, salt: Long): Long =
+      ((id % P + salt) % P) * K % P * K % 1000L
+    def splitOf(id: Long): String = {
+      val h = bucket(id, Corpus.BuildSplitSalt)
+      if (h < Corpus.BuildTestPermille) "test"
+      else if (h < Corpus.BuildTestPermille + Corpus.BuildValPermille) "val"
+      else "train"
+    }
+    val expBySplit = keptIds.groupBy(splitOf).view.mapValues(_.size.toLong)
+    // held-out slices conserve the kept corpus exactly (no mixture);
+    // train's mixture may drop docs (rate < 1 epoch), never invent
+    def docsOf(split: String): Long = out
+      .filter(_.getAs[String]("split") == split)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(docsOf("test") === expBySplit.getOrElse("test", 0L))
+    assert(docsOf("val") === expBySplit.getOrElse("val", 0L))
+    assert(docsOf("train") > 0L &&
+      docsOf("train") <= expBySplit.getOrElse("train", 0L),
+      s"train admits a subset: ${docsOf("train")} of " +
+        s"${expBySplit.getOrElse("train", 0L)}")
+    // held-out slices are never replicated; train replication admits
+    // at least the floor epochs
+    out.filter(r => r.getAs[String]("split") != "train").foreach { r =>
+      assert(r.getAs[Long]("n_copies") === r.getAs[Long]("n_docs"))
+    }
+    val train = out.filter(_.getAs[String]("split") == "train")
+    assert(train.nonEmpty &&
+      train.map(_.getAs[Long]("n_copies")).sum >=
+        train.map(_.getAs[Long]("n_docs")).sum)
+    // every (split, source) packs into at least one sequence and
+    // sequence budget bounds hold on average (a sequence holds at
+    // most budget tokens of STARTS; totals conserve exactly)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_seqs") >= 1L)
+      assert(r.getAs[Long]("sum_tokens") > 0L)
+    }
+  }
+
+  test("p14: ONE corpus scan feeds clean, dedup, split, mixture, packing") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Corpus.trainingBuild(Tables.documents(spark, sf))
+      df.collect() // AQE reuse is decided at stage materialization
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = plan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("documents"))
+      assert(scans === 1,
+        s"p14: the corpus text pipeline must run exactly once " +
+          s"(found $scans documents scans):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -120,6 +120,131 @@ class SortedLayoutSpec extends AnyFunSuite {
     assert(manifest.values.map(_._1).sum === docs.count())
   }
 
+  // ---- Z-order (multi-dimensional clustering) ----
+
+  private lazy val zorderDir =
+    SortedLayout.stageZordered(docs, writers = 8, maxRecords = 12L)
+  private lazy val sortedSmallDir =
+    SortedLayout.stageSorted(docs, writers = 8, maxRecords = 12L)
+  private lazy val unsortedSmallDir =
+    SortedLayout.stageUnsorted(docs, writers = 8, maxRecords = 12L)
+
+  private def scanRowsWhere(dir: String, pred: org.apache.spark.sql.Column)
+      : (Long, Long) = {
+    val df = spark.read.schema(docs.schema).parquet(dir).filter(pred)
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val read = plan.collectLeaves()
+      .collect { case s: FileSourceScanExec =>
+        s.metrics("numOutputRows").value }
+      .sum
+    (n, read)
+  }
+
+  private def meanSpan(ranges: Seq[(String, Long, Long)]): Double =
+    ranges.map { case (_, mn, mx) => (mx - mn + 1).toDouble }
+      .sum / ranges.size
+
+  test("k08 zorder: per-file stats are narrow on BOTH dimensions") {
+    // single-sort control: doc_id tiles perfectly, n_chars spans
+    // nearly everything per file; z-order: BOTH dims meaningfully
+    // narrower than the full range — the quadrant property.
+    val zDoc = meanSpan(SortedLayout.columnRanges(spark, zorderDir, "doc_id"))
+    val zChars = meanSpan(SortedLayout.columnRanges(spark, zorderDir, "n_chars"))
+    val sChars = meanSpan(SortedLayout.columnRanges(spark, sortedSmallDir, "n_chars"))
+    val uDoc = meanSpan(SortedLayout.columnRanges(spark, unsortedSmallDir, "doc_id"))
+    // vs the doc_id-sorted tree, z-order must narrow the SECOND dim
+    assert(zChars < sChars * 0.7,
+      s"z-order must narrow n_chars spans: z $zChars vs sorted $sChars")
+    // and still keep the first dim far narrower than the hash control
+    assert(zDoc < uDoc * 0.7,
+      s"z-order must keep doc_id spans narrow: z $zDoc vs hash $uDoc")
+  }
+
+  test("k08 zorder: range predicates skip on BOTH dimensions") {
+    // sf0.1 (5000 docs) so file granularity approximates row-group
+    // granularity at scale — at 500 docs the handful of files each
+    // cover fractional quadrants and the skip factor is too coarse
+    // to assert tightly.
+    val docs1 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val zDir = SortedLayout.stageZordered(docs1, writers = 8,
+      maxRecords = 64L)
+    val sDir = SortedLayout.stageSorted(docs1, writers = 8,
+      maxRecords = 64L)
+    // TRUE range-blind control: rows explicitly ordered by a hash, so
+    // every file's key stats span ~the full range on both dims (the
+    // plain stageUnsorted control partially inherits the source's
+    // doc_id order through task-local write runs at this scale)
+    val uDir = {
+      val dir = graft.Staging.dir("graft_k08_rnd_") + "/tree"
+      // sort key = (lang, hash): the leading lang satisfies the
+      // partitioned writer's required ordering, so the writer keeps
+      // THIS sort (a bare hash sort would be superseded by the
+      // writer's own lang re-sort and the source's doc_id order
+      // would leak back into the file chunks)
+      docs1
+        .repartition(col("lang"),
+          pmod(xxhash64(col("doc_id")), lit(8)))
+        .sortWithinPartitions(col("lang"), xxhash64(col("doc_id") + 7L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("maxRecordsPerFile", 64L)
+        .partitionBy("lang")
+        .parquet(dir)
+      dir
+    }
+    // Skippability measured on the pruning metadata itself: the
+    // fraction of files whose footer [min, max] intersects the
+    // predicate's range — exactly what the reader's row-group skip
+    // consults (the k09 spec pins footer ≡ manifest; the plain-k08
+    // scan-metric test already proves the engine consumes these
+    // stats). Row fractions read off scan metrics are avoided here:
+    // page-level column-index effects make them nondeterministic at
+    // this file granularity.
+    def hitFrac(dir: String, column: String, lo: Long, hi: Long)
+        : Double = {
+      val rs = SortedLayout.columnRanges(spark, dir, column)
+      rs.count { case (_, mn, mx) => mx >= lo && mn < hi }.toDouble /
+        rs.size
+    }
+    // dim 1 (doc_id in [1000, 1500)): z-order skips a meaningful
+    // share of files where the hash control intersects ~all of them
+    val zDoc = hitFrac(zDir, "doc_id", 1000L, 1500L)
+    val uDoc = hitFrac(uDir, "doc_id", 1000L, 1500L)
+    assert(uDoc > 0.9, s"range-blind control must intersect ~all: $uDoc")
+    assert(zDoc <= uDoc * 0.7,
+      s"doc_id skip: z-order hits $zDoc of files vs range-blind $uDoc")
+    // dim 2 (n_chars < 150): z-order skips where the single-sort
+    // tree (clustered by doc_id only) cannot
+    val zCh = hitFrac(zDir, "n_chars", Long.MinValue, 150L)
+    val sCh = hitFrac(sDir, "n_chars", Long.MinValue, 150L)
+    assert(sCh > 0.5,
+      s"single-sort control should intersect most files on n_chars: $sCh")
+    assert(zCh <= sCh * 0.7,
+      s"n_chars skip: z-order hits $zCh of files vs single-sort $sCh")
+    // answers unchanged on the same predicates
+    val zReader = spark.read.schema(docs1.schema).parquet(zDir)
+    assert(zReader.filter(col("doc_id") >= 1000L && col("doc_id") < 1500L)
+      .count() === 500L)
+    assert(zReader.filter(col("n_chars") < 150L).count() ===
+      docs1.filter(col("n_chars") < 150L).count())
+  }
+
+  test("k08 zorder: layout never changes answers") {
+    val viaZ = spark.read.schema(docs.schema).parquet(zorderDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ck"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val direct = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ck"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(viaZ === direct)
+  }
+
   test("k08: roundtrip summary equals the original-table computation") {
     val viaLayout = SortedLayout.sortedRoundtrip(docs)
     val direct = docs
