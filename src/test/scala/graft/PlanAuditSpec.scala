@@ -45,11 +45,14 @@ class PlanAuditSpec extends AnyFunSuite {
   /** p13's corpus-total cross joins ONE broadcast row onto the
     * source-cardinality rate table (metadata-scale left side) — the
     * same scalar shape; the corpus-sized admission join below it is
-    * a broadcast HASH join on source.
+    * a broadcast HASH join on source. p14 composes p13's mixture
+    * stage and inherits exactly that scalar cross (its corpus-sized
+    * joins are hash/anti joins, visible in the same plan).
     */
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
-      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "p13_token_mixture")
+      "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "p13_token_mixture",
+      "p14_training_build")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
