@@ -286,6 +286,10 @@ object SparkEntry {
       Corpus.tokenBudgetMixture(Tables.documents(s, d))),
     "m07_cdc_dedup" -> ((s, d) =>
       Multimodal.cdcDedup(Tables.documents(s, d))),
+    "d15_bloom_decontaminate" -> ((s, d) =>
+      Dedup.bloomDecontaminate(Tables.documents(s, d))),
+    "p15_importance_sample" -> ((s, d) =>
+      Corpus.importanceSample(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -472,6 +476,81 @@ object SparkEntry {
        SELECT doc_id, source,
               CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
        FROM adm WHERE n_copies > 0"""
+  }
+
+  /** d15's oracle — the plain exact any-hit contamination answer,
+    * interpolated from Dedup's registered gram order and benchmark
+    * boundary (the bloom layer is physical-only, so it does not
+    * appear here at all; see the d15 map-entry note). DuckDB n-gram
+    * slices are 1-based inclusive: t[i:i+n-1] for i in
+    * range(1, len-n+2) enumerates every n-token window.
+    */
+  private val d15Sql: String = {
+    val n = graft.operators.Dedup.BloomGramN
+    val bmax = graft.operators.Dedup.BloomBenchMaxId
+    s"""WITH sets AS (
+         SELECT doc_id,
+                list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+                               for i in range(1, len(t) - ${n - 2})]) AS sh
+         FROM (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\\s+') AS t
+               FROM documents)
+         WHERE len(t) >= $n),
+       bench AS (
+         SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id < $bmax),
+       posting AS (
+         SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g
+         FROM sets WHERE doc_id >= $bmax)
+       SELECT doc_id, CAST(any_value(nsh) AS BIGINT) AS n_shingles,
+              count(*) AS n_hits
+       FROM posting JOIN bench USING (g)
+       GROUP BY doc_id"""
+  }
+
+  /** p15's oracle — the DSIR-style importance scores replayed in
+    * exact fixed-point integer arithmetic, interpolated from Corpus's
+    * registered geometry (buckets / scale / target source / top-N).
+    * Bucket ids are the portable md5_60 rendering (h60Sql) mod B —
+    * the same value the engine derives via
+    * `conv(substring(md5(tok),1,15),16,10) % B`. `//` is DuckDB
+    * integer division; every operand is positive before the final
+    * subtraction, so truncate-vs-floor semantics cannot diverge.
+    */
+  private val p15Sql: String = {
+    val b = graft.operators.Corpus.ImportanceBuckets
+    val scale = graft.operators.Corpus.ImportanceScale
+    val target = graft.operators.Corpus.ImportanceTargetSource
+    val topN = graft.operators.Corpus.ImportanceTopN
+    s"""WITH tok AS (
+         SELECT doc_id, source,
+                unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS tok
+         FROM documents),
+       tb AS (
+         SELECT doc_id, source, (${h60Sql("md5(tok)")}) % $b AS bucket
+         FROM tok WHERE tok <> ''),
+       counts AS (
+         SELECT bucket,
+                sum(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS ct,
+                sum(CASE WHEN source <> '$target' THEN 1 ELSE 0 END) AS cr
+         FROM tb GROUP BY 1),
+       fullb AS (
+         SELECT r.range AS bucket, coalesce(ct, 0) AS ct,
+                coalesce(cr, 0) AS cr
+         FROM range($b) r LEFT JOIN counts ON r.range = counts.bucket),
+       tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM fullb),
+       w AS (
+         SELECT bucket,
+                (CAST(ct + 1 AS HUGEINT) * $scale) // (tt + $b)
+              - (CAST(cr + 1 AS HUGEINT) * $scale) // (tr + $b) AS w
+         FROM fullb, tot),
+       sel AS (
+         SELECT tb.doc_id, tb.source, count(*) AS n_toks,
+                CAST(sum(w.w) AS BIGINT) AS score
+         FROM tb JOIN w USING (bucket)
+         GROUP BY 1, 2)
+       SELECT doc_id, source, n_toks, score
+       FROM sel ORDER BY score DESC, doc_id LIMIT $topN"""
   }
 
   /** p14's oracle — the full training-data build replayed
@@ -2703,5 +2782,17 @@ object SparkEntry {
                         % 1000000 AS h
                FROM rep r JOIN sized s ON r.rep_id = s.rep_id) t
          WHERE h * cluster_size < 1000000""",
+    // d15: the bloom pre-filter is a pure physical optimization (no
+    // false negatives; the exact confirm join removes the false
+    // positives), so the oracle is the PLAIN exact formulation —
+    // any-hit benchmark-gram contamination. Grams compare as STRINGS
+    // where the engine joins 64-bit digests (d01's documented gap).
+    "d15_bloom_decontaminate" -> d15Sql,
+    // p15: every score is exact fixed-point integer arithmetic over
+    // portable md5_60 bucket ids (PortableHash), so the oracle
+    // reproduces each document's score bit-for-bit; the top-N
+    // boundary is deterministic via the (score DESC, doc_id)
+    // tiebreak on both engines.
+    "p15_importance_sample" -> p15Sql,
   )
 }

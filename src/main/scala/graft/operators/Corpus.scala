@@ -551,6 +551,91 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("tier"))
   }
 
+  /** p15 registered defaults — the oracle SQL is BUILT from these
+    * (the p13Sql discipline). Buckets = hashed-feature dimensionality
+    * (DSIR hashes n-grams into a fixed bucket space so the weight
+    * model is corpus-size-independent); Scale = the fixed-point
+    * denominator that keeps the weight arithmetic EXACT-INTEGER, so
+    * the DuckDB oracle reproduces every score bit-for-bit (a float
+    * log-ratio would diverge in the last ulp across engines).
+    */
+  val ImportanceBuckets: Int = 64
+  val ImportanceScale: Long = 1000000000000L
+  val ImportanceTargetSource: String = "src0"
+  val ImportanceTopN: Int = 100
+
+  /** p15_importance_sample — data-selection-by-importance-resampling
+    * (DSIR, Xie et al. 2023) with hashed token features: score every
+    * corpus document by how much more its hashed-unigram profile
+    * resembles a TARGET slice (here `targetSource`, standing in for
+    * "curated high-quality data") than the raw corpus, and keep the
+    * top-N. Weights are the add-one-smoothed probability DIFFERENCE
+    * per bucket, in fixed-point integer arithmetic:
+    *
+    *   w[b] = (ct[b]+1)·Scale div (tT+B)  −  (cr[b]+1)·Scale div (tR+B)
+    *   score(doc) = Σ_tokens w[bucket(token)]       (exact integers)
+    *
+    * (DSIR proper uses the log-likelihood ratio; the probability
+    * difference preserves the "more target-like than raw-like"
+    * ordering signal while staying exactly reproducible cross-engine
+    * — each w is bounded by ±Scale, so scores stay in BIGINT for any
+    * document under ~9M tokens.)
+    *
+    * Bucket ids ride the portable md5_60 contract (PortableHash):
+    * bucket = md5_60(token) mod B on both engines.
+    *
+    * Scale shape: pass 1 aggregates token counts into B buckets —
+    * map-side combine collapses each partition to ≤B rows, and the
+    * collected weight model is B rows TOTAL (corpus-size-independent
+    * by construction; the documented artifact-collect, like s02's
+    * quantizer). Pass 2 scores with a broadcast join of that B-row
+    * table — no shuffle carries anything wider than (doc_id, long) —
+    * and top-N is TakeOrderedAndProject (per-partition heaps + driver
+    * merge of N·parts rows), never a global sort.
+    */
+  def importanceSample(documents: DataFrame,
+      targetSource: String = ImportanceTargetSource,
+      buckets: Int = ImportanceBuckets,
+      topN: Int = ImportanceTopN): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def toks = documents
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % buckets)
+    // Pass 1: the B-row weight model (bounded artifact collect).
+    val counts = toks
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("ct"),
+        sum(when(col("source") === targetSource, 0L).otherwise(1L))
+          .as("cr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tT = counts.map(_._2).sum
+    val tR = counts.map(_._3).sum
+    val byBucket = counts.map(c => c._1 -> c).toMap
+    val scale = BigInt(ImportanceScale)
+    val weights = (0L until buckets).map { b =>
+      val (_, ct, cr) = byBucket.getOrElse(b, (b, 0L, 0L))
+      val w = (BigInt(ct + 1) * scale / BigInt(tT + buckets)) -
+        (BigInt(cr + 1) * scale / BigInt(tR + buckets))
+      (b, w.toLong)
+    }.toDF("bucket", "w")
+    // Pass 2: map-side score via the broadcast weight model.
+    toks
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("score"))
+  }
+
   /** p06_profile — the dataset stats card every training-data drop
     * ships with (row counts, null rates, value ranges, length
     * distribution), emitted as a tall (col_name, metric, value)

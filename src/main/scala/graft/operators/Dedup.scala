@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashExprs, TextOps, VectorOps}
@@ -395,6 +395,112 @@ object Dedup {
       .filter(col("contam_ratio") >= minRatio)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         round(col("contam_ratio"), 4).as("contam_ratio"))
+  }
+
+  /** d15_bloom_decontaminate — benchmark decontamination with a
+    * BLOOM-FILTER pre-filter ahead of the exact confirm join: flag
+    * every corpus document containing ANY benchmark n-gram (the
+    * any-hit test-set-leak report, vs d06's ratio gate), evaluated as
+    *
+    *   corpus grams → might_contain(bloom) map-side prune
+    *                → exact broadcast-join confirm (kills the FPs)
+    *                → per-doc hit counts.
+    *
+    * The answer is EXACTLY the plain exact-join formulation (the
+    * bloom has no false negatives; the confirm join removes its false
+    * positives), so the DuckDB oracle is ordinary SQL — the bloom is
+    * purely a physical optimization, spec-pinned bit-for-bit equal to
+    * the `skipBloom` control.
+    *
+    * 100 TB posture: d06 broadcasts the benchmark gram SET into a
+    * hash join, which stops being free when the blocklist is every
+    * eval suite ever published (billions of grams). The bloom
+    * artifact is ~1.2 bytes/gram at 3% FPP — two orders denser than
+    * the hash relation — and the map-side `might_contain` drops
+    * ≥97% of clean grams BEFORE any join machinery, so the confirm
+    * join's probe side is the contaminated sliver plus an fpp-sized
+    * trickle, not the corpus. Build side reuses Spark's own runtime-
+    * filter plumbing (`BloomFilterMightContain` over `xxhash64`,
+    * the InjectRuntimeFilter convention); the filter is built once
+    * per blocklist (a dim-side artifact, like s02's quantizer memo)
+    * and ships to executors as a literal, not a shuffle.
+    */
+  /** d15 registered defaults — the oracle SQL is BUILT from these
+    * (the p13Sql discipline): gram order and benchmark boundary
+    * interpolate into the SQL so engine and oracle cannot silently
+    * desynchronize.
+    */
+  val BloomGramN: Int = 5
+  val BloomBenchMaxId: Long = 25L
+
+  def bloomDecontaminate(documents: DataFrame,
+      benchmarkMaxId: Long = BloomBenchMaxId,
+      n: Int = BloomGramN, fpp: Double = 0.03,
+      skipBloom: Boolean = false): DataFrame = {
+    val sets = shingleSets(documents, n)
+    val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
+      .select(explode(col("sh")).as("gh"))
+      .distinct()
+    val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
+      .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
+    val survivors =
+      if (skipBloom) posting
+      else posting.filter(mightContainColumn(
+        lit(bloomArtifact(benchGrams, fpp)), xxhash64(col("gh"))))
+    survivors
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(first(col("nsh")).cast("long").as("n_shingles"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"))
+  }
+
+  /** Serialized bloom filter over the blocklist grams' xxhash64
+    * values — the build-once dim-side artifact d15 embeds as a
+    * literal. Follows Spark's runtime-filter convention exactly
+    * (insert xxhash64(key), probe mightContainLong), so the probe
+    * side can use the stock `BloomFilterMightContain` expression.
+    */
+  private[graft] def bloomArtifact(grams: DataFrame,
+      fpp: Double): Array[Byte] = {
+    val hashed = grams.select(xxhash64(col("gh")).as("x"))
+    val n = hashed.count()
+    // empty build side: stat.bloomFilter NPEs on the null aggregate
+    // buffer, so hand back a trivially-empty (all-reject) filter
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(64L, fpp)
+      else hashed.stat.bloomFilter("x", math.max(n, 64L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `might_contain(bloomBytes, xxhash64Value)` as a Column — the
+    * stock Catalyst `BloomFilterMightContain` (codegen'd, lazily
+    * deserializes the literal once per task).
+    */
+  private[graft] def mightContainColumn(bloomBytes: Column,
+      value: Column): Column =
+    org.apache.spark.sql.graftshim.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graftshim.Shim.expression(bloomBytes),
+        org.apache.spark.sql.graftshim.Shim.expression(value)))
+
+  /** Pre-confirm survivor count — spec instrumentation for the d15
+    * prune assertion (survivors ≪ postings, ⊇ every true hit).
+    */
+  private[graft] def bloomSurvivorCounts(documents: DataFrame,
+      benchmarkMaxId: Long = 25L, n: Int = 5,
+      fpp: Double = 0.03): (Long, Long) = {
+    val sets = shingleSets(documents, n)
+    val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
+      .select(explode(col("sh")).as("gh"))
+      .distinct()
+    val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
+      .select(explode(col("sh")).as("gh"))
+    val survivors = posting.filter(mightContainColumn(
+      lit(bloomArtifact(benchGrams, fpp)), xxhash64(col("gh"))))
+    (posting.count(), survivors.count())
   }
 
   /** d09_dup_spans — cross-document EXACT duplicated token spans:

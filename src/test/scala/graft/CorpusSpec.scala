@@ -580,4 +580,76 @@ class CorpusSpec extends AnyFunSuite {
           s"(found $scans documents scans):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("p15: scores replay exactly against a BigInt in-memory reference") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val b = Corpus.ImportanceBuckets
+    // the engine's own bucketed token stream, folded independently
+    val toks = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % b).as("bk"))
+      .as[(Long, String, Long)].collect()
+    val target = Corpus.ImportanceTargetSource
+    val ct = Array.fill(b)(0L)
+    val cr = Array.fill(b)(0L)
+    toks.foreach { case (_, src, bk) =>
+      if (src == target) ct(bk.toInt) += 1 else cr(bk.toInt) += 1
+    }
+    val (tT, tR) = (ct.sum, cr.sum)
+    val scale = BigInt(Corpus.ImportanceScale)
+    val w = (0 until b).map { i =>
+      (BigInt(ct(i) + 1) * scale / BigInt(tT + b)) -
+        (BigInt(cr(i) + 1) * scale / BigInt(tR + b))
+    }
+    val expected = toks.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((id, src), ts) =>
+        (id, src, ts.length.toLong, ts.map(t => w(t._3.toInt)).sum.toLong)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(Corpus.ImportanceTopN)
+    val got = Corpus.importanceSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("p15: weights bounded by ±Scale; target slice enriched in top-N") {
+    // sf0.01: at sf0.001 the corpus is smaller than top-N, so the
+    // selection is vacuous and enrichment undefined
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Corpus.importanceSample(docs).collect()
+    assert(out.length <= Corpus.ImportanceTopN && out.nonEmpty)
+    // each token contributes at most ±Scale, so any doc's |score| is
+    // bounded by n_toks·Scale — the documented BIGINT-safety contract
+    out.foreach { r =>
+      assert(math.abs(r.getLong(3)) <=
+        r.getLong(2) * Corpus.ImportanceScale)
+    }
+    // the selection must PREFER target-like docs: the target source's
+    // share of the top-N exceeds its share of the corpus
+    val n = docs.count().toDouble
+    val nTarget = docs
+      .filter(col("source") === Corpus.ImportanceTargetSource)
+      .count().toDouble
+    val topTarget =
+      out.count(_.getString(1) == Corpus.ImportanceTargetSource).toDouble
+    assert(topTarget / out.length > nTarget / n,
+      s"no enrichment: ${topTarget.toInt}/${out.length} top-N vs " +
+        s"${nTarget.toInt}/${n.toInt} corpus")
+  }
+
+  test("p15: scoring pass is broadcast-joined, top-N never global-sorts") {
+    val df = Corpus.importanceSample(Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N must be TakeOrderedAndProject, not Sort+Limit")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the B-row weight model must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing here may shuffle-sort a corpus-sized side")
+  }
 }

@@ -586,4 +586,41 @@ class DedupSpec extends AnyFunSuite {
       assert(kept === total - removed)
     }
   }
+
+  test("d15: bloom pre-filter is transparent — ≡ the skipBloom control") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Dedup.bloomDecontaminate(docs)) ===
+      rows(Dedup.bloomDecontaminate(docs, skipBloom = true)))
+  }
+
+  test("d15: planted benchmark 5-gram caught, clean doc untouched") {
+    import spark.implicits._
+    val bench = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val leaked = "aa bb " + (4 to 8).map(i => s"bench$i").mkString(" ") +
+      " cc dd ee"
+    val clean = (1 to 12).map(i => s"clean$i").mkString(" ")
+    val docs = Seq((1L, bench), (30L, leaked), (31L, clean))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.contains(30L) && out(30L) >= 1L)
+    assert(!out.contains(31L))
+  }
+
+  test("d15: bloom prunes postings ahead of the confirm join, no FNs") {
+    val docs = Tables.documents(spark, sf)
+    val (postings, survivors) = Dedup.bloomSurvivorCounts(docs)
+    assert(postings > 0)
+    // at 3% FPP the clean-gram mass must be mostly gone pre-join
+    assert(survivors < postings / 2,
+      s"bloom failed to prune: $survivors of $postings survived")
+    // no false negatives: every confirmed hit passed the bloom
+    val hits = Dedup.bloomDecontaminate(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_hits")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+      .getOrElse(0L)
+    assert(survivors >= hits)
+  }
 }

@@ -100,4 +100,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // d14 on empty snapshots returns its single zero-estimate row —
     // asserted with the overlap specs in SketchSpec
   }
+
+  test("round-12 operators yield empty, not errors") {
+    import graft.operators.Corpus
+    assert(Dedup.bloomDecontaminate(emptyDocs).count() === 0)
+    assert(Corpus.importanceSample(emptyDocs).count() === 0)
+  }
 }
