@@ -290,6 +290,8 @@ object SparkEntry {
       Dedup.bloomDecontaminate(Tables.documents(s, d))),
     "p15_importance_sample" -> ((s, d) =>
       Corpus.importanceSample(Tables.documents(s, d))),
+    "st15_stream_select" -> ((s, d) =>
+      StreamOps.streamSelect(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -516,11 +518,10 @@ object SparkEntry {
     * integer division; every operand is positive before the final
     * subtraction, so truncate-vs-floor semantics cannot diverge.
     */
-  private val p15Sql: String = {
+  private def p15SelBody: String = {
     val b = graft.operators.Corpus.ImportanceBuckets
     val scale = graft.operators.Corpus.ImportanceScale
     val target = graft.operators.Corpus.ImportanceTargetSource
-    val topN = graft.operators.Corpus.ImportanceTopN
     s"""WITH tok AS (
          SELECT doc_id, source,
                 unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -548,10 +549,24 @@ object SparkEntry {
          SELECT tb.doc_id, tb.source, count(*) AS n_toks,
                 CAST(sum(w.w) AS BIGINT) AS score
          FROM tb JOIN w USING (bucket)
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+  }
+
+  private val p15Sql: String = {
+    val topN = graft.operators.Corpus.ImportanceTopN
+    s"""$p15SelBody
        SELECT doc_id, source, n_toks, score
        FROM sel ORDER BY score DESC, doc_id LIMIT $topN"""
   }
+
+  /** st15's oracle — p15's score pipeline with the streaming keep
+    * gate (score > 0) instead of the batch top-N. One arithmetic,
+    * two consumers (the st09/d10 shared-oracle precedent).
+    */
+  private val st15Sql: String =
+    s"""$p15SelBody
+       SELECT doc_id, source, n_toks, score
+       FROM sel WHERE score > 0"""
 
   /** p14's oracle — the full training-data build replayed
     * relationally, stitched from the component oracles it composes
@@ -2794,5 +2809,9 @@ object SparkEntry {
     // boundary is deterministic via the (score DESC, doc_id)
     // tiebreak on both engines.
     "p15_importance_sample" -> p15Sql,
+    // st15: stateless per-doc scoring under the batch-learned weight
+    // model, so the stream equals the batch arithmetic exactly; the
+    // keep gate (score > 0) replaces p15's top-N.
+    "st15_stream_select" -> st15Sql,
   )
 }

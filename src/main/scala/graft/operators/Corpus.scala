@@ -597,17 +597,36 @@ object Corpus {
       targetSource: String = ImportanceTargetSource,
       buckets: Int = ImportanceBuckets,
       topN: Int = ImportanceTopN): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    def toks = documents
+    val weights = importanceWeightRows(documents, targetSource, buckets)
+    // Pass 2: map-side score via the broadcast weight model.
+    importanceScore(documents, weights, buckets)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("score"))
+  }
+
+  /** The engine's bucketed token stream: (doc_id, source, bucket) via
+    * the portable md5_60 contract — shared by both p15 passes and the
+    * st15 per-batch scorer.
+    */
+  private def bucketedTokens(documents: DataFrame,
+      buckets: Int): DataFrame =
+    documents
       .select(col("doc_id"), col("source"),
         explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("bucket",
         conv(substring(md5(col("tok")), 1, 15), 16, 10)
           .cast("long") % buckets)
-    // Pass 1: the B-row weight model (bounded artifact collect).
-    val counts = toks
+
+  /** Pass 1: the B-row weight model (bounded artifact collect — B
+    * rows regardless of corpus size; map-side combine collapses each
+    * partition to ≤B rows before the exchange).
+    */
+  private[graft] def importanceWeightRows(documents: DataFrame,
+      targetSource: String = ImportanceTargetSource,
+      buckets: Int = ImportanceBuckets): Seq[(Long, Long)] = {
+    val counts = bucketedTokens(documents, buckets)
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("source") === targetSource, 1L).otherwise(0L))
@@ -620,20 +639,28 @@ object Corpus {
     val tR = counts.map(_._3).sum
     val byBucket = counts.map(c => c._1 -> c).toMap
     val scale = BigInt(ImportanceScale)
-    val weights = (0L until buckets).map { b =>
+    (0L until buckets).map { b =>
       val (_, ct, cr) = byBucket.getOrElse(b, (b, 0L, 0L))
       val w = (BigInt(ct + 1) * scale / BigInt(tT + buckets)) -
         (BigInt(cr + 1) * scale / BigInt(tR + buckets))
       (b, w.toLong)
-    }.toDF("bucket", "w")
-    // Pass 2: map-side score via the broadcast weight model.
-    toks
-      .join(broadcast(weights), "bucket")
+    }
+  }
+
+  /** Score a corpus slice under a FIXED weight model: per-doc token
+    * count + fixed-point importance score. Stateless per row, so any
+    * partition of the slice (batch, micro-batch, shard) scores
+    * identically — the property st15 rides.
+    */
+  private[graft] def importanceScore(slice: DataFrame,
+      weights: Seq[(Long, Long)],
+      buckets: Int = ImportanceBuckets): DataFrame = {
+    val spark = slice.sparkSession
+    import spark.implicits._
+    bucketedTokens(slice, buckets)
+      .join(broadcast(weights.toDF("bucket", "w")), "bucket")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topN)
-      .select(col("doc_id"), col("source"), col("n_toks"), col("score"))
   }
 
   /** p06_profile — the dataset stats card every training-data drop

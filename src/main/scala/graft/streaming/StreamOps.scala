@@ -984,4 +984,61 @@ object StreamOps {
       .select(col("lang"), col("token"), col("n_occ"),
         round(col("n_occ") / col("n_total"), 6).as("share"))
   }
+
+  /** st15_stream_select — p15's importance selector applied to a
+    * LIVE document stream: "train the selector, then stream the data
+    * through it". The B-row weight model is learned ONCE from the
+    * landed corpus (p15's pass 1 — the bounded artifact collect) and
+    * every arriving micro-batch is scored against it map-side; docs
+    * whose fixed-point score is positive ("more target-like than
+    * raw-like") are kept. Scoring is STATELESS per document — no
+    * keyed streaming state, no watermark — so each batch's scores
+    * land idempotently in the batch's own `b<id>` dir (st11's
+    * landed-partials recipe: a replayed batch rewrites, never
+    * duplicates) and ANY split of arrivals across micro-batches
+    * yields the identical keep set. That makes st15 score-for-score
+    * equal to the batch formulation without p15's top-N (the spec
+    * pins it; the oracle is p15's score pipeline with a score > 0
+    * gate instead of the LIMIT).
+    */
+  private val stagedSelectDocs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def streamSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val weights = graft.operators.Corpus.importanceWeightRows(docs)
+    val stage = stagedSelectDocs.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st15_")
+      docs.select(col("doc_id"), col("source"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+    val out = graft.Staging.dir("graft_st15_out_")
+    val src = spark.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeSelectPartial(batch, id, out, weights)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema("doc_id BIGINT, source STRING, n_toks BIGINT, score BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(out)
+      .filter(col("score") > 0)
+  }
+
+  /** One micro-batch scored under the fixed weight model, written
+    * idempotently to the batch's own directory (st09's overwrite
+    * recipe).
+    */
+  private[graft] def writeSelectPartial(batch: DataFrame, batchId: Long,
+      out: String, weights: Seq[(Long, Long)]): Unit =
+    graft.operators.Corpus.importanceScore(batch, weights)
+      .write.mode("overwrite").parquet(s"$out/b$batchId")
 }

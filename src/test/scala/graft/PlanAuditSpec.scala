@@ -25,7 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "st08_stream_outlier", "k06_csv_roundtrip", "k07_jsonl_roundtrip",
       "k11_ingest_manifest", "st11_stream_ingest",
       "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy",
-      "k13_sketch_ledger", "st14_stream_ledger")
+      "k13_sketch_ledger", "st14_stream_ledger", "st15_stream_select")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a

@@ -339,6 +339,36 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st15: streamed selection equals the batch scorer's keep set") {
+    val docs = Tables.documents(spark, sf)
+    val weights = graft.operators.Corpus.importanceWeightRows(docs)
+    val batch = graft.operators.Corpus.importanceScore(docs, weights)
+      .filter(col("score") > 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val stream = SparkEntry.queries("st15_stream_select")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
+  test("st15: a replayed micro-batch rewrites its partial, never dups") {
+    import spark.implicits._
+    val weights = graft.operators.Corpus
+      .importanceWeightRows(Tables.documents(spark, sf))
+    val b = Seq((900L, "src0", "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.Staging.dir("graft_st15_retry_")
+    graft.streaming.StreamOps.writeSelectPartial(b, 3L, out, weights)
+    graft.streaming.StreamOps.writeSelectPartial(b, 3L, out, weights)
+    val folded = spark.read
+      .schema("doc_id BIGINT, source STRING, n_toks BIGINT, score BIGINT")
+      .option("recursiveFileLookup", "true").parquet(out)
+    assert(folded.count() === 1)
+  }
+
   test("st02: session state is bounded to one open session per user") {
     // Structural invariant of the state class: session indices per
     // user are dense 1..n (an unbounded-state bug would skip or dup).
