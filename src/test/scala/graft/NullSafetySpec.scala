@@ -31,6 +31,15 @@ class NullSafetySpec extends AnyFunSuite {
     Dedup.dedupSimhash(withNulls).collect()     // may be empty, must
     Dedup.ngramJaccard(withNulls).collect()     // not throw
     assert(Dedup.decontaminate(withNulls, benchmarkMaxId = 0L).count() === 0)
+    Dedup.bloomDecontaminate(withNulls).collect()  // null/short → no grams
+  }
+
+  test("importance sampling skips null/empty text, never throws") {
+    import org.apache.spark.sql.functions.lit
+    val docs = withNulls.withColumn("source", lit("src0"))
+    val out = graft.operators.Corpus.importanceSample(docs).collect()
+    // null/empty/whitespace docs produce no tokens → no score row
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
   test("text analysis null-propagates without throwing") {

@@ -548,4 +548,34 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 8)
   }
+
+  test("d15 property: bloom decontamination equals an in-memory intersect") {
+    import spark.implicits._
+    // tiny alphabet → dense 5-gram overlap between bench and corpus
+    val genDoc = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    check("d15", Prop.forAll(Gen.listOfN(14, genDoc)) { docs =>
+      // ids 0,3,…,39: the <25 boundary splits them into 9 bench docs
+      // and 5 corpus docs
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong * 3, t) }.toDF("doc_id", "text")
+      val got = Dedup.bloomDecontaminate(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def grams(t: String): Set[Seq[String]] = {
+        val tk = t.trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        if (tk.length < 5) Set.empty else tk.sliding(5).map(_.toSeq).toSet
+      }
+      val bench = docs.zipWithIndex.filter(_._2 * 3 < 25)
+        .flatMap(d => grams(d._1)).toSet
+      val want = docs.zipWithIndex.filter(_._2 * 3 >= 25)
+        .flatMap { case (t, i) =>
+          val g = grams(t)
+          val hits = g.intersect(bench).size
+          if (hits >= 1) Some((i.toLong * 3, g.size.toLong, hits.toLong))
+          else None
+        }.toSet
+      got == want
+    }, n = 8)
+  }
 }
