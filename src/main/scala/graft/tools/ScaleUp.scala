@@ -48,11 +48,34 @@ object ScaleUp {
     s.substring(kk) + s.substring(0, kk)
   }
 
-  /** Per-copy alphabet rotation: identity at k=0. */
+  /** Multipliers coprime to 26 — the `a` of the per-copy affine
+    * substitution x → a·x + b (mod 26). Pure rotation (a=1) repeats
+    * every 26 copies, which at factor > 26 would plant IDENTICAL-text
+    * cliques (the letters-only corpus has no digits to break the
+    * tie); cycling `a` every 26 copies extends the injective range to
+    * 12·26 = 312 copies. Two distinct affine maps agree on ≤ 2 of 26
+    * residues, so any doc using a handful of distinct letters maps to
+    * near-token-disjoint text under different copies — the same
+    * shape-preservation argument as the original Caesar rotation,
+    * which this reproduces exactly for k < 26 (a=1, b=k).
+    */
+  private val CoprimeA = List(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  private def affineImage(alphabet: String, a: Int, b: Int): String = {
+    val n = alphabet.length
+    (0 until n).map(i => alphabet((a * i + b) % n)).mkString
+  }
+
+  /** Per-copy affine alphabet substitution: identity at k=0. */
   private def caesar(c: org.apache.spark.sql.Column, k: Int) =
     if (k == 0) c
-    else translate(c, Lower + Upper + Digit,
-      rot(Lower, k) + rot(Upper, k) + rot(Digit, k))
+    else {
+      val a = CoprimeA((k / 26) % CoprimeA.length)
+      val b = k % 26
+      translate(c, Lower + Upper + Digit,
+        affineImage(Lower, a, b) + affineImage(Upper, a, b) +
+          rot(Digit, k))
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -91,13 +114,23 @@ object ScaleUp {
 
     val emb = read("embeddings")
     val vShift = shiftBase(emb, "vec_id")
+    // rotate by k mod dim — a raw k-rotation degenerates to the
+    // IDENTITY once k reaches the vector length (planting exact
+    // duplicate vectors); past dim copies, a sign flip opens a second
+    // injective tier (norm- and distribution-preserving like the
+    // rotation), so factor ≤ 2·dim stays collision-free.
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     write((0 until factor).map { k =>
+      val r = k % dim
       val rotated =
-        if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, 100000),
-          slice(col("embedding"), 1, k))
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 100000),
+          slice(col("embedding"), 1, r))
+      val signed =
+        if ((k / dim) % 2 == 0) rotated
+        else transform(rotated, x => -x)
       emb.select((col("vec_id") + lit(k * vShift)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        signed.as("embedding"), col("label"))
     }.reduce(_.unionByName(_)), "embeddings")
 
     val ev = read("events")
