@@ -287,7 +287,7 @@ object SparkEntry {
     "m07_cdc_dedup" -> ((s, d) =>
       Multimodal.cdcDedup(Tables.documents(s, d))),
     "d15_bloom_decontaminate" -> ((s, d) =>
-      Dedup.bloomDecontaminate(Tables.documents(s, d))),
+      Dedup.bloomDecontaminate(Tables.documents(s, d), cacheKey = d)),
     "p15_importance_sample" -> ((s, d) =>
       Corpus.importanceSample(Tables.documents(s, d))),
     "st15_stream_select" -> ((s, d) =>
@@ -533,7 +533,9 @@ object SparkEntry {
        counts AS (
          SELECT bucket,
                 sum(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS ct,
-                sum(CASE WHEN source <> '$target' THEN 1 ELSE 0 END) AS cr
+                -- NULL source counts as RAW (the engine's otherwise(1)
+                -- branch); `source <> target` would silently drop it
+                sum(CASE WHEN source = '$target' THEN 0 ELSE 1 END) AS cr
          FROM tb GROUP BY 1),
        fullb AS (
          SELECT r.range AS bucket, coalesce(ct, 0) AS ct,

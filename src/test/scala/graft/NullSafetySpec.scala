@@ -42,6 +42,30 @@ class NullSafetySpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("importance sampling counts NULL source as raw, like the oracle") {
+    // the oracle's cr branch is `CASE WHEN source = target THEN 0
+    // ELSE 1` precisely so a NULL source lands in raw on BOTH
+    // engines; this pins the engine half of that contract
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, Option("src0"), "alpha beta gamma"),
+      (2L, Option.empty[String], "alpha beta gamma"),
+      (3L, Option("srcX"), "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val w = graft.operators.Corpus.importanceWeightRows(docs)
+    // identical token streams: target mass 3, raw mass 6 — the
+    // NULL-source doc's 3 tokens MUST be in the raw denominator
+    val wNoNull = graft.operators.Corpus.importanceWeightRows(
+      docs.filter($"source".isNotNull).union(docs
+        .filter($"source".isNull).withColumn("source", lit("srcX"))))
+    assert(w === wNoNull,
+      "NULL source must weigh exactly like any non-target source")
+    val out = graft.operators.Corpus.importanceSample(docs, topN = 10)
+      .collect()
+    assert(out.length === 3) // the null-source doc scores, not drops
+  }
+
   test("text analysis null-propagates without throwing") {
     assert(TextAnalysis.langId(
       withNulls.withColumn("lang", org.apache.spark.sql.functions.lit("en")))

@@ -13,8 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** Streaming/sink entries execute work on construction — audited in
-    * their own specs instead.
+  /** Entries that execute work on construction (streams, sinks, and
+    * the artifact-building operators: d15's bloom count+build, p15's
+    * B-row weight collect) — their plans are audited by the read-back
+    * sweep below and their own specs instead.
     */
   private val sideEffecting =
     Set("st01_stream_window", "st02_stream_session", "st03_stream_dedup",
@@ -25,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "st08_stream_outlier", "k06_csv_roundtrip", "k07_jsonl_roundtrip",
       "k11_ingest_manifest", "st11_stream_ingest",
       "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy",
-      "k13_sketch_ledger", "st14_stream_ledger", "st15_stream_select")
+      "k13_sketch_ledger", "st14_stream_ledger", "st15_stream_select",
+      "d15_bloom_decontaminate", "p15_importance_sample")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a
