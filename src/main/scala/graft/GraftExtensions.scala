@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{BpeTokenCount, CdcChunks, DotProduct, HyperplaneSig, MinHashSigs, MisraGries, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
+import graft.functions.{BpeTokenCount, CdcChunks, DeflateSize, DotProduct, HyperplaneSig, MinHashSigs, MisraGries, NfcNormalize, PqAdc, RollingMinHash, ShingleHashes, SimHash64, StopwordHits}
 
 /** SQL surface for the engine's native expressions: registering this
   * class via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(c) => NfcNormalize(c)
         case _ => throw new IllegalArgumentException("nfc_normalize(text)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DeflateSize(c)
+        case _ => throw new IllegalArgumentException("deflate_size(text)")
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

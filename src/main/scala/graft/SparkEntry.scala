@@ -292,6 +292,8 @@ object SparkEntry {
       Corpus.importanceSample(Tables.documents(s, d))),
     "st15_stream_select" -> ((s, d) =>
       StreamOps.streamSelect(s, d)),
+    "t16_compress_filter" -> ((s, d) =>
+      TextAnalysis.compressFilter(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming

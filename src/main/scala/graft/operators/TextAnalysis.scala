@@ -674,4 +674,44 @@ object TextAnalysis {
       .select(col("lang"), col("token"), col("n_occ"),
         round(col("n_occ") / col("n_total"), 6).as("share"))
   }
+
+  /** t16 registered defaults — basis-point band on deflate/raw. On
+    * the corpus these sit near p4/p94 of the ratio distribution, so
+    * the filter flags the repetitive and incompressible tails without
+    * gutting the middle (Gopher/Dolma tune the same dials per
+    * corpus).
+    */
+  val CompressMinBp: Long = 4000L
+  val CompressMaxBp: Long = 7500L
+
+  /** t16_compress_filter — compression-ratio quality gate: flag
+    * documents whose raw-DEFLATE ratio (basis points of the UTF-8
+    * byte length) falls OUTSIDE [minBp, maxBp]. Below the band the
+    * text is machine-repetitive (template spam, token loops — zlib
+    * eats it); above it the payload is near-random (base64 blobs,
+    * minified noise — zlib can't touch it). One scan, one codegen'd
+    * kernel call per row (`DeflateSize` — a UDF here would break
+    * whole-stage codegen on the corpus scan), integer fixed-point
+    * ratio so the flag set is exactly reproducible. Declared
+    * rows-only: no SQL engine exposes deflate, so the gate is
+    * spec-verified (kernel ≡ java.util.zip reference, planted tails,
+    * determinism) instead of oracle-compared.
+    */
+  def compressFilter(documents: DataFrame,
+      minBp: Long = CompressMinBp,
+      maxBp: Long = CompressMaxBp): DataFrame =
+    documents
+      .filter(col("text").isNotNull && octet_length(col("text")) > 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.CompressExprs.deflateSize(col("text"))
+          .cast("long").as("deflate_bytes"))
+      .withColumn("ratio_bp",
+        expr("deflate_bytes * 10000 div n_bytes"))
+      .filter(col("ratio_bp") < minBp || col("ratio_bp") > maxBp)
+      .withColumn("reason",
+        when(col("ratio_bp") < minBp, lit("repetitive"))
+          .otherwise(lit("incompressible")))
+      .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"),
+        col("ratio_bp"), col("reason"))
 }

@@ -78,6 +78,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("deflate_size is SQL-callable; repetition compresses below prose") {
+    val rep = sqlSpark.sql(
+      "SELECT deflate_size(repeat('ab', 500)) AS n").head.getInt(0)
+    assert(rep > 0 && rep < 100) // 1000 bytes of 'ab' collapses
+    // null propagates
+    assert(sqlSpark.sql("SELECT deflate_size(CAST(NULL AS STRING))")
+      .head.isNullAt(0))
+  }
+
   test("bpe_token_count is SQL-callable: greedy rank-ordered merges") {
     // 'ththth' under merges [(t,h)] -> th th th = 3 symbols
     assert(sqlSpark.sql(

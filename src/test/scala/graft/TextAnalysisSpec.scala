@@ -463,6 +463,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(MinHashSigs.compute(empty, 2, fromDigests = false,
       portable = true).toLongArray.forall(_ == Long.MaxValue))
   }
+
+  test("t16: deflate kernel equals a direct java.util.zip reference") {
+    import graft.functions.{CompressExprs, DeflateSize}
+    def ref(s: String): Int = {
+      val d = new java.util.zip.Deflater(CompressExprs.DeflateLevel, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val samples = Seq("", "a", "hello world", "ab" * 500,
+      (1 to 200).map(i => s"w${i % 7}").mkString(" "),
+      "café 中文 text with unicode")
+    samples.foreach { s =>
+      val got = DeflateSize.compute(UTF8String.fromString(s))
+      assert(got === ref(s), s"deflate size mismatch for ${s.take(20)}")
+      // determinism across repeated thread-local reuse
+      assert(DeflateSize.compute(UTF8String.fromString(s)) === got)
+    }
+  }
+
+  test("t16: planted tails are flagged, normal prose passes") {
+    import spark.implicits._
+    val repetitive = "spam token loop " * 64
+    val random = new scala.util.Random(7)
+    // full printable-ASCII entropy (~6.6 bits/char): alphanumeric
+    // words alone deflate to just UNDER the incompressible band
+    val noise = Seq.fill(2000)((33 + random.nextInt(94)).toChar).mkString
+    // varied word-salad like the corpus median (~4900bp): a repeated
+    // sentence would itself deflate into the repetitive band
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "seven", "meadow", "stone", "count", "wander",
+      "river", "cloud", "ember", "quiet", "march", "glass", "timber")
+    val prose = Seq.fill(40)(vocab(random.nextInt(vocab.length)))
+      .mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, noise), (3L, prose))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.compressFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.get(1L).contains("repetitive"))
+    assert(out.get(2L).contains("incompressible"))
+    assert(!out.contains(3L))
+  }
+
+  test("t16: flag set on the real corpus is a strict, nonempty subset") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.filter(col("text").isNotNull).count()
+    val flagged = SparkEntry.queries("t16_compress_filter")(spark, sf)
+    val n = flagged.count()
+    assert(n > 0 && n < total)
+    // integer fixed-point: ratio recomputes exactly from the row
+    flagged.collect().foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) * 10000 / r.getLong(1))
+    }
+  }
 }
 
 /** Independent in-memory BPE: pair counts weighted by word frequency,
