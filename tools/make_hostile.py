@@ -20,6 +20,10 @@ HOSTILE = [
     (90003, "   ", "de", "hostile", 3),
     (90004, "机器学习模型需要 大量 高质量 的 训练数据", "zh", "hostile", 22),
     (90005, "short", "en", "hostile", 5),
+    # NULL source/lang: crawl metadata is often missing. Engine
+    # when/otherwise vs oracle CASE must agree on where these land
+    # (p15's round-12 NULL-source bug is the class this row catches).
+    (90006, "metadata free text with several plain tokens", None, None, 44),
 ]
 
 # Zero vectors = failed/padding embeddings. 90050 is divisible by the
@@ -48,9 +52,11 @@ def main():
     shutil.rmtree(dest, ignore_errors=True)
     shutil.copytree(src, dest)
     con = duckdb.connect()
+    def s_or_null(v):
+        return "NULL" if v is None else "'%s'" % v
     rows = ", ".join(
-        "(%d, %s, '%s', '%s', %d)"
-        % (d, "NULL" if t is None else "'%s'" % t, l, s, n)
+        "(%d, %s, %s, %s, %d)"
+        % (d, s_or_null(t), s_or_null(l), s_or_null(s), n)
         for d, t, l, s, n in HOSTILE)
     con.execute(f"""
         COPY (
