@@ -777,7 +777,7 @@ object StreamOps {
     */
   private[graft] def writeLedgerPartial(batch: DataFrame,
       batchId: Long, out: String): Unit =
-    batch.groupBy(col("day"), col("event_type"))
+    spread(batch).groupBy(col("day"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("n_events"))
       .write.mode("overwrite").parquet(s"$out/b$batchId")
@@ -851,7 +851,8 @@ object StreamOps {
   private[graft] def writeBatchPairs(batch: DataFrame, batchId: Long,
       out: String, idx: DataFrame, n: Int, tau: Double): Unit =
     graft.operators.Dedup
-      .probeIndex(graft.operators.Dedup.incrementalPosting(batch, n),
+      .probeIndex(
+        graft.operators.Dedup.incrementalPosting(spread(batch), n),
         idx, tau)
       .write.mode("overwrite").parquet(s"$out/b$batchId")
 
@@ -917,7 +918,10 @@ object StreamOps {
       .schema("doc_id BIGINT, lang STRING, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
-    val toks = src
+    // spread the arriving file slice before the explode: one file per
+    // trigger = one scan partition, and the MG fold's own shuffle is
+    // ≤ #langs-way — without this the tokenize runs single-core
+    val toks = spread(src)
       .filter(col("text").isNotNull && col("lang").isNotNull)
       .select(col("lang"),
         explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
@@ -1033,12 +1037,32 @@ object StreamOps {
       .filter(col("score") > 0)
   }
 
+  /** Arrival-file layout must not dictate CPU parallelism: a micro-
+    * batch often arrives as ONE file — one scan partition — which
+    * runs a CPU-heavy per-batch pipeline (tokenize/shingle/score
+    * explodes) on a single core while the rest of the cluster idles.
+    * Measured at the sf10 probe: st15's 125k-doc batches took ~13 s
+    * each single-core vs ~1 s spread. Repartitioning to the
+    * session's default parallelism shuffles exactly the arrival
+    * slice (bounded per trigger — this is NOT a corpus-scale text
+    * exchange) and buys cluster-wide execution of everything after.
+    */
+  private def spread(batch: DataFrame): DataFrame = {
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    // only widen: a batch that already arrived well-split (many
+    // files) must not be squeezed down to `par`. A streaming DF
+    // (st13's continuous path) can't inspect its partitioning, so it
+    // always takes the repartition.
+    if (!batch.isStreaming && batch.rdd.getNumPartitions >= par) batch
+    else batch.repartition(par)
+  }
+
   /** One micro-batch scored under the fixed weight model, written
     * idempotently to the batch's own directory (st09's overwrite
     * recipe).
     */
   private[graft] def writeSelectPartial(batch: DataFrame, batchId: Long,
       out: String, weights: Seq[(Long, Long)]): Unit =
-    graft.operators.Corpus.importanceScore(batch, weights)
+    graft.operators.Corpus.importanceScore(spread(batch), weights)
       .write.mode("overwrite").parquet(s"$out/b$batchId")
 }
