@@ -195,8 +195,12 @@ object SparkEntry {
       TextAnalysis.vocab(Tables.documents(s, d))),
     "d12_span_scrub" -> ((s, d) =>
       Dedup.spanScrub(Tables.documents(s, d))),
+    "d16_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d))),
     "t09_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLm(Tables.documents(s, d))),
+    "t17_ppl_bucket" -> ((s, d) =>
+      TextAnalysis.pplBuckets(Tables.documents(s, d))),
     "q29_funnel" -> ((s, d) =>
       Pipeline.funnel(Tables.events(s, d))),
     "q30_retention" -> ((s, d) =>
@@ -1000,6 +1004,90 @@ object SparkEntry {
                 CAST((count(*) - 1) * min(n_bytes) AS BIGINT)
                   AS saved_bytes
          FROM sel GROUP BY 1"""
+  }
+
+  /** d16 oracle, interpolated from the operator's registered defaults
+    * (Dedup.BoilerSegTokens / BoilerMinDf — the p13Sql discipline).
+    * The oracle groups segment STRINGS where the engine groups
+    * xxhash64 digests (d01's documented gap).
+    */
+  private val d16Sql: String = {
+    val w = graft.operators.Dedup.BoilerSegTokens
+    val mdf = graft.operators.Dedup.BoilerMinDf
+    s"""WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         p AS (
+           SELECT doc_id, tk,
+                  unnest(range((len(tk) - 1) // $w + 1)) AS i
+           FROM t WHERE len(tk) >= 1),
+         s AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                  array_to_string(
+                    list_slice(tk, i * $w + 1, i * $w + $w), ' ') AS seg,
+                  CAST(least($w, len(tk) - i * $w) AS BIGINT) AS seg_len
+           FROM p),
+         d AS (SELECT seg, count(DISTINCT doc_id) AS df
+               FROM s GROUP BY 1),
+         m AS (SELECT s.doc_id, s.idx, s.seg, s.seg_len,
+                      d.df >= $mdf AS boil
+               FROM s JOIN d USING (seg))
+         SELECT doc_id,
+                COALESCE(string_agg(CASE WHEN NOT boil THEN seg END, ' '
+                  ORDER BY idx), '') AS clean_text,
+                count(*) AS n_segments,
+                CAST(sum(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boilerplate,
+                CAST(sum(CASE WHEN boil THEN seg_len ELSE 0 END)
+                  AS BIGINT) AS n_tokens_removed
+         FROM m GROUP BY 1"""
+  }
+
+  /** t17 oracle: t09's scoring CTEs verbatim, then the contract
+    * stated as the PLAIN per-language ntile window — the engine's
+    * hierarchical range-bucket rank must equal it value-for-value.
+    * Bucket count interpolated from TextAnalysis.PplBuckets (the
+    * p13Sql discipline).
+    */
+  private val t17Sql: String = {
+    val n = graft.operators.TextAnalysis.PplBuckets
+    s"""WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+           FROM t WHERE len(tk) >= 2),
+         b AS (
+           SELECT doc_id, tk[i] AS pre,
+                  tk[i] || ' ' || tk[i + 1] AS bg
+           FROM p),
+         c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+         c1 AS (SELECT pre, count(*) AS c1 FROM b GROUP BY 1),
+         s AS (
+           SELECT doc_id,
+                  CAST(round(c2.c2 * 1000000.0 / c1.c1, 0) AS BIGINT)
+                    AS pm
+           FROM b JOIN c2 USING (bg) JOIN c1 USING (pre)),
+         sc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(CAST(sum(pm) AS DOUBLE) / count(*), 4)
+                    AS avg_typ
+           FROM s GROUP BY 1),
+         lj AS (
+           SELECT sc.doc_id, sc.n_bigrams, sc.avg_typ, d.lang
+           FROM sc JOIN documents d USING (doc_id)),
+         nt AS (
+           SELECT lang, n_bigrams, avg_typ,
+                  ntile($n) OVER (PARTITION BY lang
+                    ORDER BY avg_typ DESC, doc_id) AS bucket
+           FROM lj)
+         SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+                count(*) AS n_docs,
+                CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+                min(avg_typ) AS min_typ, max(avg_typ) AS max_typ
+         FROM nt GROUP BY 1, 2"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2254,6 +2342,12 @@ object SparkEntry {
     // removal, positional reassembly. Grams compare as STRINGS where
     // the engine joins 64-bit hashes (d01's documented gap).
     "t15_repetition_scrub" -> t15Sql,
+    // d16: corpus-wide boilerplate segment removal — oracle groups
+    // segment strings where the engine groups xxhash64 digests.
+    "d16_line_dedup" -> d16Sql,
+    // t17: CCNet head/middle/tail terciles — oracle is the plain
+    // per-lang ntile; engine rank is hierarchical (p05 pattern).
+    "t17_ppl_bucket" -> t17Sql,
     // p14: the composed build replayed from the component oracles;
     // engine joins shingle/text HASHES where the oracle joins strings
     // (d01's documented gap), everything else integer-exact.

@@ -1052,4 +1052,79 @@ object Dedup {
         col("a.cluster_id").as("cluster_id"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** d16 registered defaults, shared with the oracle builder (the
+    * p13Sql/t15 discipline): documents split into non-overlapping
+    * `BoilerSegTokens`-token segments; a segment present in
+    * ≥ `BoilerMinDf` DISTINCT documents is boilerplate.
+    */
+  val BoilerSegTokens: Int = 8
+  val BoilerMinDf: Int = 4
+
+  /** d16_line_dedup — corpus-wide BOILERPLATE segment removal, the
+    * line-/paragraph-level dedup layer of web-corpus pipelines
+    * (CCNet dedups paragraph hashes; RefinedWeb strips lines repeated
+    * across pages — nav bars, cookie banners, footers). The corpus
+    * has no newlines, so the "line" unit is the non-overlapping
+    * `segTokens`-token segment (the paragraph analog; last segment
+    * may be short). A segment whose document frequency — DISTINCT
+    * docs, so in-doc repetition (t15's subject) never triggers it —
+    * reaches `minDf` is removed from EVERY document, first occurrence
+    * included. That keep-none semantic is what separates this from
+    * d12 (pairwise span scrub, keeps doc_a's copy) and d01 (whole-doc
+    * collapse, keeps one representative): boilerplate is noise in all
+    * its copies. Emits per doc the reassembled clean text plus
+    * segment/removal counts.
+    *
+    * Scale shape: one corpus scan explodes segments map-side with a
+    * single let-bound tokenize (TextOps transform trick); the df
+    * aggregate and the probe side hang off the IDENTICAL posting
+    * subtree keyed on the segment's xxhash64 — ReuseExchange ships
+    * the postings once (d04's discipline), and the count-distinct
+    * collapses to (gh, doc_id) partials before the merge. The only
+    * exchange carrying text is the final per-doc reassembly groupBy —
+    * unavoidable for an operator whose OUTPUT is the rewritten
+    * corpus, and exactly one corpus-volume shuffle. Engine groups
+    * segment hashes where the oracle groups strings — d01's
+    * documented probabilistic gap.
+    */
+  def lineDedup(documents: DataFrame,
+      segTokens: Int = BoilerSegTokens,
+      minDf: Int = BoilerMinDf): DataFrame = {
+    val segs = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0),
+          floor((size(col("tk")) - 1) / segTokens).cast("int")),
+        i => struct(
+          i.cast("long").as("idx"),
+          array_join(
+            slice(col("tk"), i * segTokens + 1, lit(segTokens)), " ")
+            .as("seg"),
+          least(lit(segTokens), size(col("tk")) - i * segTokens)
+            .cast("long").as("seg_len")))).as("s"))
+      .select(col("doc_id"), col("s.idx").as("idx"),
+        col("s.seg").as("seg"), col("s.seg_len").as("seg_len"),
+        xxhash64(col("s.seg")).as("gh"))
+    val df = segs
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs
+      .join(df, "gh")
+      .withColumn("boil", col("df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("boil"), struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(col("boil").cast("long")).as("n_boilerplate"),
+        sum(when(col("boil"), col("seg_len")).otherwise(0L))
+          .as("n_tokens_removed"))
+      .select(col("doc_id"), col("clean_text"), col("n_segments"),
+        col("n_boilerplate"), col("n_tokens_removed"))
+  }
 }

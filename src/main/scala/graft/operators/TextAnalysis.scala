@@ -566,6 +566,89 @@ object TextAnalysis {
         round(col("typ_sum") / col("n_bigrams"), 4).as("avg_typ"))
   }
 
+  /** t17 registered defaults, shared with the oracle builder (the
+    * p13Sql discipline): CCNet's three perplexity buckets, ranks
+    * computed hierarchically over `PplRangeBuckets` score ranges.
+    */
+  val PplBuckets: Int = 3
+  val PplRangeBuckets: Int = 64
+
+  /** t17_ppl_bucket — per-LANGUAGE typicality terciles, the CCNet
+    * head/middle/tail split: score every document against the
+    * corpus's own bigram LM (t09's avg_typ — the inverse-perplexity
+    * axis), then NTILE each language's documents into `nBuckets`
+    * rank buckets on (avg_typ DESC, doc_id). Bucket 1 ("head") is
+    * the most LM-typical text, bucket `nBuckets` ("tail") the most
+    * atypical — the calibration table quality pipelines threshold
+    * against (keep head+middle, audit tail). Per-language because a
+    * single global cut would rank languages against each other's
+    * LM mass, not documents against their language's norm.
+    *
+    * Scale shape: a plain `ntile() OVER (PARTITION BY lang)` funnels
+    * each language's ENTIRE doc set through one task — a 5-language
+    * 100 TB corpus is the p07 skew case exactly. So the rank is
+    * computed HIERARCHICALLY (p05's enumeration): range-bucket each
+    * row by its score into `rangeBuckets` monotone slices per
+    * language, row_number WITHIN (lang, slice) — a spillable,
+    * well-partitioned window — and add per-(lang, slice) start
+    * offsets from a prefix-sum over ≤ langs·rangeBuckets metadata
+    * rows. The ntile bucket then derives arithmetically from
+    * (rank, per-lang count): floor-division against the exact
+    * ntile size split (first `cnt mod n` buckets one row larger),
+    * spec-pinned ≡ Spark's own ntile window. Everything downstream
+    * of t09's posting pass touches one row per document, not per
+    * token. The oracle states the contract as the plain ntile.
+    */
+  def pplBuckets(documents: DataFrame, nBuckets: Int = PplBuckets,
+      rangeBuckets: Int = PplRangeBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLm(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      // NULL lang is a legitimate partition (PARTITION BY groups
+      // nulls together) but a NULL equi-join key matches nothing, so
+      // the internal key coalesces to a sentinel; output keeps the
+      // original lang.
+      .withColumn("lkey", coalesce(col("lang"), lit(" null")))
+      // monotone DESC slice: avg_typ ∈ [0, 1e6] micro-units ⇒ slice 0
+      // holds the highest scores, matching the DESC rank order.
+      .withColumn("slice",
+        lit(rangeBuckets - 1) -
+          floor(col("avg_typ") * rangeBuckets / 1000001.0).cast("long"))
+    // ≤ langs·rangeBuckets rows: offsets + per-lang totals are
+    // metadata-cardinality, so the windows below never see data.
+    val offW = Window.partitionBy(col("lkey")).orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = scored.groupBy(col("lkey"), col("slice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(offW) - col("c"))
+      .withColumn("cnt",
+        sum(col("c")).over(Window.partitionBy(col("lkey"))))
+      .select(col("lkey"), col("slice"), col("off"), col("cnt"))
+    val localW = Window.partitionBy(col("lkey"), col("slice"))
+      .orderBy(col("avg_typ").desc, col("doc_id"))
+    // exact ntile arithmetic on longs (Spark `/` is double division;
+    // floor+cast is exact here — quotients sit far below 2^52)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val base = idiv(col("cnt"), lit(nBuckets)) // smaller bucket size
+    val q = col("cnt") - base * nBuckets // first q buckets one larger
+    val big = base + lit(1L)
+    val cut = q * big // ranks 1..cut live in the q larger buckets
+    scored
+      .join(broadcast(offsets), Seq("lkey", "slice"))
+      .withColumn("rnk", col("off") + row_number().over(localW))
+      .withColumn("bucket",
+        when(col("rnk") <= cut, idiv(col("rnk") - 1, big) + 1)
+          .otherwise(q + idiv(col("rnk") - cut - 1,
+            greatest(lit(1L), base)) + 1))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("avg_typ")).as("min_typ"),
+        max(col("avg_typ")).as("max_typ"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("n_bigrams"), col("min_typ"), col("max_typ"))
+  }
+
   /** t08_vocab — corpus vocabulary construction: the top-`topN`
     * tokens by frequency with rank, share-of-corpus, and cumulative
     * coverage — the seed table every tokenizer build (BPE/unigram)

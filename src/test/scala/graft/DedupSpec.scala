@@ -623,4 +623,63 @@ class DedupSpec extends AnyFunSuite {
       .getOrElse(0L)
     assert(survivors >= hits)
   }
+
+  test("d16: boilerplate stripped from EVERY doc, first copy included") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val docs = ((1L to 5L).map { i =>
+      (i, boiler + " " + (1 to 8).map(j => s"u${i}w$j").mkString(" "))
+    } :+ (6L, "wholly unique text")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 5L).foreach { i =>
+      val r = out(i)
+      // keep-NONE semantics: unlike d12 (doc_a's copy survives), the
+      // df>=4 segment vanishes from all five docs, doc 1 included
+      assert(!r.getString(1).contains("nav1"), s"doc $i kept boilerplate")
+      assert(r.getString(1).startsWith(s"u${i}w1"))
+      assert(r.getLong(2) === 2L && r.getLong(3) === 1L &&
+        r.getLong(4) === 8L)
+    }
+    // unique short doc: one sub-width segment, nothing removed
+    assert(out(6L).getString(1) === "wholly unique text")
+    assert(out(6L).getLong(2) === 1L && out(6L).getLong(3) === 0L)
+  }
+
+  test("d16: in-doc repetition never triggers (df counts DISTINCT docs)") {
+    import spark.implicits._
+    val seg = (1 to 8).map(i => s"rep$i").mkString(" ")
+    // one doc repeating the same segment 6 times: df = 1 < minDf
+    val docs = Seq((1L, Seq.fill(6)(seg).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs).collect().head
+    assert(r.getLong(3) === 0L, "within-doc repetition is t15's job")
+    assert(r.getLong(2) === 6L)
+  }
+
+  test("d16: engine ≡ in-memory reference on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val w = Dedup.BoilerSegTokens
+    val raw = docs.select("doc_id", "text").collect()
+      .filter(r => !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+", -1).toSeq)
+    val segsOf = (tk: Seq[String]) =>
+      tk.grouped(w).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" "), g.size.toLong) }
+        .toSeq
+    val df = raw.flatMap { case (id, tk) => segsOf(tk).map(s => (s._2, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expect = raw.map { case (id, tk) =>
+      val segs = segsOf(tk)
+      val kept = segs.filter(s => df(s._2) < Dedup.BoilerMinDf)
+      val rem = segs.filterNot(s => df(s._2) < Dedup.BoilerMinDf)
+      (id, kept.map(_._2).mkString(" "), segs.size.toLong,
+        rem.size.toLong, rem.map(_._3).sum)
+    }.toSet
+    val got = Dedup.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expect)
+  }
 }

@@ -105,5 +105,7 @@ class EmptyInputSpec extends AnyFunSuite {
     import graft.operators.Corpus
     assert(Dedup.bloomDecontaminate(emptyDocs).count() === 0)
     assert(Corpus.importanceSample(emptyDocs).count() === 0)
+    assert(Dedup.lineDedup(emptyDocs).count() === 0)
+    assert(TextAnalysis.pplBuckets(emptyDocs).count() === 0)
   }
 }

@@ -519,6 +519,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getLong(3) === r.getLong(2) * 10000 / r.getLong(1))
     }
   }
+
+  test("t17: hierarchical rank bucket ≡ Spark's own ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val scored = TextAnalysis.bigramLm(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_typ").desc, col("doc_id"))
+    val ref = scored
+      .withColumn("bucket", ntile(TextAnalysis.PplBuckets).over(w)
+        .cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("nb"),
+        min(col("avg_typ")).as("mn"), max(col("avg_typ")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val got = TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got === ref,
+      "range-bucket rank + ntile arithmetic must equal the plain window")
+  }
+
+  test("t17: buckets partition each language; NULL lang is a partition") {
+    import spark.implicits._
+    val hostile = Seq(
+      (9001L, null.asInstanceOf[String], "en"),
+      (9002L, "solo", "en"), // 1 token → no bigram → excluded
+      (9003L, "null lang text here", null.asInstanceOf[String]),
+      (9004L, "more null lang words", null.asInstanceOf[String]),
+      (9005L, "third null lang entry", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").unionByName(hostile)
+    val out = TextAnalysis.pplBuckets(docs).collect()
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.map(_.getLong(2)).sum === 3L,
+      "three NULL-lang docs with bigrams must land in NULL buckets")
+    assert(nullRows.map(_.getLong(1)).distinct.length === 3,
+      "3 docs over 3 buckets: ntile gives one doc per bucket")
+    // per lang: bucket sizes differ by at most one (ntile contract)
+    out.groupBy(r => Option(r.getString(0))).foreach { case (_, rs) =>
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
 }
 
 /** Independent in-memory BPE: pair counts weighted by word frequency,
@@ -559,4 +608,5 @@ object BpeRef {
     }
     out.toSeq
   }
+
 }
