@@ -1076,21 +1076,24 @@ object Dedup {
     * its copies. Emits per doc the reassembled clean text plus
     * segment/removal counts.
     *
-    * Scale shape: one corpus scan explodes segments map-side with a
-    * single let-bound tokenize (TextOps transform trick); the df
-    * aggregate and the probe side hang off the IDENTICAL posting
-    * subtree keyed on the segment's xxhash64 — ReuseExchange ships
-    * the postings once (d04's discipline), and the count-distinct
-    * collapses to (gh, doc_id) partials before the merge. The only
-    * exchange carrying text is the final per-doc reassembly groupBy —
-    * unavoidable for an operator whose OUTPUT is the rewritten
-    * corpus, and exactly one corpus-volume shuffle. Engine groups
-    * segment hashes where the oracle groups strings — d01's
-    * documented probabilistic gap.
+    * Scale shape: one corpus scan explodes segments map-side; the
+    * document frequency comes from COUNT WINDOWS over ONE posting
+    * exchange on the segment hash (t09's digest-window discipline —
+    * no join, no build side, no second posting shuffle): a
+    * first-in-doc flag via row_number per (gh, doc) feeds a
+    * distinct-doc count per gh, and `hashpartitioning(gh)` satisfies
+    * BOTH window distributions, so the two sorts share the one
+    * exchange (spec-asserted: one corpus scan, zero joins). The only
+    * other exchange is the per-doc reassembly groupBy — unavoidable
+    * for an operator whose OUTPUT is the rewritten corpus, and
+    * exactly one corpus-volume shuffle. Engine counts segment hashes
+    * where the oracle counts strings — d01's documented
+    * probabilistic gap.
     */
   def lineDedup(documents: DataFrame,
       segTokens: Int = BoilerSegTokens,
       minDf: Int = BoilerMinDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val segs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -1108,11 +1111,16 @@ object Dedup {
       .select(col("doc_id"), col("s.idx").as("idx"),
         col("s.seg").as("seg"), col("s.seg_len").as("seg_len"),
         xxhash64(col("s.seg")).as("gh"))
-    val df = segs
-      .groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
     segs
-      .join(df, "gh")
+      // one explicit posting exchange on gh: hashpartitioning(gh)
+      // satisfies BOTH window distributions below (a subset key
+      // clusters any superset), where leaving EnsureRequirements to
+      // it would exchange once per window spec
+      .repartition(col("gh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gh"), col("doc_id")).orderBy(col("idx"))))
+      .withColumn("df", sum((col("rn") === 1).cast("long")).over(
+        Window.partitionBy(col("gh"))))
       .withColumn("boil", col("df") >= minDf)
       .groupBy(col("doc_id"))
       .agg(

@@ -624,6 +624,29 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors >= hits)
   }
 
+  test("d16: one posting exchange, one corpus scan, zero joins") {
+    // The df comes from count windows over ONE exchange on gh
+    // (t09's digest-window discipline): hashpartitioning(gh)
+    // satisfies both the (gh, doc) first-flag window and the
+    // per-gh count window, so the plan has no join at all and
+    // exactly one corpus scan — stronger than the d04 reuse shape,
+    // which still pays an aggregate build side.
+    val df = Dedup.lineDedup(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"d16 must be join-free:\n$plan")
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1,
+      s"d16: segment pipeline must scan the corpus once (found $scans)")
+    val exchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith("Exchange") ||
+        l.trim.contains("- Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"d16: posting exchange + reassembly exchange only (found $exchanges)")
+  }
+
   test("d16: boilerplate stripped from EVERY doc, first copy included") {
     import spark.implicits._
     val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")

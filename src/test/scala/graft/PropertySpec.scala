@@ -578,4 +578,69 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, n = 8)
   }
+
+  test("d16 property: line dedup equals an in-memory df-threshold replay") {
+    import spark.implicits._
+    // tiny vocab → segments recur across docs at random df; doc
+    // lengths straddle the segment width so short tails are covered
+    val genDoc = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val w = Dedup.BoilerSegTokens
+    check("d16", Prop.forAll(Gen.listOfN(12, genDoc)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.lineDedup(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val segd = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.trim.toLowerCase.split("\\s+", -1).toSeq
+          .grouped(w).map(g => (g.mkString(" "), g.size.toLong)).toSeq
+      }
+      val dfc = segd.flatMap { case (id, ss) => ss.map(_._1 -> id) }
+        .distinct.groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val want = segd.map { case (id, ss) =>
+        val (rem, kept) = ss.partition(s => dfc(s._1) >= Dedup.BoilerMinDf)
+        (id, kept.map(_._1).mkString(" "), ss.size.toLong,
+          rem.size.toLong, rem.map(_._2).sum)
+      }.toSet
+      got == want
+    }, n = 8)
+  }
+
+  test("t17 property: hierarchical bucket equals ntile on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // random doc counts per language hit every cnt mod 3 residue and
+    // the cnt < nBuckets degenerate case; null lang is a partition
+    val genDoc = for {
+      lang <- Gen.oneOf("en", "de", null)
+      n <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+    } yield (lang, ws.mkString(" "))
+    val genCase = Gen.choose(1, 25)
+      .flatMap(k => Gen.listOfN(k, genDoc))
+    check("t17", Prop.forAll(genCase) { docs =>
+      val df = docs.zipWithIndex
+        .map { case ((l, t), i) => (i.toLong, t, l) }
+        .toDF("doc_id", "text", "lang")
+      val got = graft.operators.TextAnalysis.pplBuckets(df).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_typ").desc, col("doc_id"))
+      val ref = graft.operators.TextAnalysis.bigramLm(df)
+        .join(df.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bucket",
+          ntile(graft.operators.TextAnalysis.PplBuckets).over(w)
+            .cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bigrams")).as("nb"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      got == ref
+    }, n = 6)
+  }
 }
