@@ -605,10 +605,9 @@ object TextAnalysis {
     val scored = bigramLm(documents)
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
       // NULL lang is a legitimate partition (PARTITION BY groups
-      // nulls together) but a NULL equi-join key matches nothing, so
-      // the internal key coalesces to a sentinel; output keeps the
-      // original lang.
-      .withColumn("lkey", coalesce(col("lang"), lit(" null")))
+      // nulls together) but a NULL equi-join key matches nothing,
+      // so the offsets join below uses null-safe equality (<=>);
+      // window specs use lang directly — windows group nulls.
       // monotone DESC slice: avg_typ ∈ [0, 1e6] micro-units ⇒ slice 0
       // holds the highest scores, matching the DESC rank order.
       .withColumn("slice",
@@ -616,15 +615,16 @@ object TextAnalysis {
           floor(col("avg_typ") * rangeBuckets / 1000001.0).cast("long"))
     // ≤ langs·rangeBuckets rows: offsets + per-lang totals are
     // metadata-cardinality, so the windows below never see data.
-    val offW = Window.partitionBy(col("lkey")).orderBy(col("slice"))
+    val offW = Window.partitionBy(col("lang")).orderBy(col("slice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = scored.groupBy(col("lkey"), col("slice"))
+    val offsets = scored.groupBy(col("lang"), col("slice"))
       .agg(count(lit(1)).as("c"))
       .withColumn("off", sum(col("c")).over(offW) - col("c"))
       .withColumn("cnt",
-        sum(col("c")).over(Window.partitionBy(col("lkey"))))
-      .select(col("lkey"), col("slice"), col("off"), col("cnt"))
-    val localW = Window.partitionBy(col("lkey"), col("slice"))
+        sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang").as("o_lang"), col("slice").as("o_slice"),
+        col("off"), col("cnt"))
+    val localW = Window.partitionBy(col("lang"), col("slice"))
       .orderBy(col("avg_typ").desc, col("doc_id"))
     // exact ntile arithmetic on longs (Spark `/` is double division;
     // floor+cast is exact here — quotients sit far below 2^52)
@@ -634,7 +634,9 @@ object TextAnalysis {
     val big = base + lit(1L)
     val cut = q * big // ranks 1..cut live in the q larger buckets
     scored
-      .join(broadcast(offsets), Seq("lkey", "slice"))
+      .join(broadcast(offsets),
+        col("lang") <=> col("o_lang") && col("slice") === col("o_slice"))
+      .drop("o_lang", "o_slice")
       .withColumn("rnk", col("off") + row_number().over(localW))
       .withColumn("bucket",
         when(col("rnk") <= cut, idiv(col("rnk") - 1, big) + 1)
