@@ -275,6 +275,8 @@ object SparkEntry {
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
+    "q44_exact_quantiles" -> ((s, d) =>
+      Pipeline.exactQuantiles(Tables.events(s, d))),
     "d14_snapshot_overlap" -> ((s, d) =>
       Dedup.snapshotOverlapDemo(Tables.documents(s, d))),
     "t15_repetition_scrub" -> ((s, d) =>
@@ -2388,6 +2390,30 @@ object SparkEntry {
     "st07_stream_funnel" -> funnelSql,
     // q30: integer week ids (floor-divided epochs) and exact counts
     // — hash-exact on both engines.
+    // q44: the oracle states the contract as the PLAIN per-type
+    // row_number window — the hierarchical range-slice rank must
+    // equal it. Rank ties among equal v order arbitrarily per
+    // engine, but the emitted VALUE at any target rank is
+    // tie-invariant. Target ranks ceil(p·n) in pure integer math.
+    "q44_exact_quantiles" ->
+      """WITH e AS (
+           SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND value IS NOT NULL),
+         r AS (
+           SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY v) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM e)
+         SELECT event_type, max(cnt) AS n_events,
+                max(CASE WHEN rnk = (cnt + 1) // 2 THEN v END)
+                  AS p50_cents,
+                max(CASE WHEN rnk = (9 * cnt + 9) // 10 THEN v END)
+                  AS p90_cents,
+                max(CASE WHEN rnk = (99 * cnt + 99) // 100 THEN v END)
+                  AS p99_cents
+         FROM r GROUP BY 1""",
     "q30_retention" ->
       """WITH w AS (
            SELECT DISTINCT user_id,

@@ -1018,4 +1018,77 @@ object Pipeline {
         coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),
         col("n_customers"), col("sum_acctbal"))
+
+  /** q44_exact_quantiles — EXACT per-group order statistics (p50 /
+    * p90 / p99 of event value per event_type), the report-grade
+    * complement of q20's GK sketch: an SLO or billing percentile
+    * that lands in a contract wants the exact discrete quantile
+    * (value at rank ceil(p·n) in sorted order), not an
+    * ε-approximation. q34 computes an exact median of bounded BIN
+    * counts; this is the general case over raw, unbounded-cardinality
+    * values.
+    *
+    * Scale shape: the naive window (`row_number() OVER (PARTITION BY
+    * type ORDER BY v)`) funnels each type's entire value set through
+    * one sort task — the p07/t17 skew case. The rank is therefore
+    * HIERARCHICAL (t17's enumeration, value-range flavored): per-type
+    * min/max bounds (an algebraic agg, metadata rows, broadcast) cut
+    * the value range into `rangeBuckets` monotone slices, a spillable
+    * row_number runs within (type, slice), and per-(type, slice)
+    * prefix-sum offsets lift local positions to exact global ranks.
+    * Rank ties among equal values order arbitrarily, but the EMITTED
+    * value at any target rank is tie-invariant, so the result is
+    * deterministic on both engines. Integer-cents domain end to end;
+    * target ranks ceil(p·n) as pure long arithmetic ((a+b-1) div b).
+    * Two pruned scans of events (bounds pass + rank pass) — the
+    * bounds pass reads 2 columns and collapses map-side.
+    */
+  def exactQuantiles(events: DataFrame,
+      rangeBuckets: Int = 64): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+    // both metadata joins are NULL-SAFE (<=>): a NULL event_type is
+    // a legitimate group (GROUP BY and PARTITION BY keep it) that a
+    // plain equi-join key would silently drop
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumnRenamed("event_type", "b_type")
+    val sliced = e.join(broadcast(bounds),
+        col("event_type") <=> col("b_type"))
+      .drop("b_type")
+      .withColumn("slice",
+        floor((col("v") - col("lo")).cast("double") * rangeBuckets /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long"))
+    val offW = Window.partitionBy(col("event_type")).orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sliced.groupBy(col("event_type"), col("slice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(offW) - col("c"))
+      .withColumn("cnt", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type").as("o_type"), col("slice").as("o_slice"),
+        col("off"), col("cnt"))
+    val localW = Window.partitionBy(col("event_type"), col("slice"))
+      .orderBy(col("v"))
+    def target(num: Int, den: Int): Column = // rank ceil(num·n/den)
+      floor(((col("cnt") * num + (den - 1)).cast("double")) / den)
+        .cast("long")
+    sliced
+      .join(broadcast(offsets),
+        col("event_type") <=> col("o_type") &&
+          col("slice") === col("o_slice"))
+      .withColumn("rnk", col("off") + row_number().over(localW))
+      .filter(col("rnk") === target(1, 2) ||
+        col("rnk") === target(9, 10) || col("rnk") === target(99, 100))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_events"),
+        max(when(col("rnk") === target(1, 2), col("v"))).as("p50_cents"),
+        max(when(col("rnk") === target(9, 10), col("v"))).as("p90_cents"),
+        max(when(col("rnk") === target(99, 100), col("v")))
+          .as("p99_cents"))
+      .select(col("event_type"), col("n_events"), col("p50_cents"),
+        col("p90_cents"), col("p99_cents"))
+  }
 }

@@ -107,5 +107,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.importanceSample(emptyDocs).count() === 0)
     assert(Dedup.lineDedup(emptyDocs).count() === 0)
     assert(TextAnalysis.pplBuckets(emptyDocs).count() === 0)
+    assert(graft.operators.Pipeline.exactQuantiles(
+      Tables.events(spark, sf).filter("event_id < 0")).count() === 0)
   }
 }

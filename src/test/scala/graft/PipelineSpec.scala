@@ -579,4 +579,52 @@ class PipelineSpec extends AnyFunSuite {
       gs.foreach(g => assert(g._4 == g._3 - g._2 + 1))
     }
   }
+  test("q44: hierarchical ranks equal the plain window on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, sf)
+    val got = graft.operators.Pipeline.exactQuantiles(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val cw = Window.partitionBy(col("event_type"))
+    val ref = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n"),
+        max(when(col("rnk") === ((col("cnt") + 1) / 2)
+          .cast("long"), col("v"))).as("p50"),
+        max(when(col("rnk") === ((col("cnt") * 9 + 9) / 10)
+          .cast("long"), col("v"))).as("p90"),
+        max(when(col("rnk") === ((col("cnt") * 99 + 99) / 100)
+          .cast("long"), col("v"))).as("p99"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
+  test("q44: exact targets on planted counts incl. the 1-row group") {
+    import spark.implicits._
+    // type a: n=10 -> p50 = 5th of 10..100 = 50c; p90 = 9th = 90c;
+    // p99 = ceil(9.9) = 10th = 100c. type b: n=1 -> all three = 7c.
+    val rows = (1 to 10).map(i =>
+      (i.toLong, "a", 100L + i, 0.10 * i)) ++ Seq(
+      (99L, "b", 200L, 0.07),
+      (98L, null.asInstanceOf[String], 201L, 0.42)) // NULL type group
+    val ev = rows.toDF("event_id", "event_type", "user_id", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(1L))
+    val out = graft.operators.Pipeline.exactQuantiles(ev).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(Some("a")) === ((10L, 50L, 90L, 100L)))
+    assert(out(Some("b")) === ((1L, 7L, 7L, 7L)))
+    // NULL event_type survives the null-safe metadata joins
+    assert(out(None) === ((1L, 42L, 42L, 42L)))
+  }
+
 }
