@@ -2388,8 +2388,6 @@ object SparkEntry {
     // single-batch harness, so it shares the oracle.
     "q29_funnel" -> funnelSql,
     "st07_stream_funnel" -> funnelSql,
-    // q30: integer week ids (floor-divided epochs) and exact counts
-    // — hash-exact on both engines.
     // q44: the oracle states the contract as the PLAIN per-type
     // row_number window — the hierarchical range-slice rank must
     // equal it. Rank ties among equal v order arbitrarily per
@@ -2414,6 +2412,8 @@ object SparkEntry {
                 max(CASE WHEN rnk = (99 * cnt + 99) // 100 THEN v END)
                   AS p99_cents
          FROM r GROUP BY 1""",
+    // q30: integer week ids (floor-divided epochs) and exact counts
+    // — hash-exact on both engines.
     "q30_retention" ->
       """WITH w AS (
            SELECT DISTINCT user_id,

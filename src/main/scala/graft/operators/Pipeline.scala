@@ -1040,8 +1040,11 @@ object Pipeline {
     * value at any target rank is tie-invariant, so the result is
     * deterministic on both engines. Integer-cents domain end to end;
     * target ranks ceil(p·n) as pure long arithmetic ((a+b-1) div b).
-    * Two pruned scans of events (bounds pass + rank pass) — the
-    * bounds pass reads 2 columns and collapses map-side.
+    * Two pruned scans of events (bounds pass + rank pass; the
+    * offsets aggregate and the rank window share the rank pass's
+    * scan and (type, slice) exchange via ReuseExchange,
+    * spec-asserted) — the bounds pass reads 2 columns and collapses
+    * map-side.
     */
   def exactQuantiles(events: DataFrame,
       rangeBuckets: Int = 64): DataFrame = {
@@ -1061,25 +1064,45 @@ object Pipeline {
       .withColumn("slice",
         floor((col("v") - col("lo")).cast("double") * rangeBuckets /
           (col("hi") - col("lo") + 1).cast("double")).cast("long"))
-    val offW = Window.partitionBy(col("event_type")).orderBy(col("slice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = sliced.groupBy(col("event_type"), col("slice"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("off", sum(col("c")).over(offW) - col("c"))
-      .withColumn("cnt", sum(col("c")).over(
-        Window.partitionBy(col("event_type"))))
-      .select(col("event_type").as("o_type"), col("slice").as("o_slice"),
-        col("off"), col("cnt"))
+      // one explicit exchange on (type, slice) BELOW the fork: the
+      // rank window requires exactly this clustering anyway, and
+      // hoisting it lets ReuseExchange feed the offsets aggregate
+      // and the rank pass from ONE scan+shuffle (d16's discipline)
+      .repartition(col("event_type"), col("slice"))
     val localW = Window.partitionBy(col("event_type"), col("slice"))
       .orderBy(col("v"))
+    // both window specs ride the one explicit exchange; the rn==1
+    // slice below makes the offsets branch's input IDENTICAL to the
+    // rank branch's (same columns, same exchange), so ReuseExchange
+    // ships the postings once — a groupBy branch would prune v and
+    // fork a second scan
+    val ranked = sliced
+      .withColumn("rn", row_number().over(localW))
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("slice"))))
+    // one row per (type, slice): metadata cardinality for the
+    // prefix-sum windows and the broadcast back
+    val offW = Window.partitionBy(col("o_type")).orderBy(col("o_slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.filter(col("rn") === 1)
+      .select(col("event_type").as("o_type"), col("slice").as("o_slice"),
+        col("c"))
+      .withColumn("off", sum(col("c")).over(offW) - col("c"))
+      .withColumn("cnt", sum(col("c")).over(
+        Window.partitionBy(col("o_type"))))
+      .drop("c")
     def target(num: Int, den: Int): Column = // rank ceil(num·n/den)
       floor(((col("cnt") * num + (den - 1)).cast("double")) / den)
         .cast("long")
-    sliced
+    ranked
+      // slice is never NULL, but <=> keeps the optimizer from
+      // inferring an isnotnull filter into ONLY this branch of the
+      // shared subtree, which would break its ReuseExchange identity
+      // with the offsets branch
       .join(broadcast(offsets),
         col("event_type") <=> col("o_type") &&
-          col("slice") === col("o_slice"))
-      .withColumn("rnk", col("off") + row_number().over(localW))
+          col("slice") <=> col("o_slice"))
+      .withColumn("rnk", col("off") + col("rn"))
       .filter(col("rnk") === target(1, 2) ||
         col("rnk") === target(9, 10) || col("rnk") === target(99, 100))
       .groupBy(col("event_type"))

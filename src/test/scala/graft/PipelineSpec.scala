@@ -608,6 +608,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q44: offsets and ranks share one scan+exchange; bounds is the 2nd scan") {
+    val df = graft.operators.Pipeline.exactQuantiles(Tables.events(spark, sf))
+    df.collect() // AQE reuse is decided at stage materialization
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"),
+      s"q44 must reuse the (type, slice) exchange:\n$plan")
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 2,
+      s"q44: bounds pass + rank pass only (found $scans scans)")
+  }
+
   test("q44: exact targets on planted counts incl. the 1-row group") {
     import spark.implicits._
     // type a: n=10 -> p50 = 5th of 10..100 = 50c; p90 = 9th = 90c;
