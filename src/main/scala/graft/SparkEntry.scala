@@ -271,6 +271,9 @@ object SparkEntry {
     "k12_partition_upsert" -> ((s, d) =>
       graft.sources.PartitionUpsert.upsertSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "k14_time_travel" -> ((s, d) =>
+      graft.sources.TimeTravel.timeTravelSummary(Tables.documents(s, d),
+        cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
@@ -2637,6 +2640,36 @@ object SparkEntry {
     // tombstoned) merge — final state is argmax(seq) regardless of
     // batching/order, so the streaming run shares k12's oracle.
     "st12_stream_upsert" -> k12Sql,
+    // k14: version 1 must read back as the UNTOUCHED original table
+    // (snapshot isolation — the v2 commit wrote only new files) and
+    // version 2 as k12's post-apply state; the oracle is k12's
+    // merged CTE with the pre-image unioned in under version 1.
+    "k14_time_travel" ->
+      """WITH latest AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM documents
+           WHERE lang IN ('en', 'de')
+             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+         merged AS (
+           SELECT d.doc_id, d.lang,
+                  CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
+                       ELSE d.text END AS text
+           FROM documents d LEFT JOIN latest l
+             ON d.doc_id = l.doc_id AND d.lang = l.lang
+           WHERE coalesce(l.op, 'keep') <> 'delete'),
+         vs AS (
+           SELECT 1 AS version, lang, doc_id, text FROM documents
+           UNION ALL
+           SELECT 2 AS version, lang, doc_id, text FROM merged)
+         SELECT CAST(version AS BIGINT) AS version, lang,
+                count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_upserted
+         FROM vs GROUP BY 1, 2""",
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

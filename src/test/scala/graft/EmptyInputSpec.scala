@@ -109,5 +109,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.pplBuckets(emptyDocs).count() === 0)
     assert(graft.operators.Pipeline.exactQuantiles(
       Tables.events(spark, sf).filter("event_id < 0")).count() === 0)
+    // k14 on an empty corpus: two empty versions, an empty summary
+    assert(graft.sources.TimeTravel
+      .timeTravelSummary(emptyDocs).count() === 0)
   }
 }

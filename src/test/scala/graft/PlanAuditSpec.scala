@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "k11_ingest_manifest", "st11_stream_ingest",
       "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy",
       "k13_sketch_ledger", "st14_stream_ledger", "st15_stream_select",
-      "d15_bloom_decontaminate", "p15_importance_sample")
+      "d15_bloom_decontaminate", "p15_importance_sample",
+      "k14_time_travel")
 
   /** s01/s02 score a BROADCAST handful of query vectors against the
     * corpus with a non-equi self-exclusion — the one place a
