@@ -361,8 +361,12 @@ object SparkEntry {
     * two changed langs; n_upserted is the SAME text-suffix LIKE both
     * engines evaluate on the merged text).
     */
-  private val k12Sql: String =
-    """WITH latest AS (
+  /** k12's latest-wins replay CTEs — ONE definition shared by the
+    * k12/st12 oracles and k14's versioned-read oracle, mirroring the
+    * shared latestOps/mergeLatest engine path.
+    */
+  private val k12Ctes: String =
+    """latest AS (
          SELECT doc_id, lang,
                 CASE WHEN doc_id % 11 = 4 THEN 'delete'
                      ELSE 'upsert' END AS op
@@ -375,13 +379,33 @@ object SparkEntry {
                      ELSE d.text END AS text
          FROM documents d LEFT JOIN latest l
            ON d.doc_id = l.doc_id AND d.lang = l.lang
-         WHERE coalesce(l.op, 'keep') <> 'delete')
+         WHERE coalesce(l.op, 'keep') <> 'delete')"""
+
+  private val k12Sql: String =
+    s"""WITH $k12Ctes
        SELECT lang, count(*) AS n_docs,
               CAST(sum(doc_id) AS BIGINT) AS key_checksum,
               CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
               CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_upserted
        FROM merged GROUP BY lang"""
+
+  /** k14: version 1 = the untouched pre-image, version 2 = k12's
+    * post-apply state — built from the SAME k12Ctes replay.
+    */
+  private val k14Sql: String =
+    s"""WITH $k12Ctes,
+         vs AS (
+           SELECT 1 AS version, lang, doc_id, text FROM documents
+           UNION ALL
+           SELECT 2 AS version, lang, doc_id, text FROM merged)
+         SELECT CAST(version AS BIGINT) AS version, lang,
+                count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_upserted
+         FROM vs GROUP BY 1, 2"""
 
   /** Shared by k11 (batch read-back reconcile) and st11 (incremental
     * fold of per-micro-batch partials): both must classify every
@@ -2642,34 +2666,9 @@ object SparkEntry {
     "st12_stream_upsert" -> k12Sql,
     // k14: version 1 must read back as the UNTOUCHED original table
     // (snapshot isolation — the v2 commit wrote only new files) and
-    // version 2 as k12's post-apply state; the oracle is k12's
-    // merged CTE with the pre-image unioned in under version 1.
-    "k14_time_travel" ->
-      """WITH latest AS (
-           SELECT doc_id, lang,
-                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
-                       ELSE 'upsert' END AS op
-           FROM documents
-           WHERE lang IN ('en', 'de')
-             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
-         merged AS (
-           SELECT d.doc_id, d.lang,
-                  CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
-                       ELSE d.text END AS text
-           FROM documents d LEFT JOIN latest l
-             ON d.doc_id = l.doc_id AND d.lang = l.lang
-           WHERE coalesce(l.op, 'keep') <> 'delete'),
-         vs AS (
-           SELECT 1 AS version, lang, doc_id, text FROM documents
-           UNION ALL
-           SELECT 2 AS version, lang, doc_id, text FROM merged)
-         SELECT CAST(version AS BIGINT) AS version, lang,
-                count(*) AS n_docs,
-                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
-                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
-                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_upserted
-         FROM vs GROUP BY 1, 2""",
+    // version 2 as k12's post-apply state; built from the SHARED
+    // k12Ctes replay (see k14Sql).
+    "k14_time_travel" -> k14Sql,
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

@@ -43,7 +43,7 @@ object PartitionUpsert {
 
   val ChangedLangs: Seq[String] = Seq("en", "de")
 
-  private val treeSchema =
+  private[graft] val treeSchema =
     "doc_id BIGINT, source STRING, text STRING, lang STRING"
 
   /** Deterministic demo changelog, confined to `ChangedLangs`. */
@@ -59,7 +59,8 @@ object PartitionUpsert {
     upserts.unionByName(deletes)
   }
 
-  private def writeTree(df: DataFrame, dir: String, writers: Int = 4,
+  private[graft] def writeTree(df: DataFrame, dir: String,
+      writers: Int = 4,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.repartition(col("lang"),
         pmod(xxhash64(col("doc_id")), lit(writers)))
@@ -67,6 +68,31 @@ object PartitionUpsert {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("lang")
       .parquet(dir)
+
+  /** Latest-wins collapse of a (doc_id, lang, seq, op, new_text)
+    * changelog — ONE definition shared by k12's in-place apply and
+    * k14's versioned commit, so their semantics cannot drift.
+    */
+  private[graft] def latestOps(changes: DataFrame): DataFrame =
+    changes
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max_by(struct(col("op"), col("new_text")), col("seq")).as("c"))
+      .select(col("doc_id"), col("lang"), col("c.op").as("op"),
+        col("c.new_text").as("nt"))
+
+  /** k12's latest-wins merge of a base slice with a collapsed
+    * changelog (upsert replaces text, delete drops the row) — shared
+    * with k14 (see latestOps).
+    */
+  private[graft] def mergeLatest(base: DataFrame,
+      latest: DataFrame): DataFrame =
+    base
+      .join(latest, Seq("doc_id", "lang"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+      .select(col("doc_id"), col("source"),
+        when(col("op") === "upsert", col("nt")).otherwise(col("text"))
+          .as("text"),
+        col("lang"))
 
   /** Apply `changes` to the tree at `dir`: read ONLY the affected
     * partitions (pruned scan), merge latest-wins, dynamically
@@ -76,24 +102,13 @@ object PartitionUpsert {
     */
   private[graft] def applyChanges(spark: SparkSession, dir: String,
       changes: DataFrame): Unit = {
-    val latest = changes
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(max_by(struct(col("op"), col("new_text")), col("seq")).as("c"))
-      .select(col("doc_id"), col("lang"), col("c.op").as("op"),
-        col("c.new_text").as("nt"))
+    val latest = latestOps(changes)
     // metadata-scale: one partition value per affected directory
     val affected = latest.select(col("lang")).distinct()
       .collect().map(_.getString(0)).toSeq
     val base = spark.read.schema(treeSchema).parquet(dir)
       .filter(col("lang").isin(affected: _*))
-    val merged = base
-      .join(latest, Seq("doc_id", "lang"), "full_outer")
-      .filter(coalesce(col("op"), lit("keep")) =!= "delete")
-      .select(col("doc_id"), col("source"),
-        when(col("op") === "upsert", col("nt")).otherwise(col("text"))
-          .as("text"),
-        col("lang"))
-    writeTree(merged, dir)
+    writeTree(mergeLatest(base, latest), dir)
   }
 
   /** Stage the base tree, apply the demo changelog; memoized. */

@@ -18,22 +18,23 @@ import org.apache.spark.sql.functions._
   * as its own immutable partition tree — plus `dir/meta/v{N}`
   * manifests of (lang, commit) rows: which commit's tree serves each
   * partition at that version. Commit v2 merges the changelog into the
-  * AFFECTED partitions only (k12's pruned-read + latest-wins merge),
-  * writes the merged result as the NEW commit's tree, and the v2
-  * manifest points affected langs at c2 while inheriting every other
-  * (lang -> c1) row from v1's manifest verbatim.
+  * AFFECTED partitions only (k12's latestOps/mergeLatest — the SAME
+  * shared code path, so the semantics cannot drift), writes the
+  * merged result as the NEW commit's tree, and the v2 manifest points
+  * affected langs at c2 while inheriting every other (lang -> c1)
+  * row from v1's manifest verbatim.
   *
   * Scale shape: a commit costs the delta's partitions, never the
   * table (k12's bound) — plus a metadata-cardinality manifest write
   * (≤ #partitions rows). Reading AT a version enumerates the
-  * manifest, not the directory tree: one pruned scan per referenced
-  * commit with `lang IN (...)` partition filters, so exactly the
-  * manifest's file set is touched — no full-tree listing, which at
-  * 100 TB (millions of files) is the difference between a metadata
-  * read and an object-store crawl. Old-version reads cost the same
-  * as they did when that version was current. The spec pins the
-  * snapshot-isolation contract directly: c1's file listing and v1's
-  * summary are byte-identical before and after the v2 commit.
+  * manifest, not the directory tree: the manifest's (lang, commit)
+  * rows become EXPLICIT partition-directory paths, so Spark's file
+  * index lists only those directories — at 100 TB (millions of
+  * files) the difference between a metadata read and an object-store
+  * crawl. Old-version reads cost the same as they did when that
+  * version was current. The spec brackets the v2 commit directly:
+  * c1's file listing (paths + content digests) taken BEFORE the v2
+  * commit equals the listing after it.
   *
   * Reference analog: the durable results tree (tools.py:677 rsync)
   * plus the sqlite progress log's implicit history (tools.py:8-56)
@@ -45,16 +46,21 @@ object TimeTravel {
   private val staged =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private val treeSchema =
-    "doc_id BIGINT, source STRING, text STRING, lang STRING"
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
-  private def writeCommit(df: DataFrame, dir: String,
-      writers: Int = 4): Unit =
-    df.repartition(col("lang"),
-        pmod(xxhash64(col("doc_id")), lit(writers)))
-      .write.mode("overwrite")
-      .partitionBy("lang")
-      .parquet(dir)
+  private def langDir(lang: String): String =
+    "lang=" + (if (lang == null) HiveNull else lang)
+
+  /** Partition values of a committed tree, from the DIRECTORY
+    * listing partitionBy materialized — metadata cost, no data scan.
+    */
+  private def commitLangs(dir: String): Seq[String] = {
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(_.getName.stripPrefix("lang="))
+      .map(v => if (v == HiveNull) null else v)
+  }
 
   /** Manifest rows for one version: (lang, commit). NULL lang is a
     * legitimate partition value (hive default partition on disk) and
@@ -72,68 +78,71 @@ object TimeTravel {
     spark.read.parquet(s"$dir/meta/v$version")
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
 
-  /** Read the table AS OF `version`: one pruned scan per referenced
-    * commit, partition filters from the manifest — exactly the
-    * manifest's file set, never a tree crawl.
+  /** Read the table AS OF `version`: the manifest's (lang, commit)
+    * rows become explicit partition-directory paths (one pruned scan
+    * per referenced commit, `basePath` recovers the lang column), so
+    * the file index lists EXACTLY the manifest's directories — a
+    * tree-wide read with partition filters would still crawl every
+    * leaf of the commit to build its file index first.
     */
   def readAt(spark: SparkSession, dir: String,
       version: Int): DataFrame = {
     val manifest = readManifest(spark, dir, version)
-    manifest.groupBy(_._2).map { case (commit, rows) =>
-      val langs = rows.map(_._1)
-      val tree = spark.read.schema(treeSchema).parquet(s"$dir/c$commit")
-      val (nulls, named) = langs.partition(_ == null)
-      val byName = col("lang").isin(named.map(x => x: Any): _*)
-      tree.filter(if (nulls.isEmpty) byName
-        else byName || col("lang").isNull)
+    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (commit, rows) =>
+      val paths = rows.map(r => s"$dir/c$commit/${langDir(r._1)}")
+      spark.read
+        .option("basePath", s"$dir/c$commit")
+        .schema(PartitionUpsert.treeSchema)
+        .parquet(paths: _*)
     }.reduceOption(_.unionByName(_))
       // schema-correct empty frame so downstream summaries stay total
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(treeSchema)))
+        org.apache.spark.sql.types.StructType.fromDDL(
+          PartitionUpsert.treeSchema)))
   }
 
-  /** Stage the two-commit demo: v1 = the full corpus; v2 = k12's
-    * demo changelog merged into the affected partitions, committed
-    * as a NEW tree + manifest. Memoized per sfDir like every staged
-    * sink.
+  /** Commit 1: the full corpus + its manifest. */
+  private[graft] def stageBase(documents: DataFrame,
+      dir: String): Unit = {
+    val spark = documents.sparkSession
+    PartitionUpsert.writeTree(documents
+      .select(col("doc_id"), col("source"), col("text"), col("lang")),
+      s"$dir/c1")
+    writeManifest(spark, dir, 1, commitLangs(s"$dir/c1").map(_ -> 1))
+  }
+
+  /** Commit 2: k12's demo changelog merged into ONLY the affected
+    * partitions (shared latestOps/mergeLatest code path), landed as
+    * a NEW tree + manifest — c1 is never touched.
+    */
+  private[graft] def commitChanges(documents: DataFrame,
+      dir: String): Unit = {
+    val spark = documents.sparkSession
+    val latest = PartitionUpsert.latestOps(
+      PartitionUpsert.changelog(documents))
+    val affected = latest.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pruned = spark.read.schema(PartitionUpsert.treeSchema)
+      .parquet(s"$dir/c1")
+      .filter(col("lang").isin(affected.map(x => x: Any): _*))
+    PartitionUpsert.writeTree(
+      PartitionUpsert.mergeLatest(pruned, latest), s"$dir/c2")
+    val v1Langs = readManifest(spark, dir, 1).map(_._1)
+    writeManifest(spark, dir, 2,
+      affected.map(_ -> 2) ++
+        v1Langs.filterNot(affected.contains).map(_ -> 1))
+  }
+
+  /** Stage the two-commit demo; memoized per sfDir like every
+    * staged sink.
     */
   def stageVersions(documents: DataFrame,
       cacheKey: String = ""): String = {
     def fresh(): String = {
-      val spark = documents.sparkSession
       val dir = graft.Staging.dir("graft_k14_")
-      val base = documents
-        .select(col("doc_id"), col("source"), col("text"), col("lang"))
-      writeCommit(base, s"$dir/c1")
-      val v1Langs = spark.read.schema(treeSchema).parquet(s"$dir/c1")
-        .select(col("lang")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      writeManifest(spark, dir, 1, v1Langs.map(_ -> 1))
-      // v2: merge the changelog into ONLY the affected partitions
-      // (k12's latest-wins semantics), land as commit 2
-      val changes = PartitionUpsert.changelog(documents)
-      val latest = changes
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(max_by(struct(col("op"), col("new_text")), col("seq"))
-          .as("c"))
-        .select(col("doc_id"), col("lang"), col("c.op").as("op"),
-          col("c.new_text").as("nt"))
-      val affected = latest.select(col("lang")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val pruned = spark.read.schema(treeSchema).parquet(s"$dir/c1")
-        .filter(col("lang").isin(affected.map(x => x: Any): _*))
-      val merged = pruned
-        .join(latest, Seq("doc_id", "lang"), "full_outer")
-        .filter(coalesce(col("op"), lit("keep")) =!= "delete")
-        .select(col("doc_id"), col("source"),
-          when(col("op") === "upsert", col("nt")).otherwise(col("text"))
-            .as("text"),
-          col("lang"))
-      writeCommit(merged, s"$dir/c2")
-      writeManifest(spark, dir, 2,
-        affected.map(_ -> 2) ++
-          v1Langs.filterNot(affected.contains).map(_ -> 1))
+      stageBase(documents, dir)
+      commitChanges(documents, dir)
       dir
     }
     if (cacheKey.isEmpty) fresh()

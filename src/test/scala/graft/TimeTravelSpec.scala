@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
@@ -11,34 +12,40 @@ import graft.sources.TimeTravel
 class TimeTravelSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def listFiles(dir: String): Map[String, Long] = {
+  /** Relative path -> md5 of file CONTENT for every parquet file
+    * under `dir` — the listing the snapshot-isolation contract is
+    * pinned on (paths + bytes, not just sizes).
+    */
+  private def digests(dir: String): Map[String, String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) Map.empty
     else Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
-      .map(p => root.relativize(p).toString -> Files.size(p))
-      .toMap
+      .map { p =>
+        val md = MessageDigest.getInstance("MD5")
+        root.relativize(p).toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
   }
 
-  test("k14: v1 is byte-identical after the v2 commit (snapshot isolation)") {
+  test("k14: c1 survives the v2 commit byte-identical (snapshot isolation)") {
     val docs = Tables.documents(spark, sf)
-    // stage WITHOUT memo so this spec owns the lifecycle
-    val dir = TimeTravel.stageVersions(docs)
-    // the v2 commit is part of staging; c1's files must be exactly
-    // the files a v1-only world would hold — no rewrite, no delete
-    val c1 = listFiles(s"$dir/c1")
-    assert(c1.nonEmpty)
-    val v1 = TimeTravel.readAt(spark, dir, 1)
+    val dir = graft.Staging.dir("graft_k14spec_")
+    // bracket the commit: snapshot c1 BETWEEN the two commits
+    TimeTravel.stageBase(docs, dir)
+    val before = digests(s"$dir/c1")
+    assert(before.nonEmpty)
+    TimeTravel.commitChanges(docs, dir)
+    assert(digests(s"$dir/c1") === before,
+      "the v2 commit must not touch any c1 file")
     // v1 read-back IS the original corpus, row for row
     val want = docs.select(col("doc_id"), col("source"), col("text"),
       col("lang")).collect().map(_.toSeq).toSet
-    val got = v1.select(col("doc_id"), col("source"), col("text"),
-      col("lang")).collect().map(_.toSeq).toSet
+    val got = TimeTravel.readAt(spark, dir, 1)
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      .collect().map(_.toSeq).toSet
     assert(got === want, "v1 must equal the pre-image exactly")
-    // and c1 is untouched on disk after staging completed (which
-    // included the v2 commit)
-    assert(listFiles(s"$dir/c1") === c1)
   }
 
   test("k14: v2 equals k12's post-apply state; v2 commit wrote only deltas") {
@@ -55,28 +62,33 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(got === viaK12,
       "time-travel v2 must equal the in-place upsert's final state")
     // delta-only commit: c2 holds ONLY the changed partitions
-    val c2Langs = listFiles(s"$dir/c2").keys
+    val c2Langs = digests(s"$dir/c2").keys
       .flatMap(_.split("/").find(_.startsWith("lang="))).toSet
     assert(c2Langs ===
       graft.sources.PartitionUpsert.ChangedLangs.map(l => s"lang=$l").toSet)
   }
 
-  test("k14: manifests are metadata-cardinality; readAt prunes partitions") {
+  test("k14: manifests are metadata-cardinality; readAt lists only manifest dirs") {
     val docs = Tables.documents(spark, sf)
     val dir = TimeTravel.stageVersions(docs, cacheKey = sf)
     Seq(1, 2).foreach { v =>
       val m = spark.read.parquet(s"$dir/meta/v$v")
       assert(m.count() <= 64, "manifest must stay partition-cardinality")
     }
-    // the v2 read plans partition filters: untouched langs come from
-    // c1, changed langs from c2 — each scan pruned to its lang set
+    // the v2 read's file indexes are built from EXPLICIT manifest
+    // directories (no tree crawl): changed langs from c2, the rest
+    // from c1 — and the c1 scan's location must NOT include the
+    // changed langs' directories
     val plan = TimeTravel.readAt(spark, dir, 2)
       .queryExecution.executedPlan.toString
-    val pruned = plan.linesIterator
-      .filter(_.contains("FileScan parquet"))
-      .count(l => l.contains("PartitionFilters: [lang") &&
-        l.contains(" IN ("))
-    assert(pruned === 2,
-      s"both commit scans must carry manifest partition filters:\n$plan")
+    val scans = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).toList
+    assert(scans.exists(l => l.contains("/c2/lang=")), s"c2 scan:\n$plan")
+    val c1Scan = scans.find(_.contains("/c1/lang="))
+    assert(c1Scan.nonEmpty, s"c1 scan:\n$plan")
+    graft.sources.PartitionUpsert.ChangedLangs.foreach { l =>
+      assert(!c1Scan.get.contains(s"/c1/lang=$l"),
+        s"c1's file index must exclude the superseded lang=$l")
+    }
   }
 }
