@@ -363,22 +363,33 @@ object SparkEntry {
     */
   /** k12's latest-wins replay CTEs — ONE definition shared by the
     * k12/st12 oracles and k14's versioned-read oracle, mirroring the
-    * shared latestOps/mergeLatest engine path.
+    * shared latestOps/mergeLatest engine path. `base` rebuilds the
+    * demo tree (corpus + NULL-lang shadow rows, doc_id ≡ 7 mod 13
+    * re-keyed +10M); changes hit the two changed langs AND the NULL
+    * partition, with IS NOT DISTINCT FROM mirroring the engine's
+    * null-safe `<=>` lang key.
     */
   private val k12Ctes: String =
-    """latest AS (
+    """base AS (
+         SELECT doc_id, source, text, lang FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, source, text,
+                CAST(NULL AS VARCHAR) AS lang
+         FROM documents WHERE doc_id % 13 = 7),
+       latest AS (
          SELECT doc_id, lang,
                 CASE WHEN doc_id % 11 = 4 THEN 'delete'
                      ELSE 'upsert' END AS op
-         FROM documents
-         WHERE lang IN ('en', 'de')
+         FROM base
+         WHERE (lang IN ('en', 'de') OR lang IS NULL)
            AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
        merged AS (
-         SELECT d.doc_id, d.lang,
-                CASE WHEN l.op = 'upsert' THEN d.text || ' v2'
-                     ELSE d.text END AS text
-         FROM documents d LEFT JOIN latest l
-           ON d.doc_id = l.doc_id AND d.lang = l.lang
+         SELECT b.doc_id, b.lang,
+                CASE WHEN l.op = 'upsert' THEN b.text || ' v2'
+                     ELSE b.text END AS text
+         FROM base b LEFT JOIN latest l
+           ON b.doc_id = l.doc_id
+          AND b.lang IS NOT DISTINCT FROM l.lang
          WHERE coalesce(l.op, 'keep') <> 'delete')"""
 
   private val k12Sql: String =
@@ -396,7 +407,7 @@ object SparkEntry {
   private val k14Sql: String =
     s"""WITH $k12Ctes,
          vs AS (
-           SELECT 1 AS version, lang, doc_id, text FROM documents
+           SELECT 1 AS version, lang, doc_id, text FROM base
            UNION ALL
            SELECT 2 AS version, lang, doc_id, text FROM merged)
          SELECT CAST(version AS BIGINT) AS version, lang,

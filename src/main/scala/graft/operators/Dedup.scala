@@ -1002,12 +1002,33 @@ object Dedup {
     * at corpus scale), so the pair space is Σ block², not corpus²,
     * and the join shuffles each block to one place. Dot/norms in
     * IEEE-double left-folds (see VectorOps precision contract).
+    *
+    * Hot-block guard (d02's maxBucket discipline): one label shared
+    * by B vectors yields B²/2 pairs — a degenerate label (an
+    * unlabeled-bucket catch-all, a crawl that tagged a million pages
+    * identically) would detonate a single block into ~10⁹ pairs and
+    * stall its one reducer. Blocks above `maxBlock` are dropped,
+    * loudly bounded rather than silently quadratic; unlike d02 there
+    * is no band redundancy to recover them, so oversized blocks
+    * should be routed through d08's LEARNED sub-clusters instead
+    * (its k-means key splits a hot label by geometry). The count
+    * window rides the same hashpartitioning(label) exchange the
+    * self-join needs — the guard adds no shuffle.
     */
-  def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
-    val e = embeddings.select(
+  def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4,
+      maxBlock: Int = 4096): DataFrame = {
+    val scored = embeddings.select(
       col("vec_id"), col("label"),
       VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val e =
+      if (maxBlock == Int.MaxValue) scored
+      else scored
+        .withColumn("bsz", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label"))))
+        .filter(col("bsz") <= maxBlock)
+        .drop("bsz")
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") &&

@@ -1092,8 +1092,9 @@ object Pipeline {
         Window.partitionBy(col("o_type"))))
       .drop("c")
     def target(num: Int, den: Int): Column = // rank ceil(num·n/den)
-      floor(((col("cnt") * num + (den - 1)).cast("double")) / den)
-        .cast("long")
+      // integral `div`, NOT double division: cnt·num+den−1 must stay
+      // exact past 2^53 for the ceil to hold at any cardinality
+      expr(s"(cnt * $num + ${den - 1}) div $den")
     ranked
       // slice is never NULL, but <=> keeps the optimizer from
       // inferring an isnotnull filter into ONLY this branch of the

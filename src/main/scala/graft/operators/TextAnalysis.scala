@@ -626,9 +626,14 @@ object TextAnalysis {
         col("off"), col("cnt"))
     val localW = Window.partitionBy(col("lang"), col("slice"))
       .orderBy(col("avg_typ").desc, col("doc_id"))
-    // exact ntile arithmetic on longs (Spark `/` is double division;
-    // floor+cast is exact here — quotients sit far below 2^52)
-    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    // exact ntile arithmetic on longs at ANY cardinality: subtract
+    // the remainder first (still a long, exact), then divide the now
+    // exactly-divisible value as decimal(38) — an integer quotient is
+    // representable at any decimal scale, so no double mantissa limit
+    def idiv(a: Column, b: Column): Column = {
+      val r = a - pmod(a, b)
+      (r.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+    }
     val base = idiv(col("cnt"), lit(nBuckets)) // smaller bucket size
     val q = col("cnt") - base * nBuckets // first q buckets one larger
     val big = base + lit(1L)

@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
   * discovery is a distinct() on the changelog's partition column —
   * metadata-scale.
   *
-  * The staged demo changelog confines changes to two languages
-  * (upsert doc_id ≡ 0 mod 3, text + " v2", seq 1; delete
-  * doc_id ≡ 4 mod 11, seq 2 — keys hit by both prove latest-wins),
-  * all in oracle-replayable arithmetic; the registered summary is
-  * the read-back of the post-apply tree, which the oracle rebuilds
-  * relationally from the original table.
+  * The staged demo changelog confines changes to two languages PLUS
+  * THE NULL PARTITION (upsert doc_id ≡ 0 mod 3, text + " v2", seq 1;
+  * delete doc_id ≡ 4 mod 11, seq 2 — keys hit by both prove
+  * latest-wins), all in oracle-replayable arithmetic; the registered
+  * summary is the read-back of the post-apply tree, which the oracle
+  * rebuilds relationally from the original table. NULL is a legal
+  * partition value (`lang=__HIVE_DEFAULT_PARTITION__` on disk) and
+  * the demo exercises it deliberately: a plain `isin` prune drops
+  * NULL under SQL three-valued logic and a null-unsafe join key
+  * never matches it, while dynamic overwrite still rewrites the NULL
+  * partition from the changelog side alone — the one path to SILENT
+  * data loss in this sink. Hence `langIn` (null-safe membership) at
+  * every prune site and `<=>` on the lang join key in both merges.
   */
 object PartitionUpsert {
 
@@ -43,12 +50,58 @@ object PartitionUpsert {
 
   val ChangedLangs: Seq[String] = Seq("en", "de")
 
+  private[graft] val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition directories the demo changelog touches: the two
+    * changed langs plus the NULL partition's on-disk name.
+    */
+  private[graft] val ChangedPartitionDirs: Set[String] =
+    ChangedLangs.map("lang=" + _).toSet + ("lang=" + HiveNull)
+
+  /** Key offset for the demo's NULL-lang shadow rows — keeps their
+    * doc_ids disjoint from the corpus keys.
+    */
+  private[graft] val NullShadowOffset = 10000000L
+
   private[graft] val treeSchema =
     "doc_id BIGINT, source STRING, text STRING, lang STRING"
 
-  /** Deterministic demo changelog, confined to `ChangedLangs`. */
-  private[graft] def changelog(documents: DataFrame): DataFrame = {
-    val changed = documents.filter(col("lang").isin(ChangedLangs: _*))
+  /** Demo base tree: the corpus plus deterministic NULL-lang shadow
+    * rows (doc_id ≡ 7 mod 13, re-keyed +NullShadowOffset). The
+    * driver corpus has no NULL langs, so the demo plants some — the
+    * merge path must treat the hive default partition as just
+    * another partition, and the registered k12/st12/k14 queries
+    * exercise that on every run (oracle replays the same arithmetic).
+    */
+  private[graft] def demoBase(documents: DataFrame): DataFrame = {
+    val std = documents
+      .select(col("doc_id"), col("source"), col("text"), col("lang"))
+    val shadows = documents
+      .filter(pmod(col("doc_id"), lit(13L)) === 7L)
+      .select((col("doc_id") + NullShadowOffset).as("doc_id"),
+        col("source"), col("text"),
+        lit(null).cast("string").as("lang"))
+    std.unionByName(shadows)
+  }
+
+  /** NULL-safe partition membership: NULL ∉ `isin(...)` under SQL
+    * three-valued logic, so pruning with a plain isin silently drops
+    * the hive default partition — membership of the NULL value needs
+    * an explicit isNull disjunct.
+    */
+  private[graft] def langIn(values: Seq[String]): org.apache.spark.sql.Column = {
+    val nonNull = values.filterNot(_ == null)
+    val in =
+      if (nonNull.isEmpty) lit(false)
+      else col("lang").isin(nonNull.map(x => x: Any): _*)
+    if (values.contains(null)) in || col("lang").isNull else in
+  }
+
+  /** Deterministic demo changelog over a base tree (use `demoBase`),
+    * confined to `ChangedLangs` plus the NULL partition.
+    */
+  private[graft] def changelog(base: DataFrame): DataFrame = {
+    val changed = base.filter(langIn(ChangedLangs :+ null))
     val upserts = changed.filter(pmod(col("doc_id"), lit(3L)) === 0L)
       .select(col("doc_id"), col("lang"), lit(1L).as("seq"),
         lit("upsert").as("op"),
@@ -82,17 +135,27 @@ object PartitionUpsert {
 
   /** k12's latest-wins merge of a base slice with a collapsed
     * changelog (upsert replaces text, delete drops the row) — shared
-    * with k14 (see latestOps).
+    * with k14 (see latestOps). The lang key joins NULL-SAFELY
+    * (`<=>`): a null-unsafe key can never match a NULL-partition base
+    * row against its own change, which would duplicate the key (base
+    * copy survives untouched + changelog copy lands as an insert).
     */
   private[graft] def mergeLatest(base: DataFrame,
-      latest: DataFrame): DataFrame =
-    base
-      .join(latest, Seq("doc_id", "lang"), "full_outer")
+      latest: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id").as("b_id"),
+      col("lang").as("b_lang"), col("source"), col("text"))
+    val l = latest.select(col("doc_id").as("l_id"),
+      col("lang").as("l_lang"), col("op"), col("nt"))
+    b.join(l,
+        col("b_id") === col("l_id") && (col("b_lang") <=> col("l_lang")),
+        "full_outer")
       .filter(coalesce(col("op"), lit("keep")) =!= "delete")
-      .select(col("doc_id"), col("source"),
+      .select(coalesce(col("b_id"), col("l_id")).as("doc_id"),
+        col("source"),
         when(col("op") === "upsert", col("nt")).otherwise(col("text"))
           .as("text"),
-        col("lang"))
+        coalesce(col("b_lang"), col("l_lang")).as("lang"))
+  }
 
   /** Apply `changes` to the tree at `dir`: read ONLY the affected
     * partitions (pruned scan), merge latest-wins, dynamically
@@ -104,22 +167,24 @@ object PartitionUpsert {
       changes: DataFrame): Unit = {
     val latest = latestOps(changes)
     // metadata-scale: one partition value per affected directory
+    // (NULL is a legal value — langIn keeps it in the prune)
     val affected = latest.select(col("lang")).distinct()
       .collect().map(_.getString(0)).toSeq
     val base = spark.read.schema(treeSchema).parquet(dir)
-      .filter(col("lang").isin(affected: _*))
+      .filter(langIn(affected))
     writeTree(mergeLatest(base, latest), dir)
   }
 
-  /** Stage the base tree, apply the demo changelog; memoized. */
+  /** Stage the demo base tree (corpus + NULL-lang shadows), apply the
+    * demo changelog; memoized.
+    */
   def stageApplied(documents: DataFrame,
       cacheKey: String = ""): String = {
     def fresh(): String = {
       val dir = graft.Staging.dir("graft_k12_") + "/tree"
-      writeTree(documents
-        .select(col("doc_id"), col("source"), col("text"), col("lang")),
-        dir)
-      applyChanges(documents.sparkSession, dir, changelog(documents))
+      val base = demoBase(documents)
+      writeTree(base, dir)
+      applyChanges(documents.sparkSession, dir, changelog(base))
       dir
     }
     if (cacheKey.isEmpty) fresh()
@@ -175,7 +240,8 @@ object PartitionUpsert {
 
   /** Merge one changelog batch into the convergent tree: max-seq
     * wins per (doc_id, lang), tombstones persist. Affected-partition
-    * pruning + dynamic overwrite exactly as k12.
+    * pruning + dynamic overwrite exactly as k12, with the same
+    * null-safe prune (`langIn`) and `<=>` lang key — see mergeLatest.
     */
   private[graft] def applyConvergent(spark: SparkSession, dir: String,
       batch: DataFrame): Unit = {
@@ -183,16 +249,19 @@ object PartitionUpsert {
       .groupBy(col("doc_id"), col("lang"))
       .agg(max_by(struct(col("op"), col("new_text"), col("seq")),
         col("seq")).as("c"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id").as("in_id"), col("lang").as("in_lang"),
         lit(null).cast("string").as("in_source"),
         col("c.new_text").as("in_text"), col("c.seq").as("in_seq"),
         (col("c.op") === "delete").as("in_deleted"))
-    val affected = incoming.select(col("lang")).distinct()
+    val affected = incoming.select(col("in_lang")).distinct()
       .collect().map(_.getString(0)).toSeq
     val base = spark.read.schema(convergentSchema).parquet(dir)
-      .filter(col("lang").isin(affected: _*))
-    val merged = base.join(incoming, Seq("doc_id", "lang"), "full_outer")
-      .select(col("doc_id"),
+      .filter(langIn(affected))
+    val merged = base.join(incoming,
+        col("doc_id") === col("in_id") &&
+          (col("lang") <=> col("in_lang")),
+        "full_outer")
+      .select(coalesce(col("doc_id"), col("in_id")).as("k_id"),
         // keep the stored row unless the incoming seq is newer
         when(col("in_seq").isNotNull &&
           (col("seq").isNull || col("in_seq") > col("seq")),
@@ -201,10 +270,10 @@ object PartitionUpsert {
             col("in_deleted").as("deleted")))
           .otherwise(struct(col("source"), col("text"), col("seq"),
             col("deleted"))).as("r"),
-        col("lang"))
-      .select(col("doc_id"), col("r.source").as("source"),
+        coalesce(col("lang"), col("in_lang")).as("k_lang"))
+      .select(col("k_id").as("doc_id"), col("r.source").as("source"),
         col("r.text").as("text"), col("r.seq").as("seq"),
-        col("r.deleted").as("deleted"), col("lang"))
+        col("r.deleted").as("deleted"), col("k_lang").as("lang"))
     writeTree(merged, dir)
   }
 

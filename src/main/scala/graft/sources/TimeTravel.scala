@@ -46,21 +46,40 @@ object TimeTravel {
   private val staged =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+  private val HiveNull = PartitionUpsert.HiveNull
 
   private def langDir(lang: String): String =
     "lang=" + (if (lang == null) HiveNull else lang)
 
+  private def fsOf(spark: SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Child directory names of `dir` matching `prefix`, via the Hadoop
+    * FileSystem API — the catalog's own metadata walk must resolve
+    * through the SAME filesystem the writers used (a java.io listing
+    * silently returns empty on any non-local default FS, turning a
+    * populated tree into an empty manifest instead of an error).
+    */
+  private def listDirs(spark: SparkSession, dir: String,
+      prefix: String): Seq[String] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+  }
+
   /** Partition values of a committed tree, from the DIRECTORY
     * listing partitionBy materialized — metadata cost, no data scan.
     */
-  private def commitLangs(dir: String): Seq[String] = {
-    val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
-      .map(_.getName.stripPrefix("lang="))
+  private def commitLangs(spark: SparkSession, dir: String): Seq[String] =
+    listDirs(spark, dir, "lang=")
+      .map(_.stripPrefix("lang="))
       .map(v => if (v == HiveNull) null else v)
-  }
 
   /** Manifest rows for one version: (lang, commit). NULL lang is a
     * legitimate partition value (hive default partition on disk) and
@@ -102,35 +121,48 @@ object TimeTravel {
           PartitionUpsert.treeSchema)))
   }
 
-  /** Commit 1: the full corpus + its manifest. */
+  /** Commit 1: the demo base tree (corpus + NULL-lang shadows, see
+    * PartitionUpsert.demoBase) + its manifest.
+    */
   private[graft] def stageBase(documents: DataFrame,
       dir: String): Unit = {
     val spark = documents.sparkSession
-    PartitionUpsert.writeTree(documents
-      .select(col("doc_id"), col("source"), col("text"), col("lang")),
-      s"$dir/c1")
-    writeManifest(spark, dir, 1, commitLangs(s"$dir/c1").map(_ -> 1))
+    val base = PartitionUpsert.demoBase(documents)
+    PartitionUpsert.writeTree(base, s"$dir/c1")
+    val langs = commitLangs(spark, s"$dir/c1")
+    // a populated write that lists empty means the listing resolved
+    // through the wrong filesystem — fail loudly, never an empty v1
+    // (the isEmpty probe runs only on the empty-listing path)
+    require(langs.nonEmpty || base.isEmpty,
+      s"c1 wrote a non-empty tree but the listing of $dir/c1 is empty")
+    writeManifest(spark, dir, 1, langs.map(_ -> 1))
   }
 
   /** Commit 2: k12's demo changelog merged into ONLY the affected
-    * partitions (shared latestOps/mergeLatest code path), landed as
-    * a NEW tree + manifest — c1 is never touched.
+    * partitions (shared latestOps/mergeLatest code path, null-safe
+    * prune + <=> keys), landed as a NEW tree + manifest — c1 is never
+    * touched. The v2 manifest's c2 rows come from the partitions c2
+    * ACTUALLY materialized, not the affected list: an affected
+    * partition whose merge deleted every row writes no directory and
+    * must simply be absent at v2 (falling back to v1 would resurrect
+    * the deleted rows).
     */
   private[graft] def commitChanges(documents: DataFrame,
       dir: String): Unit = {
     val spark = documents.sparkSession
     val latest = PartitionUpsert.latestOps(
-      PartitionUpsert.changelog(documents))
+      PartitionUpsert.changelog(PartitionUpsert.demoBase(documents)))
     val affected = latest.select(col("lang")).distinct()
       .collect().map(_.getString(0)).toSeq
     val pruned = spark.read.schema(PartitionUpsert.treeSchema)
       .parquet(s"$dir/c1")
-      .filter(col("lang").isin(affected.map(x => x: Any): _*))
+      .filter(PartitionUpsert.langIn(affected))
     PartitionUpsert.writeTree(
       PartitionUpsert.mergeLatest(pruned, latest), s"$dir/c2")
+    val written = commitLangs(spark, s"$dir/c2")
     val v1Langs = readManifest(spark, dir, 1).map(_._1)
     writeManifest(spark, dir, 2,
-      affected.map(_ -> 2) ++
+      written.map(_ -> 2) ++
         v1Langs.filterNot(affected.contains).map(_ -> 1))
   }
 
@@ -164,5 +196,53 @@ object TimeTravel {
     }.reduce(_.unionByName(_))
       .select(col("version"), col("lang"), col("n_docs"),
         col("key_checksum"), col("chars_checksum"), col("n_upserted"))
+  }
+
+  // ---- retention: snapshot expiry + orphan vacuum -----------------
+
+  /** Versions with a manifest in the catalog. */
+  private[graft] def versions(spark: SparkSession,
+      dir: String): Seq[Int] =
+    listDirs(spark, s"$dir/meta", "v")
+      .map(_.stripPrefix("v").toInt).sorted
+
+  /** Expire every version `< retainFrom`: delete their manifests,
+    * then VACUUM every commit partition directory no RETAINED
+    * manifest references — the lifecycle half of the snapshot
+    * pattern (a catalog that keeps every commit forever is a
+    * disk-leak, not a table). Immutability is preserved for what
+    * survives: a (commit, lang) directory referenced by ANY retained
+    * manifest is untouched, so every retained version still reads
+    * byte-identical (spec brackets this with content digests). The
+    * walk is metadata-cardinality: #manifest rows + one listing per
+    * commit tree, through the Hadoop FS API. Reference analog: the
+    * `clean` step (tools.py:677-736) that deletes intermediates once
+    * the durable result is landed.
+    */
+  def expire(spark: SparkSession, dir: String,
+      retainFrom: Int): Unit = {
+    val all = versions(spark, dir)
+    val (dead, live) = all.partition(_ < retainFrom)
+    require(live.nonEmpty,
+      s"expire(retainFrom=$retainFrom) would retain no version of $dir")
+    if (dead.isEmpty) return
+    val liveRefs: Set[(Int, String)] = live.flatMap { v =>
+      readManifest(spark, dir, v).map { case (l, c) => (c, langDir(l)) }
+    }.toSet
+    val (fs, _) = fsOf(spark, dir)
+    listDirs(spark, dir, "c").filter(_.matches("c\\d+")).foreach { cName =>
+      val commit = cName.stripPrefix("c").toInt
+      listDirs(spark, s"$dir/$cName", "lang=").foreach { ld =>
+        if (!liveRefs.contains((commit, ld)))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cName/$ld"),
+            true)
+      }
+      // drop a commit tree no retained manifest references at all
+      if (!liveRefs.exists(_._1 == commit))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cName"), true)
+    }
+    dead.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
+    }
   }
 }

@@ -819,15 +819,18 @@ object StreamOps {
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PartitionUpsert
     val docs = graft.Tables.documents(spark, dir)
+    // same demo base as batch k12: corpus + NULL-lang shadow rows, so
+    // the streaming merge exercises the hive default partition too
+    val base = PartitionUpsert.demoBase(docs)
     val chunks = stagedCdcChunks.getOrElseUpdate(dir, {
       val s = graft.Staging.dir("graft_st12_cdc_")
-      PartitionUpsert.changelog(docs)
+      PartitionUpsert.changelog(base)
         .repartition(4)
         .write.mode("overwrite").parquet(s)
       s
     })
     val tree = graft.Staging.dir("graft_st12_tree_") + "/tree"
-    PartitionUpsert.stageConvergentBase(docs, tree)
+    PartitionUpsert.stageConvergentBase(base, tree)
     val src = spark.readStream
       .schema("doc_id BIGINT, lang STRING, seq BIGINT, op STRING, " +
         "new_text STRING")

@@ -228,6 +228,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L)))
   }
 
+  test("d05: hot-label blocks above maxBlock are dropped, sane blocks intact") {
+    import spark.implicits._
+    // a degenerate catch-all label with 12 parallel vectors would
+    // yield 66 pairs; with maxBlock=10 the whole block is dropped
+    // while the small label still pairs normally
+    val hot = (1L to 12L).map(i => (i, Seq(1f, 0f, 0f), 99))
+    val sane = Seq(
+      (100L, Seq(0f, 1f, 0f), 0),
+      (101L, Seq(0f, 0.99f, 0.1f), 0))
+    val emb = (hot ++ sane).toDF("vec_id", "embedding", "label")
+    val capped = Dedup.dedupEmbedding(emb, tau = 0.9, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "the hot block must contribute zero pairs; the sane block all of them")
+    // and with the guard off the fan-out really is quadratic — the
+    // thing the cap exists to prevent
+    val uncapped = Dedup.dedupEmbedding(emb, tau = 0.9,
+      maxBlock = Int.MaxValue).count()
+    assert(uncapped === 66L + 1L)
+  }
+
   test("d08: planted dups found with LEARNED blocks — no label column") {
     import spark.implicits._
     // Deterministic pseudo-random base corpus, 8-dim, NO label column

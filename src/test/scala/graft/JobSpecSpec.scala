@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parameterization contract: the SAME compiled binary runs an
+  * operator at two different thresholds because the thresholds came
+  * from a spec FILE — mirroring the reference's job form
+  * (parserTools.py parseForm), where macs2's q lives in the form,
+  * not the code.
+  */
+class JobSpecSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeSpec(lines: String*): String = {
+    val p = Paths.get(graft.Staging.dir("graft_jobspec_"), "jobs.jsonl")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, lines.mkString("\n"))
+    p.toString
+  }
+
+  test("one operator, two configs, zero recompiles (q24's qMax)") {
+    val spec = writeSpec(
+      """{"op": "q24_peak_fdr", "params": {"qMax": "0.01"}}""",
+      """{"op": "q24_peak_fdr", "params": {"qMax": "1.0"}}""")
+    val results = JobSpec.runAll(spark, sf, spec)
+    assert(results.map(_._1) === Seq("q24_peak_fdr", "q24_peak_fdr"))
+    val strict = results(0)._2.count()
+    val loose = results(1)._2.count()
+    // a maximally loose FDR ceiling admits every scored bin, so it
+    // must find strictly more peaks than the strict default does on
+    // the uniform demo stream (which yields none at q<=0.01)
+    assert(loose > strict,
+      s"qMax=1.0 found $loose peaks vs $strict at 0.01 — dial inert?")
+  }
+
+  test("no-params job equals the registered query (defaults mirror signatures)") {
+    val spec = writeSpec("""{"op": "d04_ngram_jaccard"}""")
+    val viaSpec = JobSpec.runAll(spark, sf, spec).head._2
+      .collect().map(_.toSeq).toSet
+    val registered = SparkEntry.queries("d04_ngram_jaccard")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaSpec === registered)
+  }
+
+  test("a different d04 tau changes the pair set monotonically") {
+    val spec = writeSpec(
+      """{"op": "d04_ngram_jaccard", "params": {"tau": "0.3"}}""",
+      """{"op": "d04_ngram_jaccard", "params": {"tau": "0.9"}}""")
+    val Seq(lo, hi) = JobSpec.runAll(spark, sf, spec).map(_._2.count())
+    assert(lo >= hi, "lower tau must admit a superset of pairs")
+    assert(lo > hi, "the demo corpus separates tau=0.3 from 0.9")
+  }
+
+  test("unknown op and unknown dial both fail loudly") {
+    val bad1 = writeSpec("""{"op": "nope_op"}""")
+    intercept[IllegalArgumentException] {
+      JobSpec.runAll(spark, sf, bad1)
+    }
+    val bad2 = writeSpec(
+      """{"op": "q24_peak_fdr", "params": {"qmax": "0.5"}}""")
+    intercept[IllegalArgumentException] {
+      JobSpec.runAll(spark, sf, bad2).head._2.count()
+    }
+  }
+}

@@ -27,21 +27,54 @@ class PartitionUpsertSpec extends AnyFunSuite {
 
   test("k12: untouched partitions stay byte-identical on disk") {
     val dir = graft.Staging.dir("graft_k12_spec_") + "/tree"
-    docs.select(col("doc_id"), col("source"), col("text"), col("lang"))
+    val base = PartitionUpsert.demoBase(docs)
+    base
       .repartition(col("lang"), pmod(xxhash64(col("doc_id")), lit(4)))
       .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy("lang").parquet(dir)
     val before = listing(dir)
+    assert(before.contains("lang=" + PartitionUpsert.HiveNull),
+      "demo base must materialize the hive default partition")
     PartitionUpsert.applyChanges(spark, dir,
-      PartitionUpsert.changelog(docs))
+      PartitionUpsert.changelog(base))
     val after = listing(dir)
-    val changed = PartitionUpsert.ChangedLangs.map("lang=" + _).toSet
+    val changed = PartitionUpsert.ChangedPartitionDirs
     before.keys.filterNot(changed).foreach { lang =>
       assert(after(lang) === before(lang),
         s"$lang was rewritten despite an empty changelog for it")
     }
     changed.filter(before.contains).foreach { lang =>
       assert(after(lang) !== before(lang), s"$lang must be rewritten")
+    }
+  }
+
+  test("k12: NULL-partition base rows survive an unrelated-key upsert") {
+    // the silent-data-loss shape: an isin prune drops NULL-lang base
+    // rows while dynamic overwrite still rewrites the NULL partition
+    // from the changelog side — every unrelated-key null row vanishes.
+    // The null-safe path must keep them, byte-for-byte.
+    val dir = graft.Staging.dir("graft_k12_null_") + "/tree"
+    val base = PartitionUpsert.demoBase(docs)
+    PartitionUpsert.writeTree(base, dir)
+    val cl = PartitionUpsert.changelog(base)
+    // the demo changelog REALLY touches the null partition both ways
+    assert(cl.filter(col("lang").isNull && col("op") === "upsert")
+      .count() > 0, "demo changelog needs a NULL-partition upsert")
+    assert(cl.filter(col("lang").isNull && col("op") === "delete")
+      .count() > 0, "demo changelog needs a NULL-partition delete")
+    val untouchedBefore = base.filter(col("lang").isNull)
+      .join(cl.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(untouchedBefore.nonEmpty,
+      "some NULL-partition rows must be unrelated to the changelog")
+    PartitionUpsert.applyChanges(spark, dir, cl)
+    val nullAfter = spark.read
+      .schema("doc_id BIGINT, source STRING, text STRING, lang STRING")
+      .parquet(dir)
+      .filter(col("lang").isNull).collect().map(_.toSeq).toSet
+    untouchedBefore.foreach { r =>
+      assert(nullAfter.contains(r),
+        s"unrelated NULL-partition row $r was lost by the merge")
     }
   }
 
@@ -52,9 +85,10 @@ class PartitionUpsertSpec extends AnyFunSuite {
           r.getAs[Long]("chars_checksum"), r.getAs[Long]("n_upserted")))
       .toMap
     val changedLangs = PartitionUpsert.ChangedLangs.toSet
-    val expected = docs
+    val expected = PartitionUpsert.demoBase(docs)
       .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("hit", col("lang").isin(changedLangs.toSeq: _*))
+      .withColumn("hit",
+        col("lang").isin(changedLangs.toSeq: _*) || col("lang").isNull)
       .withColumn("del", col("hit") && pmod(col("doc_id"), lit(11L)) === 4L)
       .withColumn("up",
         col("hit") && pmod(col("doc_id"), lit(3L)) === 0L && !col("del"))
@@ -88,12 +122,13 @@ class PartitionUpsertSpec extends AnyFunSuite {
 
   test("st12: application is ORDER-independent (reversed feed, same tree)") {
     import graft.sources.PartitionUpsert
-    val full = PartitionUpsert.changelog(docs).cache()
+    val demo = PartitionUpsert.demoBase(docs)
+    val full = PartitionUpsert.changelog(demo).cache()
     val b1 = full.filter(col("seq") === 1L) // upserts
     val b2 = full.filter(col("seq") === 2L) // deletes
     def stateAfter(batches: Seq[org.apache.spark.sql.DataFrame]) = {
       val dir = graft.Staging.dir("graft_st12_order_") + "/tree"
-      PartitionUpsert.stageConvergentBase(docs, dir)
+      PartitionUpsert.stageConvergentBase(demo, dir)
       batches.foreach(b => PartitionUpsert.applyConvergent(spark, dir, b))
       PartitionUpsert.convergentState(spark, dir)
         .collect().map(_.toSeq).toSet
@@ -111,8 +146,9 @@ class PartitionUpsertSpec extends AnyFunSuite {
   test("st12: a replayed batch is a natural no-op (equal seq never wins)") {
     import graft.sources.PartitionUpsert
     val dir = graft.Staging.dir("graft_st12_replay_") + "/tree"
-    PartitionUpsert.stageConvergentBase(docs, dir)
-    val batch = PartitionUpsert.changelog(docs)
+    val demo = PartitionUpsert.demoBase(docs)
+    PartitionUpsert.stageConvergentBase(demo, dir)
+    val batch = PartitionUpsert.changelog(demo)
     PartitionUpsert.applyConvergent(spark, dir, batch)
     val first = PartitionUpsert.convergentState(spark, dir)
       .collect().map(_.toSeq).toSet
@@ -134,7 +170,7 @@ class PartitionUpsertSpec extends AnyFunSuite {
           r.getAs[Long]("c"))).toSet
     val first = summarize()
     PartitionUpsert.applyChanges(spark, dir,
-      PartitionUpsert.changelog(docs))
+      PartitionUpsert.changelog(PartitionUpsert.demoBase(docs)))
     assert(summarize() === first,
       "second apply of the same changelog must not change state")
   }

@@ -39,9 +39,12 @@ class TimeTravelSpec extends AnyFunSuite {
     TimeTravel.commitChanges(docs, dir)
     assert(digests(s"$dir/c1") === before,
       "the v2 commit must not touch any c1 file")
-    // v1 read-back IS the original corpus, row for row
-    val want = docs.select(col("doc_id"), col("source"), col("text"),
-      col("lang")).collect().map(_.toSeq).toSet
+    // v1 read-back IS the demo base (corpus + NULL-lang shadows),
+    // row for row — including the hive default partition
+    val want = graft.sources.PartitionUpsert.demoBase(docs)
+      .collect().map(_.toSeq).toSet
+    assert(want.exists(_.last == null),
+      "demo base must contain NULL-lang rows")
     val got = TimeTravel.readAt(spark, dir, 1)
       .select(col("doc_id"), col("source"), col("text"), col("lang"))
       .collect().map(_.toSeq).toSet
@@ -62,10 +65,11 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(got === viaK12,
       "time-travel v2 must equal the in-place upsert's final state")
     // delta-only commit: c2 holds ONLY the changed partitions
+    // (the two changed langs + the NULL partition)
     val c2Langs = digests(s"$dir/c2").keys
       .flatMap(_.split("/").find(_.startsWith("lang="))).toSet
     assert(c2Langs ===
-      graft.sources.PartitionUpsert.ChangedLangs.map(l => s"lang=$l").toSet)
+      graft.sources.PartitionUpsert.ChangedPartitionDirs)
   }
 
   test("k14: manifests are metadata-cardinality; readAt lists only manifest dirs") {
@@ -76,19 +80,53 @@ class TimeTravelSpec extends AnyFunSuite {
       assert(m.count() <= 64, "manifest must stay partition-cardinality")
     }
     // the v2 read's file indexes are built from EXPLICIT manifest
-    // directories (no tree crawl): changed langs from c2, the rest
-    // from c1 — and the c1 scan's location must NOT include the
-    // changed langs' directories
-    val plan = TimeTravel.readAt(spark, dir, 2)
-      .queryExecution.executedPlan.toString
-    val scans = plan.linesIterator
-      .filter(_.contains("FileScan parquet")).toList
-    assert(scans.exists(l => l.contains("/c2/lang=")), s"c2 scan:\n$plan")
-    val c1Scan = scans.find(_.contains("/c1/lang="))
-    assert(c1Scan.nonEmpty, s"c1 scan:\n$plan")
-    graft.sources.PartitionUpsert.ChangedLangs.foreach { l =>
-      assert(!c1Scan.get.contains(s"/c1/lang=$l"),
-        s"c1's file index must exclude the superseded lang=$l")
+    // directories (no tree crawl): changed partitions from c2, the
+    // rest from c1 — asserted on the scan's ACTUAL selected files
+    // (Dataset.inputFiles), not the truncated plan string, which
+    // elides locations ("..., N more") and can pass vacuously
+    val files = TimeTravel.readAt(spark, dir, 2).inputFiles
+    assert(files.exists(_.contains("/c2/lang=")), "v2 must scan c2")
+    assert(files.exists(_.contains("/c1/lang=")),
+      "v2 must inherit unchanged partitions from c1")
+    graft.sources.PartitionUpsert.ChangedPartitionDirs.foreach { d =>
+      assert(!files.exists(_.contains(s"/c1/$d/")),
+        s"c1's file index must exclude the superseded $d")
+    }
+  }
+
+  test("k14: expire vacuums superseded files; retained versions read unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val dir = graft.Staging.dir("graft_k14_expire_")
+    TimeTravel.stageBase(docs, dir)
+    TimeTravel.commitChanges(docs, dir)
+    val v2Before = graft.sources.PartitionUpsert
+      .summarize(TimeTravel.readAt(spark, dir, 2))
+      .collect().map(_.toSeq).toSet
+    val c1Before = digests(s"$dir/c1")
+    TimeTravel.expire(spark, dir, retainFrom = 2)
+    // the v1 manifest is gone, and with it the only references to
+    // c1's superseded partitions — exactly those are vacuumed
+    assert(!Files.exists(Paths.get(s"$dir/meta/v1")))
+    val c1After = digests(s"$dir/c1")
+    val changed = graft.sources.PartitionUpsert.ChangedPartitionDirs
+    assert(c1After.keys.forall(p =>
+      !changed.exists(d => p.startsWith(s"$d/"))),
+      "superseded c1 partitions must be deleted")
+    // every file v2 still references is byte-identical
+    val kept = c1Before.filterNot { case (p, _) =>
+      changed.exists(d => p.startsWith(s"$d/")) }
+    assert(c1After === kept,
+      "retained c1 partitions must survive the vacuum untouched")
+    // and the retained version still reads exactly as before
+    val v2After = graft.sources.PartitionUpsert
+      .summarize(TimeTravel.readAt(spark, dir, 2))
+      .collect().map(_.toSeq).toSet
+    assert(v2After === v2Before)
+    // the expired version is no longer readable
+    intercept[Exception] { TimeTravel.readAt(spark, dir, 1).collect() }
+    // expiring everything is refused
+    intercept[IllegalArgumentException] {
+      TimeTravel.expire(spark, dir, retainFrom = 99)
     }
   }
 }
