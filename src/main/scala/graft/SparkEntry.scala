@@ -274,6 +274,9 @@ object SparkEntry {
     "k14_time_travel" -> ((s, d) =>
       graft.sources.TimeTravel.timeTravelSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "k15_coverage_track" -> ((s, d) =>
+      graft.sources.CoverageTrack.coverageWindow(Tables.events(s, d),
+        cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
@@ -1204,6 +1207,31 @@ object SparkEntry {
                 count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2""",
+    // k15: the track read-back's window summary must equal the same
+    // window computed straight from raw events (q10's bin CTE) — the
+    // landed artifact preserved the bins exactly. Bin mass compares
+    // as round(sum_value*10^4) longs: per-bin sum_value is the 4-dp
+    // q10 value in BOTH engines, so the scaling is exact (the
+    // integer-cents discipline).
+    "k15_coverage_track" ->
+      """WITH bins AS (
+           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  event_type,
+                  count(*) AS n_events,
+                  round(sum(value), 4) AS sum_value
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT min(bin_id) AS mb FROM bins)
+         SELECT event_type,
+                count(*) AS n_bins,
+                CAST(sum(n_events) AS BIGINT) AS n_events,
+                CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
+                CAST(sum(CAST(round(sum_value * 10000) AS BIGINT))
+                  AS BIGINT) AS mass_e4
+         FROM bins, m
+         WHERE bin_id BETWEEN m.mb + 24 AND m.mb + 72
+         GROUP BY 1""",
     "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the

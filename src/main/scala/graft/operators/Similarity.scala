@@ -206,13 +206,20 @@ object Similarity {
     * against s01 ground truth.
     *
     * Tune `nBits` ≈ log2(corpus / target bucket size): signatures
-    * partition the corpus into ~2^nBits buckets per table, so 6 bits
-    * suits the 500-vector test corpus (~8/bucket) and ~20 bits a
-    * 10^7-vector shard. Too many bits → singleton buckets → recall
-    * collapses to coincidence.
+    * partition the corpus into ~2^nBits buckets per table. Target
+    * buckets of ~2-3× k (the top-k must co-bucket somewhere for a
+    * hit): 5 bits suits the 500-vector test corpus (~16/bucket),
+    * ~19 bits a 10^7-vector shard. Too many bits → singleton buckets
+    * → recall collapses to coincidence. `tables` is the RECALL dial
+    * (hit prob 1−(1−p^b)^T rises with T at linear signature cost):
+    * the round-13 sweep on the near-random corpus measured, at k=5:
+    * (6,8)→0.24, (6,16)→0.56, (5,8)→0.46, (5,16)→0.78 (the
+    * registered default — candidates ≈ tables·bucket ≈ half the
+    * corpus here, a ratio that FALLS with corpus size at fixed
+    * bucket target), (4,16)→0.92, (4,24)→0.98.
     */
   def annLsh(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
-      nBits: Int = 6, tables: Int = 8): DataFrame = {
+      nBits: Int = 5, tables: Int = 16): DataFrame = {
     val e = normed(embeddings)
     val sigsOf = (df: DataFrame, idOut: String) =>
       df.select(col("vec_id").as(idOut),
@@ -594,10 +601,14 @@ object Similarity {
     * |corpus| to nprobe·|cluster| per query — the 100 TB path where
     * brute force stops being an option. Recall < 1 by design and
     * rises with nprobe; the spec checks both against s01, and that
-    * nprobe = #clusters reproduces s01 exactly.
+    * nprobe = #clusters reproduces s01 exactly. Round-13 sweep at
+    * k=5 on the near-random corpus: nprobe 1→0.28, 2→0.50, 3→0.72
+    * (the registered default — 30% of clusters probed, the classic
+    * recall/cost knee; nprobe scales independently of corpus size),
+    * 4→0.78, 5→0.86, 10(=all)→1.00.
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
-      queryStride: Int = 50, nprobe: Int = 1, kClusters: Int = 10,
+      queryStride: Int = 50, nprobe: Int = 3, kClusters: Int = 10,
       lloydIters: Int = 3, cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)

@@ -27,6 +27,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Finite-harness trigger sizing: arrivals are staged as 4 files
+    * and consumed 2 per trigger — still a MULTI-batch run (the
+    * batching-invariance specs need >1 micro-batch doing work, and
+    * they get 2), but half the AvailableNow floor: each micro-batch
+    * pays fixed offset-log + job-scheduling + state-commit cost
+    * regardless of its size, and at the bench SF that fixed cost WAS
+    * most of the streaming family's runtime (the round-12 close
+    * bench read ~38 s of 121 in st queries). Per-batch work is
+    * spread() to session parallelism either way, so batch size does
+    * not serialize; a production deployment sizes triggers by the
+    * same logic — fewer, fuller micro-batches amortize the engine's
+    * per-batch floor.
+    */
+  private val HarnessFilesPerTrigger = 2
+
   /** Event after timestamp normalization (epoch micros). */
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
 
@@ -623,10 +638,11 @@ object StreamOps {
     * contract, achieved here with batch-id directories because
     * foreachBatch writes outside the sink log).
     *
-    * Harness: arrivals staged as multiple files, maxFilesPerTrigger=1
-    * forces a multi-batch run (spec asserts > 1 micro-batch did
-    * work); results read back with an explicit schema (an all-unique
-    * stream legitimately emits no pairs).
+    * Harness: arrivals staged as multiple files, consumed
+    * HarnessFilesPerTrigger per trigger — still a multi-batch run
+    * (spec asserts > 1 micro-batch did work); results read back with
+    * an explicit schema (an all-unique stream legitimately emits no
+    * pairs).
     */
   def streamNearDup(spark: SparkSession, dir: String,
       splitId: Long = 250L, n: Int = 3, tau: Double = 0.6): DataFrame = {
@@ -644,7 +660,7 @@ object StreamOps {
     val out = graft.Staging.dir("graft_st09_out_")
     val src = spark.readStream
       .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -691,7 +707,7 @@ object StreamOps {
     val out = graft.Staging.dir("graft_st11_out_")
     val src = spark.readStream
       .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -759,7 +775,7 @@ object StreamOps {
     val out = graft.Staging.dir("graft_st14_out_")
     val src = spark.readStream
       .schema("day DATE, event_type STRING, user_id BIGINT")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -834,7 +850,7 @@ object StreamOps {
     val src = spark.readStream
       .schema("doc_id BIGINT, lang STRING, seq BIGINT, op STRING, " +
         "new_text STRING")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(chunks)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -919,7 +935,7 @@ object StreamOps {
     })
     val src = spark.readStream
       .schema("doc_id BIGINT, lang STRING, text STRING")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
     // spread the arriving file slice before the explode: one file per
     // trigger = one scan partition, and the MG fold's own shuffle is
@@ -1024,7 +1040,7 @@ object StreamOps {
     val out = graft.Staging.dir("graft_st15_out_")
     val src = spark.readStream
       .schema("doc_id BIGINT, source STRING, text STRING")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

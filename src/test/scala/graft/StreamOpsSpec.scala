@@ -278,7 +278,7 @@ class StreamOpsSpec extends AnyFunSuite {
   }
 
   test("st11: the run is genuinely multi-batch") {
-    // The staged chunk slice is 4 files, one file per trigger: more
+    // The staged chunk slice is 4 files, 2 per trigger: more
     // than one b<id> partial dir proves the fold spanned real batch
     // boundaries.
     val docs = Tables.documents(spark, sf)
