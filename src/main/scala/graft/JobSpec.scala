@@ -102,18 +102,124 @@ object JobSpec {
     "s01_ann_bruteforce" -> ((s, d, j) =>
       checked(j, "k", "queryStride")(operators.Similarity.annBruteForce(
         Tables.embeddings(s, d),
-        k = j.int("k", 5), queryStride = j.int("queryStride", 50))))
+        k = j.int("k", 5), queryStride = j.int("queryStride", 50)))),
+    // ANN recall/cost dials — the RecallProbe sweep's axes made
+    // caller-settable: a deployment picks its own knee. cacheKey is
+    // dial-scoped (see dialKey) so a re-run at new dials never reuses
+    // another config's memoized centroids/codebooks.
+    "s02_ann_ivf" -> ((s, d, j) =>
+      checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters")(
+        operators.Similarity.annIvf(Tables.embeddings(s, d),
+          k = j.int("k", 5), queryStride = j.int("queryStride", 50),
+          nprobe = j.int("nprobe", 3), kClusters = j.int("kClusters", 10),
+          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j)))),
+    "s03_ann_lsh" -> ((s, d, j) =>
+      checked(j, "k", "queryStride", "nBits", "tables")(
+        operators.Similarity.annLsh(Tables.embeddings(s, d),
+          k = j.int("k", 5), queryStride = j.int("queryStride", 50),
+          nBits = j.int("nBits", 5), tables = j.int("tables", 16)))),
+    "s04_ann_pq" -> ((s, d, j) =>
+      checked(j, "k", "queryStride", "subspaces", "subDim", "ks",
+        "iters", "rerankDepth")(
+        operators.Similarity.annPq(Tables.embeddings(s, d),
+          k = j.int("k", 5), queryStride = j.int("queryStride", 50),
+          subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
+          ks = j.int("ks", 16), iters = j.int("iters", 2),
+          rerankDepth = j.int("rerankDepth", 32), cacheKey = dialKey(d, j)))),
+    "s05_ann_ivfpq" -> ((s, d, j) =>
+      checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters",
+        "subspaces", "subDim", "ks", "pqIters", "rerankDepth")(
+        operators.Similarity.annIvfPq(Tables.embeddings(s, d),
+          k = j.int("k", 5), queryStride = j.int("queryStride", 50),
+          nprobe = j.int("nprobe", 3), kClusters = j.int("kClusters", 10),
+          lloydIters = j.int("lloydIters", 3),
+          subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
+          ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
+          rerankDepth = j.int("rerankDepth", 32), cacheKey = dialKey(d, j)))),
+    "d03_dedup_simhash" -> ((s, d, j) =>
+      checked(j, "maxHamming", "chunks")(operators.Dedup.dedupSimhash(
+        Tables.documents(s, d),
+        maxHamming = j.int("maxHamming", 3), chunks = j.int("chunks", 4)))),
+    "m06_phash_dedup" -> ((s, d, j) =>
+      checked(j, "maxHamming", "maxBucket")(operators.Multimodal.phashDedup(
+        Tables.documents(s, d),
+        maxHamming = j.int("maxHamming", 6),
+        maxBucket = j.int("maxBucket", 256)))),
+    "q10_bin_coverage" -> ((s, d, j) =>
+      checked(j, "binSeconds")(operators.Pipeline.binCoverage(
+        Tables.events(s, d), binSeconds = j.long("binSeconds", 3600L)))),
+    "q15_topk" -> ((s, d, j) =>
+      checked(j, "k")(operators.Pipeline.topk(
+        Tables.orders(s, d), Tables.customer(s, d), k = j.int("k", 10)))),
+    "q16_sessionize" -> ((s, d, j) =>
+      checked(j, "gapSeconds")(operators.Pipeline.sessionize(
+        Tables.events(s, d), gapSeconds = j.long("gapSeconds", 1800L)))),
+    "q26_grouped_topk" -> ((s, d, j) =>
+      checked(j, "k", "saltBuckets")(operators.Pipeline.groupedTopk(
+        Tables.orders(s, d),
+        k = j.int("k", 3), saltBuckets = j.int("saltBuckets", 32)))),
+    "p02_stratified_sample" -> ((s, d, j) =>
+      checked(j, "permille")(operators.Corpus.stratifiedSample(
+        Tables.documents(s, d), permille = j.int("permille", 200)))),
+    // per-source rates arrive as rate.<source> dials (the reference
+    // form's repeated-field idiom); absent sources take defaultPermille
+    "p04_mixture_sample" -> ((s, d, j) =>
+      checkedPrefixed(j, Seq("rate."), "defaultPermille", "salt")(
+        operators.Corpus.mixtureSample(Tables.documents(s, d),
+          rates = {
+            val fromSpec = j.params.collect {
+              case (key, v) if key.startsWith("rate.") =>
+                key.stripPrefix("rate.") -> v.toInt
+            }
+            if (fromSpec.isEmpty)
+              Map("src0" -> 800, "src1" -> 500, "src2" -> 250)
+            else fromSpec
+          },
+          defaultPermille = j.int("defaultPermille", 100),
+          salt = j.long("salt", 137L)))),
+    "p08_split" -> ((s, d, j) =>
+      checked(j, "testPermille", "valPermille", "salt")(
+        operators.Corpus.split(Tables.documents(s, d),
+          testPermille = j.int("testPermille", 10),
+          valPermille = j.int("valPermille", 50),
+          salt = j.long("salt", 9176L)))),
+    "p15_importance_sample" -> ((s, d, j) =>
+      checked(j, "targetSource", "buckets", "topN")(
+        operators.Corpus.importanceSample(Tables.documents(s, d),
+          targetSource = j.str("targetSource",
+            operators.Corpus.ImportanceTargetSource),
+          buckets = j.int("buckets", operators.Corpus.ImportanceBuckets),
+          topN = j.int("topN", operators.Corpus.ImportanceTopN))))
   )
+
+  /** Memo key for operators with a dial-dependent staged artifact
+    * (IVF centroids, PQ codebooks): the registered queries memoize
+    * per corpus dir, so a no-params job shares their entry
+    * (bit-identical result, no recompute), while any explicit dial
+    * gets its own key — two configs never cross-contaminate a cache.
+    */
+  private def dialKey(d: String, j: Job): String =
+    if (j.params.isEmpty) d
+    else d + "|" + j.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString(",")
 
   /** Op keys whose dials are reachable from a job spec. */
   def configurable: Set[String] = dispatch.keySet
 
   /** A typo'd dial must not silently run the defaults. */
-  private def checked(job: Job, known: String*)(df: => DataFrame): DataFrame = {
-    val unknown = job.params.keySet -- known.toSet
+  private def checked(job: Job, known: String*)(df: => DataFrame): DataFrame =
+    checkedPrefixed(job, Nil, known: _*)(df)
+
+  /** `checked` plus accepted dial-name prefixes (repeated-field dials
+    * like p04's rate.<source>).
+    */
+  private def checkedPrefixed(job: Job, prefixes: Seq[String],
+      known: String*)(df: => DataFrame): DataFrame = {
+    val unknown = (job.params.keySet -- known.toSet)
+      .filterNot(k => prefixes.exists(k.startsWith))
     require(unknown.isEmpty,
       s"unknown dial(s) ${unknown.mkString(", ")} for ${job.op}; " +
-        s"known: ${known.mkString(", ")}")
+        s"known: ${(known ++ prefixes.map(_ + "<name>")).mkString(", ")}")
     df
   }
 

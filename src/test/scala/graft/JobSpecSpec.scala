@@ -53,6 +53,40 @@ class JobSpecSpec extends AnyFunSuite {
     assert(lo > hi, "the demo corpus separates tau=0.3 from 0.9")
   }
 
+  test("s02 nprobe dial reaches the IVF identity: all clusters ≡ brute force") {
+    val spec = writeSpec(
+      """{"op": "s02_ann_ivf", "params": {"nprobe": "10"}}""")
+    // compare on the neighbor pairs (s02 carries an extra cluster
+    // column the exact scan doesn't have)
+    val viaSpec = JobSpec.runAll(spark, sf, spec).head._2
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    val exact = SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
+      .select("q_id", "n_id").collect().map(_.toSeq).toSet
+    assert(viaSpec === exact,
+      "nprobe = kClusters must reproduce the exact scan's neighbor set")
+  }
+
+  test("p04 per-source rates arrive as rate.<source> dials") {
+    val spec = writeSpec(
+      """{"op": "p04_mixture_sample", "params": {"rate.src0": "1000", "defaultPermille": "0"}}""",
+      """{"op": "p04_mixture_sample", "params": {"rate.src0": "0", "defaultPermille": "0"}}""")
+    val Seq(all0, none) = JobSpec.runAll(spark, sf, spec).map(_._2)
+    val src0Total = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") === "src0").count()
+    assert(all0.count() === src0Total,
+      "rate.src0=1000 with default 0 must keep exactly the src0 slice")
+    assert(none.count() === 0L)
+  }
+
+  test("p08 split ratios are config dials") {
+    val spec = writeSpec(
+      """{"op": "p08_split", "params": {"testPermille": "0", "valPermille": "0"}}""")
+    val out = JobSpec.runAll(spark, sf, spec).head._2
+    val splits = out.select("split").distinct().collect().map(_.getString(0))
+    assert(splits.toSeq === Seq("train"),
+      "zeroed ratios must route every doc to train")
+  }
+
   test("unknown op and unknown dial both fail loudly") {
     val bad1 = writeSpec("""{"op": "nope_op"}""")
     intercept[IllegalArgumentException] {
@@ -62,6 +96,13 @@ class JobSpecSpec extends AnyFunSuite {
       """{"op": "q24_peak_fdr", "params": {"qmax": "0.5"}}""")
     intercept[IllegalArgumentException] {
       JobSpec.runAll(spark, sf, bad2).head._2.count()
+    }
+    // a typo'd repeated-field prefix must not silently become a
+    // default-rate run
+    val bad3 = writeSpec(
+      """{"op": "p04_mixture_sample", "params": {"rates.src0": "500"}}""")
+    intercept[IllegalArgumentException] {
+      JobSpec.runAll(spark, sf, bad3).head._2.count()
     }
   }
 }
