@@ -125,17 +125,17 @@ object JobSpec {
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), iters = j.int("iters", 2),
-          rerankDepth = j.int("rerankDepth", 32), cacheKey = dialKey(d, j)))),
+          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
     "s05_ann_ivfpq" -> ((s, d, j) =>
       checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters",
         "subspaces", "subDim", "ks", "pqIters", "rerankDepth")(
         operators.Similarity.annIvfPq(Tables.embeddings(s, d),
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
-          nprobe = j.int("nprobe", 3), kClusters = j.int("kClusters", 10),
+          nprobe = j.int("nprobe", 5), kClusters = j.int("kClusters", 10),
           lloydIters = j.int("lloydIters", 3),
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
-          rerankDepth = j.int("rerankDepth", 32), cacheKey = dialKey(d, j)))),
+          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
     "d03_dedup_simhash" -> ((s, d, j) =>
       checked(j, "maxHamming", "chunks")(operators.Dedup.dedupSimhash(
         Tables.documents(s, d),

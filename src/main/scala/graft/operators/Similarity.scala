@@ -374,7 +374,11 @@ object Similarity {
     * top-k, same as s01), so output precision is s01's on every
     * true neighbor the ADC pass retains. Recall < 1 by design,
     * rising with rerankDepth; rerankDepth ≥ |corpus| reproduces s01
-    * exactly (spec-pinned).
+    * exactly (spec-pinned). Round-13 sweep at k=5 on the near-random
+    * corpus: depth 16→0.50, 32→0.70, 64→0.86 (the registered default
+    * — ~13×k, the knee where marginal gain starts halving per
+    * doubling; rerank cost is depth·dim exact work per query,
+    * independent of corpus size), 128→0.94.
     *
     * Empty-slot fill: a Lloyd round can drop a codeword (standard
     * empty-cluster behavior), leaving a hole in the positional LUT;
@@ -384,7 +388,7 @@ object Similarity {
     */
   def annPq(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
       subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
-      iters: Int = 2, rerankDepth: Int = 32,
+      iters: Int = 2, rerankDepth: Int = 64,
       cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val (cb, codes) = pqIndex(e, subspaces, subDim, ks, iters, cacheKey)
@@ -512,18 +516,21 @@ object Similarity {
     * coupling: the codebook is trained on residuals UNDER the current
     * quantizer, so a recluster retrains both (one memoized build).
     * On this near-random test corpus the residual cells are barely
-    * tighter than the corpus (recall ≈ the direct-PQ variant, ~0.6
-    * at the defaults); the decomposition pays on corpora that
+    * tighter than the corpus; the decomposition pays on corpora that
     * actually cluster — which is every real embedding corpus.
     *
     * Recall < 1 by design, rising with BOTH dials independently:
     * nprobe bounds what the IVF layer can see, rerankDepth bounds
-    * what survives the ADC approximation.
+    * what survives the ADC approximation. Round-13 sweep at k=5:
+    * (nprobe, depth) (3,32)→0.60, (3,64)→0.68, (3,128)→0.72,
+    * (5,32)→0.68, (5,64)→0.76 (the registered default — the two
+    * losses compound, so s05 buys more probes AND more rerank than
+    * either parent needs alone), (5,128)→0.86.
     */
   def annIvfPq(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
-      nprobe: Int = 3, kClusters: Int = 10, lloydIters: Int = 3,
+      nprobe: Int = 5, kClusters: Int = 10, lloydIters: Int = 3,
       subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
-      pqIters: Int = 2, rerankDepth: Int = 32,
+      pqIters: Int = 2, rerankDepth: Int = 64,
       cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)

@@ -38,6 +38,21 @@ object RecallProbe {
       val r = recallOf(Similarity.annLsh(e, nBits = bits, tables = tables))
       println(s"RECALLPROBE s03 nBits=$bits tables=$tables recall@5=$r")
     }
+    // s04: codes are lossy (ADC ranks by quantized distance); the
+    // rerank tier re-scores the top candidates exactly, so depth is
+    // the recall dial at linear candidate cost
+    Seq(16, 32, 64, 128).foreach { rd =>
+      val r = recallOf(Similarity.annPq(e, rerankDepth = rd,
+        cacheKey = s"$dir|probe_s04_rd$rd"))
+      println(s"RECALLPROBE s04 rerankDepth=$rd recall@5=$r")
+    }
+    // s05 compounds both losses: cluster probe (nprobe) x residual
+    // codes (rerankDepth)
+    for (np <- Seq(3, 5); rd <- Seq(32, 64, 128)) {
+      val r = recallOf(Similarity.annIvfPq(e, nprobe = np,
+        rerankDepth = rd, cacheKey = s"$dir|probe_s05_np${np}_rd$rd"))
+      println(s"RECALLPROBE s05 nprobe=$np rerankDepth=$rd recall@5=$r")
+    }
     spark.stop()
   }
 }

@@ -23,15 +23,17 @@ class RecallArtifactSpec extends AnyFunSuite {
   import TestSpark._
 
   // measured @ sf0.001, registered defaults (k=5, stride 50).
-  // s02/s03 re-pinned r13 after the dial sweep (RecallProbe): IVF
-  // nprobe 1→3 (0.28→0.72), LSH (nBits, tables) (6,8)→(5,16)
-  // (0.24→0.78) — the cost/recall knees; curves in the Similarity
-  // scaladoc and SURVEY §2.
+  // All four re-pinned r13 after the dial sweep (RecallProbe) moved
+  // the registered defaults to their cost/recall knees: IVF nprobe
+  // 1→3 (0.28→0.72), LSH (nBits, tables) (6,8)→(5,16) (0.24→0.78),
+  // PQ rerankDepth 32→64 (0.70→0.86), IVF-PQ (nprobe, rerankDepth)
+  // (3,32)→(5,64) (0.60→0.76) — curves in the Similarity scaladoc
+  // and SURVEY §2.
   private val pins = Map(
     "s02_ann_ivf" -> 0.72,
     "s03_ann_lsh" -> 0.78,
-    "s04_ann_pq" -> 0.70,
-    "s05_ann_ivfpq" -> 0.60)
+    "s04_ann_pq" -> 0.86,
+    "s05_ann_ivfpq" -> 0.76)
   private val tolerance = 0.05
 
   test("ANN recall@5 vs s01 at registered defaults — artifact + pin gate") {
@@ -48,7 +50,9 @@ class RecallArtifactSpec extends AnyFunSuite {
       "s03_ann_lsh" -> recallOf(Similarity.annLsh(e)),
       "s04_ann_pq" -> recallOf(Similarity.annPq(e, cacheKey = sf)),
       "s05_ann_ivfpq" -> recallOf(Similarity.annIvfPq(e, cacheKey = sf)))
-    val round = sys.env.getOrElse("GRAFT_ROUND", "9")
+    // the driver sets GRAFT_ROUND; an ad-hoc local run must NOT
+    // clobber a committed round artifact, so it writes r-local
+    val round = sys.env.getOrElse("GRAFT_ROUND", "local")
     val body = measured.map { case (name, r) =>
       f"""    "$name": {"recall_at_5": ${math.rint(r * 1e4) / 1e4}%s, "pin": ${pins(name)}%s}"""
     }.mkString(",\n")
