@@ -277,6 +277,9 @@ object SparkEntry {
     "k15_coverage_track" -> ((s, d) =>
       graft.sources.CoverageTrack.coverageWindow(Tables.events(s, d),
         cacheKey = d)),
+    "k16_zorder_layout" -> ((s, d) =>
+      graft.sources.ZOrderLayout.rectangleWindow(Tables.events(s, d),
+        cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
@@ -1231,6 +1234,30 @@ object SparkEntry {
                   AS BIGINT) AS mass_e4
          FROM bins, m
          WHERE bin_id BETWEEN m.mb + 24 AND m.mb + 72
+         GROUP BY 1""",
+    // k16: the z-ordered tree must hand back the middle
+    // (user x time) rectangle exactly as computed from raw events —
+    // the layout reorders rows, never changes them. Rectangle bounds
+    // replay the engine's integer arithmetic off the dims' min/max.
+    "k16_zorder_layout" ->
+      """WITH src AS (
+           SELECT user_id,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  event_type, value
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                      min(bin_id) AS blo, max(bin_id) AS bhi FROM src)
+         SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(user_id) AS BIGINT) AS user_checksum,
+                CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
+                round(sum(value), 4) AS sum_value
+         FROM src, b
+         WHERE user_id BETWEEN ulo + (uhi - ulo + 1) // 4
+                           AND ulo + (uhi - ulo + 1) // 2
+           AND bin_id BETWEEN blo + (bhi - blo + 1) // 4
+                          AND blo + (bhi - blo + 1) // 2
          GROUP BY 1""",
     "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
