@@ -280,6 +280,9 @@ object SparkEntry {
     "k16_zorder_layout" -> ((s, d) =>
       graft.sources.ZOrderLayout.rectangleWindow(Tables.events(s, d),
         cacheKey = d)),
+    "k17_bloom_point_lookup" -> ((s, d) =>
+      graft.sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
+        cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
@@ -1259,6 +1262,13 @@ object SparkEntry {
            AND bin_id BETWEEN blo + (bhi - blo + 1) // 4
                           AND blo + (bhi - blo + 1) // 2
          GROUP BY 1""",
+    // k17: blooms have no false negatives and the fetch post-filters
+    // by the exact predicate, so the indexed path must return
+    // precisely the direct lookup — the oracle IS the direct lookup.
+    "k17_bloom_point_lookup" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE doc_id IS NOT NULL AND doc_id % 97 = 7""",
     "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k17_bloom_point_lookup — file-level bloom index for POINT lookups
+  * on the landed document store: the Iceberg-puffin / Delta
+  * file-bloom pattern. Range layouts (k08 sort, k16 z-order) prune
+  * on footer min/max, which is useless for a membership probe on a
+  * high-cardinality key scattered across the tree: "fetch these 40
+  * doc_ids" (a takedown list, a contamination verdict, a sample
+  * inspection) would otherwise scan every file at 100 TB. A bloom
+  * per FILE — bits in a manifest, never in the data path — turns the
+  * fetch into: probe the metadata-scale index, read only the
+  * candidate files, post-filter exactly.
+  *
+  * The index is built with plain DataFrame ops, no custom aggregate:
+  * each doc_id explodes to `Hashes` bit positions
+  * (xxhash64(doc_id, seed) mod bits), positions group to
+  * (file, word_idx) rows folded with bit_or — the manifest is
+  * `files × Words` longs. A lookup replays the same hashes for the
+  * query ids, joins the manifest on word_idx (an equi-join on
+  * metadata rows), and keeps files where ALL `Hashes` bits hit; the
+  * candidate file list is a bounded collect (|queries| × (1 + fp)
+  * entries — dial-bounded, not corpus-bounded), and the final scan
+  * reads exactly those paths. Blooms have NO false negatives by
+  * construction (spec-pinned: candidates ⊇ true files), so the
+  * post-filtered answer is exact and the DuckDB oracle is just the
+  * direct predicate on documents.
+  *
+  * Sizing: Words·64 bits serve ~Words·6 keys/file at ≲1% false
+  * positives (the standard ~10 bits/key rule, k=3 near-optimal
+  * there); the default 64 words covers the test tree's ~150
+  * keys/file with margin, and a 100 TB deployment raises the ONE
+  * dial with its file row-count. Reference analog: the `samtools
+  * index` + per-sample sqlite ledger pair (tools.py:8-56, 499-530) —
+  * the artifact you consult so you don't re-read the data.
+  */
+object FileBloomIndex {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** 64-bit words per file bloom (64 words = 4096 bits). */
+  private[graft] val Words = 64
+
+  private[graft] val Hashes = 3
+
+  /** The registered fetch list: doc_id ≡ 7 (mod 97) — arithmetic, so
+    * the oracle replays it; ~1% of the corpus, scattered uniformly
+    * across files (the hostile case for min/max pruning).
+    */
+  private[graft] val LookupMod = 97L
+  private[graft] val LookupRes = 7L
+
+  /** Land the store as a multi-file tree hashed on doc_id (point
+    * lookups don't care about order; hash spreads write skew), then
+    * build the per-file bloom manifest beside it. Memoized per
+    * cacheKey like every staged sink.
+    */
+  def stageStore(documents: DataFrame, writers: Int = 32,
+      cacheKey: String = ""): String = {
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k17_") + "/store"
+      documents
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(writers, col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val spark = documents.sparkSession
+      bloomBits(readStore(spark, dir)
+        .select(col("doc_id"), col("_metadata.file_path").as("file")))
+        .groupBy(col("file"), col("word_idx"))
+        .agg(bit_or(col("word")).as("word"))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate(cacheKey, fresh())
+  }
+
+  private[graft] def readStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+
+  private[graft] def readIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("file STRING, word_idx INT, word BIGINT")
+      .parquet(s"$dir/_bloom")
+
+  /** Explode ids to their `Hashes` bloom coordinates: one
+    * (…, word_idx, word) row per hash with exactly that bit set.
+    */
+  private[graft] def bloomBits(ids: DataFrame): DataFrame =
+    ids
+      .withColumn("seed", explode(lit((0 until Hashes).toArray)))
+      .withColumn("bitpos",
+        pmod(xxhash64(col("doc_id"), col("seed")), lit(Words * 64L)))
+      .withColumn("word_idx", (col("bitpos") / 64L).cast("int"))
+      .withColumn("word",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))"))
+      .drop("seed", "bitpos")
+
+  /** Files that MAY contain any of `ids` (no false negatives by
+    * bloom construction): a file qualifies for an id when ALL
+    * `Hashes` probed bits are set. Bounded collect: |ids| × (1 + fp)
+    * paths — dial-bounded (the fetch list's size), not
+    * corpus-bounded.
+    */
+  private[graft] def candidateFiles(spark: SparkSession, dir: String,
+      ids: DataFrame): Seq[String] =
+    bloomBits(ids.select(col("doc_id")).distinct())
+      .withColumnRenamed("word", "probe")
+      .join(readIndex(spark, dir), Seq("word_idx"))
+      .filter((col("word").bitwiseAND(col("probe"))) === col("probe"))
+      .groupBy(col("doc_id"), col("file"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === Hashes)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** The registered query: fetch the arithmetic lookup list through
+    * the bloom manifest — probe, read ONLY candidate files,
+    * post-filter exactly — and return the fetched rows.
+    */
+  def pointLookup(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageStore(documents, cacheKey = cacheKey)
+    val wanted = documents
+      .filter(col("doc_id").isNotNull &&
+        pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
+      .select(col("doc_id")).distinct()
+    val candidates = candidateFiles(spark, dir, wanted)
+    val fetched =
+      if (candidates.isEmpty)
+        readStore(spark, dir).filter(lit(false))
+      else
+        spark.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+          .parquet(candidates: _*)
+    fetched
+      .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+}
