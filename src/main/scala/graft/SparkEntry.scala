@@ -1689,12 +1689,17 @@ object SparkEntry {
          SELECT cluster_rep, doc_id,
                 count(*) OVER (PARTITION BY cluster_rep) AS n_members
          FROM comp""",
+    // the QUALIFY mirrors the engine's maxBlock=4096 hot-label guard
+    // (d02's discipline: the oracle replays the cap, so engine and
+    // oracle agree at ANY corpus scale, not just while blocks are
+    // small)
     "d05_dedup_embedding" ->
       """WITH e AS (
            SELECT vec_id, label, embedding::DOUBLE[] AS v,
                   sqrt(list_inner_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[])) AS nrm
-           FROM embeddings)
+           FROM embeddings
+           QUALIFY count(*) OVER (PARTITION BY label) <= 4096)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                 round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
                   AS cosine

@@ -1007,13 +1007,16 @@ object Dedup {
     * by B vectors yields B²/2 pairs — a degenerate label (an
     * unlabeled-bucket catch-all, a crawl that tagged a million pages
     * identically) would detonate a single block into ~10⁹ pairs and
-    * stall its one reducer. Blocks above `maxBlock` are dropped,
-    * loudly bounded rather than silently quadratic; unlike d02 there
-    * is no band redundancy to recover them, so oversized blocks
-    * should be routed through d08's LEARNED sub-clusters instead
-    * (its k-means key splits a hot label by geometry). The count
-    * window rides the same hashpartitioning(label) exchange the
-    * self-join needs — the guard adds no shuffle.
+    * stall its one reducer. Blocks above `maxBlock` are dropped —
+    * bounded by design rather than silently quadratic; unlike d02
+    * there is no band redundancy to recover them, so oversized
+    * blocks should be routed through d08's LEARNED sub-clusters
+    * instead (its k-means key splits a hot label by geometry). The
+    * registered oracle replays the SAME cap (QUALIFY count <=
+    * maxBlock), so engine and oracle agree at any corpus scale —
+    * d02's maxBucket discipline, not a small-corpus coincidence.
+    * The count window rides the same hashpartitioning(label)
+    * exchange the self-join needs — the guard adds no shuffle.
     */
   def dedupEmbedding(embeddings: DataFrame, tau: Double = 0.4,
       maxBlock: Int = 4096): DataFrame = {

@@ -41,6 +41,13 @@ object FileBloomIndex {
   private val staged =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The store's on-disk schema — ONE definition shared by the
+    * staged write's projection, readStore, and the candidate-file
+    * fetch, so a column addition can't silently diverge the paths.
+    */
+  private[graft] val StoreSchema =
+    "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
   /** 64-bit words per file bloom (64 words = 4096 bits). */
   private[graft] val Words = 64
 
@@ -80,9 +87,7 @@ object FileBloomIndex {
   }
 
   private[graft] def readStore(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(dir)
+    spark.read.schema(StoreSchema).parquet(dir)
 
   private[graft] def readIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema("file STRING, word_idx INT, word BIGINT")
@@ -136,9 +141,7 @@ object FileBloomIndex {
       if (candidates.isEmpty)
         readStore(spark, dir).filter(lit(false))
       else
-        spark.read
-          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
-          .parquet(candidates: _*)
+        spark.read.schema(StoreSchema).parquet(candidates: _*)
     fetched
       .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

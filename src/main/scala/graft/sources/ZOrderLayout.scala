@@ -37,8 +37,13 @@ import org.apache.spark.sql.functions._
   */
 object ZOrderLayout {
 
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** cacheKey → (tree dir, grid bounds). Bounds are immutable
+    * properties of the staged tree, so they memoize WITH it — the
+    * read-back must not pay a second raw-events scan to rediscover
+    * what the write already computed.
+    */
+  private val staged = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (Long, Long, Long, Long))]
 
   /** Bits per dimension: 2^8 quantization levels, 16-bit z. */
   private[graft] val Bits = 8
@@ -72,25 +77,25 @@ object ZOrderLayout {
 
   /** The four dial posts of the grid — one metadata-scale agg over
     * the clusterable rows (both dims non-null, like every
-    * stats-prunable store).
+    * stats-prunable store). Degenerate (0,0,0,0) when NO row is
+    * clusterable (CoverageTrack's empty-input guard: the min/max row
+    * comes back all-NULL and a bare getLong would NPE) — the write
+    * then lands an empty tree and the read-back is empty, matching
+    * the oracle, instead of crashing.
     */
   private[graft] def bounds(events: DataFrame): (Long, Long, Long, Long) = {
     val r = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .agg(min(col("user_id")), max(col("user_id")),
         min(binId(col("ts"))), max(binId(col("ts")))).head
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    if (r.isNullAt(0)) (0L, 0L, 0L, 0L)
+    else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
-  /** Land events z-clustered by (user_id, time bin). The written
-    * schema carries the natural predicate columns (`user_id`,
-    * `bin_id`) — z orders the write and is dropped; memoized per
-    * cacheKey like every staged sink.
-    */
-  def stageZOrder(events: DataFrame, writers: Int = 16,
-      cacheKey: String = ""): String = {
-    def fresh(): String = {
-      val (uLo, uHi, bLo, bHi) = bounds(events)
+  private def stagedTree(events: DataFrame,
+      writers: Int, cacheKey: String): (String, (Long, Long, Long, Long)) = {
+    def fresh(): (String, (Long, Long, Long, Long)) = {
+      val b @ (uLo, uHi, bLo, bHi) = bounds(events)
       val dir = graft.Staging.dir("graft_k16_") + "/zorder"
       events
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
@@ -103,11 +108,20 @@ object ZOrderLayout {
         .sortWithinPartitions(col("z"))
         .drop("z")
         .write.mode(SaveMode.Overwrite).parquet(dir)
-      dir
+      (dir, b)
     }
     if (cacheKey.isEmpty) fresh()
     else staged.getOrElseUpdate(cacheKey, fresh())
   }
+
+  /** Land events z-clustered by (user_id, time bin). The written
+    * schema carries the natural predicate columns (`user_id`,
+    * `bin_id`) — z orders the write and is dropped; memoized per
+    * cacheKey like every staged sink.
+    */
+  def stageZOrder(events: DataFrame, writers: Int = 16,
+      cacheKey: String = ""): String =
+    stagedTree(events, writers, cacheKey)._1
 
   /** Comparison foil for the spec: the SAME rows time-sorted only
     * (k08's single-dim layout) — perfect on bin_id, blind on
@@ -141,8 +155,8 @@ object ZOrderLayout {
   def rectangleWindow(events: DataFrame,
       cacheKey: String = ""): DataFrame = {
     val spark = events.sparkSession
-    val dir = stageZOrder(events, cacheKey = cacheKey)
-    val (uLo, uHi, bLo, bHi) = bounds(events)
+    val (dir, (uLo, uHi, bLo, bHi)) =
+      stagedTree(events, writers = 16, cacheKey = cacheKey)
     val uSpan = uHi - uLo + 1L
     val bSpan = bHi - bLo + 1L
     readZOrder(spark, dir)

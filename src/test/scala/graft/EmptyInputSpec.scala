@@ -113,4 +113,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.sources.TimeTravel
       .timeTravelSummary(emptyDocs).count() === 0)
   }
+
+  test("round-13 operators yield empty, not errors") {
+    val emptyEvents = Tables.events(spark, sf).filter("event_id < 0")
+    // k16: no clusterable row → degenerate bounds, empty tree,
+    // empty rectangle (a bare getLong on the all-NULL min/max row
+    // would NPE instead)
+    assert(graft.sources.ZOrderLayout
+      .rectangleWindow(emptyEvents).count() === 0)
+    assert(graft.sources.CoverageTrack
+      .coverageWindow(emptyEvents).count() === 0)
+    assert(graft.sources.FileBloomIndex
+      .pointLookup(emptyDocs).count() === 0)
+  }
 }

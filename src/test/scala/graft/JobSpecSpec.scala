@@ -87,6 +87,14 @@ class JobSpecSpec extends AnyFunSuite {
       "zeroed ratios must route every doc to train")
   }
 
+  test("every configurable op is a registered query (dispatch stays honest)") {
+    val registered = SparkEntry.queries.keySet
+    val orphans = JobSpec.configurable -- registered
+    assert(orphans.isEmpty,
+      s"config-dispatchable ops with no registered query: $orphans")
+    assert(JobSpec.configurable.nonEmpty)
+  }
+
   test("unknown op and unknown dial both fail loudly") {
     val bad1 = writeSpec("""{"op": "nope_op"}""")
     intercept[IllegalArgumentException] {
