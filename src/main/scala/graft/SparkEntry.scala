@@ -283,6 +283,9 @@ object SparkEntry {
     "k17_bloom_point_lookup" -> ((s, d) =>
       graft.sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
         cacheKey = d)),
+    "k18_index_maintenance" -> ((s, d) =>
+      graft.sources.IndexMaintenance.maintainedLookup(Tables.documents(s, d),
+        cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
@@ -1269,6 +1272,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars
          FROM documents
          WHERE doc_id IS NOT NULL AND doc_id % 97 = 7""",
+    // k18: the refreshed index has no false negatives against the
+    // POST-MERGE store and the fetch post-filters exactly, so the
+    // indexed answer must equal k12's relational merge replay under
+    // the same arithmetic fetch list (deleted keys absent, upserted
+    // rows at their new length).
+    "k18_index_maintenance" ->
+      s"""WITH $k12Ctes
+         SELECT doc_id, lang,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM merged
+         WHERE doc_id % 97 = 7""",
     "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the

@@ -89,9 +89,15 @@ object FileBloomIndex {
   private[graft] def readStore(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(StoreSchema).parquet(dir)
 
-  private[graft] def readIndex(spark: SparkSession, dir: String): DataFrame =
+  /** Read a bloom manifest by ITS OWN dir (k17 keeps one at
+    * `<store>/_bloom`; k18's maintenance keeps versions under
+    * `<store>/_bloom/v{N}`) — the probe machinery is index-location
+    * agnostic.
+    */
+  private[graft] def readIndex(spark: SparkSession,
+      indexDir: String): DataFrame =
     spark.read.schema("file STRING, word_idx INT, word BIGINT")
-      .parquet(s"$dir/_bloom")
+      .parquet(indexDir)
 
   /** Explode ids to their `Hashes` bloom coordinates: one
     * (…, word_idx, word) row per hash with exactly that bit set.
@@ -112,11 +118,11 @@ object FileBloomIndex {
     * paths — dial-bounded (the fetch list's size), not
     * corpus-bounded.
     */
-  private[graft] def candidateFiles(spark: SparkSession, dir: String,
+  private[graft] def candidateFiles(spark: SparkSession, indexDir: String,
       ids: DataFrame): Seq[String] =
     bloomBits(ids.select(col("doc_id")).distinct())
       .withColumnRenamed("word", "probe")
-      .join(readIndex(spark, dir), Seq("word_idx"))
+      .join(readIndex(spark, indexDir), Seq("word_idx"))
       .filter((col("word").bitwiseAND(col("probe"))) === col("probe"))
       .groupBy(col("doc_id"), col("file"))
       .agg(count(lit(1)).as("hits"))
@@ -136,7 +142,7 @@ object FileBloomIndex {
       .filter(col("doc_id").isNotNull &&
         pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id")).distinct()
-    val candidates = candidateFiles(spark, dir, wanted)
+    val candidates = candidateFiles(spark, s"$dir/_bloom", wanted)
     val fetched =
       if (candidates.isEmpty)
         readStore(spark, dir).filter(lit(false))

@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k18_index_maintenance — INCREMENTAL secondary-index refresh under
+  * partition upsert: the lifecycle composition k12 + k17 leave open.
+  * k17's per-file bloom manifest is built once over a static store;
+  * a real lake MUTATES — k12's nightly CDC apply rewrites the
+  * affected partition directories, which invalidates exactly those
+  * directories' index rows (their files are replaced wholesale by
+  * dynamic overwrite) and no others. Rebuilding the whole manifest
+  * per delta re-couples index cost to CORPUS size; at 100 TB the
+  * index refresh must cost what the merge cost — proportional to the
+  * DELTA's partitions, not the tree. This is the Iceberg/Delta
+  * metadata-maintenance contract (puffin blobs rewritten per
+  * rewritten data file) and the `samtools index` re-run after a
+  * re-sorted sample (tools.py:499-530) — done incrementally.
+  *
+  * Mechanics: index versions live under `<tree>/_bloom/v{N}`
+  * (underscore-hidden from data reads, k14's immutable-version
+  * convention — a reader mid-flight on v1 is never yanked). Refresh
+  * = v1 rows whose file is OUTSIDE the affected partition dirs (kept
+  * verbatim — metadata-scale filter, no data scan) ∪ blooms rebuilt
+  * from ONLY the affected directories' post-merge files (the scan is
+  * constructed from the affected paths, so unaffected partitions are
+  * not even listed — spec-asserted on the rebuild's inputFiles).
+  * Affected-set discovery is the changelog's partition values,
+  * null-safe: the NULL partition (`lang=__HIVE_DEFAULT_PARTITION__`)
+  * is a first-class index citizen exactly as it is a first-class
+  * merge citizen (k12's langIn discipline, on-disk dir name here).
+  *
+  * The registered query is the consumer's view: a point fetch
+  * (k17's shape) through the REFRESHED index against the
+  * POST-MERGE store — no false negatives (spec: v2 ≡ a from-scratch
+  * rebuild of the merged tree, row-identical), exact post-filter, so
+  * the DuckDB oracle is k12's relational merge replay filtered by
+  * the same arithmetic fetch list.
+  */
+object IndexMaintenance {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The fetch list's arithmetic (shared with the oracle): a ~1%
+    * slice scattered uniformly across partitions AND files — chosen
+    * coprime to the demo's changelog moduli (3, 11, 13) so the list
+    * mixes kept, upserted, deleted, and NULL-partition keys.
+    */
+  private[graft] val LookupMod = 97L
+  private[graft] val LookupRes = 7L
+
+  private def treeSchema = PartitionUpsert.treeSchema
+
+  /** Build a full bloom manifest over every file of a partitioned
+    * tree (the v1 bootstrap — paid once, like the store itself).
+    */
+  private[graft] def buildIndex(spark: SparkSession, treeDir: String,
+      indexDir: String): Unit =
+    indexRows(spark.read.schema(treeSchema).parquet(treeDir))
+      .write.mode(SaveMode.Overwrite).parquet(indexDir)
+
+  private def indexRows(tree: DataFrame): DataFrame =
+    FileBloomIndex.bloomBits(
+      tree.select(col("doc_id"), col("_metadata.file_path").as("file")))
+      .groupBy(col("file"), col("word_idx"))
+      .agg(bit_or(col("word")).as("word"))
+      .repartition(1)
+
+  /** TRUE iff `file` lies under one of the affected partition dirs
+    * (on-disk names, e.g. `lang=en` / `lang=__HIVE_DEFAULT_PARTITION__`).
+    */
+  private[graft] def underAffected(file: Column,
+      affectedDirs: Set[String]): Column =
+    affectedDirs.toSeq.sorted
+      .map(d => file.contains(s"/$d/"))
+      .reduce(_ || _)
+
+  /** The rebuild slice: blooms recomputed from ONLY the affected
+    * directories' current files. The scan is constructed from the
+    * affected paths — unaffected partitions are not listed, let
+    * alone read (the incremental contract; spec asserts it on
+    * inputFiles). Exposed for the spec.
+    */
+  private[graft] def rebuiltSlice(spark: SparkSession, treeDir: String,
+      affectedDirs: Set[String]): DataFrame = {
+    val paths = affectedDirs.toSeq.sorted.map(d => s"$treeDir/$d")
+    indexRows(spark.read.option("basePath", treeDir)
+      .schema(treeSchema).parquet(paths: _*))
+  }
+
+  /** v(from) → v(to): kept rows verbatim for unaffected files +
+    * rebuilt rows for the affected directories.
+    */
+  private[graft] def refreshIndex(spark: SparkSession, treeDir: String,
+      affectedDirs: Set[String], fromV: Int, toV: Int): Unit = {
+    val kept = FileBloomIndex
+      .readIndex(spark, s"$treeDir/_bloom/v$fromV")
+      .filter(!underAffected(col("file"), affectedDirs))
+    kept.unionByName(rebuiltSlice(spark, treeDir, affectedDirs))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$treeDir/_bloom/v$toV")
+  }
+
+  /** Stage the full demo: base tree (corpus + NULL-lang shadows,
+    * k12's demoBase) → v1 index bootstrap → k12's CDC apply →
+    * incremental refresh to v2. Memoized per cacheKey.
+    */
+  def stageMaintained(documents: DataFrame,
+      cacheKey: String = ""): String = {
+    def fresh(): String = {
+      val spark = documents.sparkSession
+      val dir = graft.Staging.dir("graft_k18_") + "/tree"
+      val base = PartitionUpsert.demoBase(documents)
+      PartitionUpsert.writeTree(base, dir)
+      buildIndex(spark, dir, s"$dir/_bloom/v1")
+      PartitionUpsert.applyChanges(spark, dir,
+        PartitionUpsert.changelog(base))
+      refreshIndex(spark, dir, PartitionUpsert.ChangedPartitionDirs,
+        fromV = 1, toV = 2)
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate(cacheKey, fresh())
+  }
+
+  /** The registered query: the arithmetic fetch list resolved
+    * through the v2 (post-merge) index — probe, read ONLY candidate
+    * files (basePath keeps the partition column on a leaf-file
+    * read), post-filter exactly. Upserted rows surface their new
+    * length; deleted keys are simply absent: the index answers for
+    * the store as it IS, which is the whole point of maintaining it.
+    */
+  def maintainedLookup(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageMaintained(documents, cacheKey)
+    val wanted = PartitionUpsert.demoBase(documents)
+      .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
+      .select(col("doc_id")).distinct()
+    val candidates =
+      FileBloomIndex.candidateFiles(spark, s"$dir/_bloom/v2", wanted)
+    val fetched =
+      if (candidates.isEmpty)
+        spark.read.schema(treeSchema).parquet(dir).filter(lit(false))
+      else
+        spark.read.option("basePath", dir).schema(treeSchema)
+          .parquet(candidates: _*)
+    fetched
+      .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+}

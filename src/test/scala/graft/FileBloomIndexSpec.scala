@@ -38,7 +38,7 @@ class FileBloomIndexSpec extends AnyFunSuite {
           === FileBloomIndex.LookupRes)
       .select(col("doc_id")).distinct()
     val candidates =
-      FileBloomIndex.candidateFiles(spark, dir, wanted).toSet
+      FileBloomIndex.candidateFiles(spark, s"$dir/_bloom", wanted).toSet
 
     // ground truth: the files that actually hold the wanted ids
     // (_metadata must be projected off the scan before the join)
@@ -65,7 +65,7 @@ class FileBloomIndexSpec extends AnyFunSuite {
     // ids far outside the corpus key space
     val ghosts = spark.range(900000000L, 900000005L)
       .select(col("id").as("doc_id"))
-    val candidates = FileBloomIndex.candidateFiles(spark, dir, ghosts)
+    val candidates = FileBloomIndex.candidateFiles(spark, s"$dir/_bloom", ghosts)
     val allFiles = FileBloomIndex.readStore(spark, dir)
       .select(col("_metadata.file_path")).distinct().count()
     assert(candidates.size <= allFiles / 4,

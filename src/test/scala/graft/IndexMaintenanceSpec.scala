@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{FileBloomIndex, IndexMaintenance, PartitionUpsert}
+
+/** k18: the incremental refresh must be (a) correct — the v2
+  * manifest is row-identical to a from-scratch rebuild of the
+  * post-merge tree, so the bloom guarantee (no false negatives)
+  * carries over to the mutated store; (b) incremental — the rebuild
+  * scan lists ONLY the affected partition directories (unaffected
+  * partitions cost nothing, which is the 100 TB contract); (c) kept
+  * verbatim — unaffected files' rows in v2 are exactly their v1
+  * rows; (d) exact at the surface — the registered fetch equals the
+  * relational merge replay, deleted keys absent, NULL partition
+  * included.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val documents = Tables.documents(spark, sf)
+  private lazy val dir = IndexMaintenance.stageMaintained(documents, sf)
+
+  test("k18: refreshed v2 manifest equals a from-scratch rebuild") {
+    val fromScratch = s"$dir/_bloom/vfull_probe"
+    IndexMaintenance.buildIndex(spark, dir, fromScratch)
+    val v2 = FileBloomIndex.readIndex(spark, s"$dir/_bloom/v2")
+      .collect().map(_.toSeq).toSet
+    val full = FileBloomIndex.readIndex(spark, fromScratch)
+      .collect().map(_.toSeq).toSet
+    assert(v2 === full,
+      "incremental refresh diverged from the full rebuild")
+    assert(v2.nonEmpty)
+  }
+
+  test("k18: the rebuild scan lists only affected partition dirs") {
+    val files = IndexMaintenance
+      .rebuiltSlice(spark, dir, PartitionUpsert.ChangedPartitionDirs)
+      .inputFiles
+    assert(files.nonEmpty)
+    val offenders = files.filterNot(f =>
+      PartitionUpsert.ChangedPartitionDirs.exists(d => f.contains(s"/$d/")))
+    assert(offenders.isEmpty,
+      s"rebuild read unaffected partitions: ${offenders.take(3).toSeq}")
+  }
+
+  test("k18: unaffected files' rows survive the refresh verbatim") {
+    def rowsOutsideAffected(indexDir: String) =
+      FileBloomIndex.readIndex(spark, indexDir)
+        .filter(!IndexMaintenance.underAffected(col("file"),
+          PartitionUpsert.ChangedPartitionDirs))
+        .collect().map(_.toSeq).toSet
+    val v1Kept = rowsOutsideAffected(s"$dir/_bloom/v1")
+    val v2Kept = rowsOutsideAffected(s"$dir/_bloom/v2")
+    assert(v1Kept === v2Kept)
+    assert(v1Kept.nonEmpty, "demo must have unaffected partitions")
+  }
+
+  test("k18: indexed fetch equals the relational merge replay") {
+    val got = SparkEntry.queries("k18_index_maintenance")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // replay: latest-wins merge computed relationally from the raw
+    // corpus (the oracle's shape, in DataFrame form)
+    val base = PartitionUpsert.demoBase(documents)
+    val merged = PartitionUpsert.mergeLatest(
+      base, PartitionUpsert.latestOps(PartitionUpsert.changelog(base)))
+    val want = merged
+      .filter(pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
+        === IndexMaintenance.LookupRes)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("k18: a deleted key is absent through the index; an upserted key is current") {
+    // synthetic corpus dense enough that the fetch list (mod 97)
+    // provably intersects the changelog's upsert (mod 3) and delete
+    // (mod 11) residues inside the changed partitions — the sf0.001
+    // corpus is too sparse to guarantee the crossing
+    val synth = spark.range(0L, 4000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(5L))).as("source"),
+        concat(lit("body of document "), col("id")).as("text"),
+        element_at(
+          array(lit("en"), lit("de"), lit("fr"), lit("ja")),
+          (pmod(col("id"), lit(4L)) + 1).cast("int")).as("lang"))
+    val base = PartitionUpsert.demoBase(synth)
+    val fetchable = base
+      .filter(pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
+        === IndexMaintenance.LookupRes)
+      .filter(PartitionUpsert.langIn(
+        PartitionUpsert.ChangedLangs :+ null))
+    val deleted = fetchable
+      .filter(pmod(col("doc_id"), lit(11L)) === 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val upserted = fetchable
+      .filter(pmod(col("doc_id"), lit(3L)) === 0L &&
+        pmod(col("doc_id"), lit(11L)) =!= 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty && upserted.nonEmpty,
+      "fetch list never crossed the changelog — widen the synth corpus")
+    val fetched = IndexMaintenance.maintainedLookup(synth).collect()
+    val got = fetched.map(_.getLong(0)).toSet
+    assert(deleted.intersect(got).isEmpty,
+      s"deleted keys resurfaced: ${deleted.intersect(got).take(3)}")
+    assert(upserted.subsetOf(got),
+      s"upserted keys missing: ${(upserted -- got).take(3)}")
+    // and the NULL partition is represented in the fetch itself
+    assert(fetched.exists(_.isNullAt(1)),
+      "NULL partition absent from the indexed fetch")
+  }
+}
