@@ -189,7 +189,17 @@ object JobSpec {
           targetSource = j.str("targetSource",
             operators.Corpus.ImportanceTargetSource),
           buckets = j.int("buckets", operators.Corpus.ImportanceBuckets),
-          topN = j.int("topN", operators.Corpus.ImportanceTopN))))
+          topN = j.int("topN", operators.Corpus.ImportanceTopN)))),
+    // bloom sizing: exactness is dial-independent (no false
+    // negatives at any sizing + exact post-filter); the dials trade
+    // index bytes against candidate-read fan-out. Dial-keyed staging
+    // — the on-disk index is sized by the dials.
+    "k17_bloom_point_lookup" -> ((s, d, j) =>
+      checked(j, "words", "hashes")(
+        sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
+          cacheKey = dialKey(d, j),
+          words = j.int("words", sources.FileBloomIndex.Words),
+          hashes = j.int("hashes", sources.FileBloomIndex.Hashes))))
   )
 
   /** Memo key for operators with a dial-dependent staged artifact

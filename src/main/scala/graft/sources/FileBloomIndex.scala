@@ -48,10 +48,17 @@ object FileBloomIndex {
   private[graft] val StoreSchema =
     "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
 
-  /** 64-bit words per file bloom (64 words = 4096 bits). */
-  private[graft] val Words = 64
+  /** 64-bit words per file bloom (64 words = 4096 bits). The
+    * config-reachable sizing dials (JobSpec `words`/`hashes`): a
+    * deployment re-sizes the index to its file row-count by editing
+    * a job spec, not recompiling. EXACTNESS is dial-independent —
+    * blooms have no false negatives at any sizing and the fetch
+    * post-filters, so an undersized index costs extra candidate
+    * reads, never a wrong answer (spec-pinned at words=4).
+    */
+  val Words = 64
 
-  private[graft] val Hashes = 3
+  val Hashes = 3
 
   /** The registered fetch list: doc_id ≡ 7 (mod 97) — arithmetic, so
     * the oracle replays it; ~1% of the corpus, scattered uniformly
@@ -66,7 +73,8 @@ object FileBloomIndex {
     * cacheKey like every staged sink.
     */
   def stageStore(documents: DataFrame, writers: Int = 32,
-      cacheKey: String = ""): String = {
+      cacheKey: String = "", words: Int = Words,
+      hashes: Int = Hashes): String = {
     def fresh(): String = {
       val dir = graft.Staging.dir("graft_k17_") + "/store"
       documents
@@ -75,13 +83,17 @@ object FileBloomIndex {
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val spark = documents.sparkSession
       bloomBits(readStore(spark, dir)
-        .select(col("doc_id"), col("_metadata.file_path").as("file")))
+        .select(col("doc_id"), col("_metadata.file_path").as("file")),
+        words, hashes)
         .groupBy(col("file"), col("word_idx"))
         .agg(bit_or(col("word")).as("word"))
         .repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
       dir
     }
+    // the index on disk is sized by the dials — a dialed run must
+    // not share a default-sized staging entry (JobSpec passes a
+    // dial-keyed cacheKey for exactly this reason)
     if (cacheKey.isEmpty) fresh()
     else staged.getOrElseUpdate(cacheKey, fresh())
   }
@@ -99,14 +111,17 @@ object FileBloomIndex {
     spark.read.schema("file STRING, word_idx INT, word BIGINT")
       .parquet(indexDir)
 
-  /** Explode ids to their `Hashes` bloom coordinates: one
+  /** Explode ids to their `hashes` bloom coordinates: one
     * (…, word_idx, word) row per hash with exactly that bit set.
+    * Build and probe MUST agree on (words, hashes) — both replay
+    * this one definition.
     */
-  private[graft] def bloomBits(ids: DataFrame): DataFrame =
+  private[graft] def bloomBits(ids: DataFrame, words: Int = Words,
+      hashes: Int = Hashes): DataFrame =
     ids
-      .withColumn("seed", explode(lit((0 until Hashes).toArray)))
+      .withColumn("seed", explode(lit((0 until hashes).toArray)))
       .withColumn("bitpos",
-        pmod(xxhash64(col("doc_id"), col("seed")), lit(Words * 64L)))
+        pmod(xxhash64(col("doc_id"), col("seed")), lit(words * 64L)))
       .withColumn("word_idx", (col("bitpos") / 64L).cast("int"))
       .withColumn("word",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))"))
@@ -119,14 +134,15 @@ object FileBloomIndex {
     * corpus-bounded.
     */
   private[graft] def candidateFiles(spark: SparkSession, indexDir: String,
-      ids: DataFrame): Seq[String] =
-    bloomBits(ids.select(col("doc_id")).distinct())
+      ids: DataFrame, words: Int = Words,
+      hashes: Int = Hashes): Seq[String] =
+    bloomBits(ids.select(col("doc_id")).distinct(), words, hashes)
       .withColumnRenamed("word", "probe")
       .join(readIndex(spark, indexDir), Seq("word_idx"))
       .filter((col("word").bitwiseAND(col("probe"))) === col("probe"))
       .groupBy(col("doc_id"), col("file"))
       .agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === Hashes)
+      .filter(col("hits") === hashes)
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
 
@@ -135,14 +151,17 @@ object FileBloomIndex {
     * post-filter exactly — and return the fetched rows.
     */
   def pointLookup(documents: DataFrame,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = "", words: Int = Words,
+      hashes: Int = Hashes): DataFrame = {
     val spark = documents.sparkSession
-    val dir = stageStore(documents, cacheKey = cacheKey)
+    val dir = stageStore(documents, cacheKey = cacheKey,
+      words = words, hashes = hashes)
     val wanted = documents
       .filter(col("doc_id").isNotNull &&
         pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id")).distinct()
-    val candidates = candidateFiles(spark, s"$dir/_bloom", wanted)
+    val candidates =
+      candidateFiles(spark, s"$dir/_bloom", wanted, words, hashes)
     val fetched =
       if (candidates.isEmpty)
         readStore(spark, dir).filter(lit(false))

@@ -87,6 +87,21 @@ class JobSpecSpec extends AnyFunSuite {
       "zeroed ratios must route every doc to train")
   }
 
+  test("k17 bloom sizing dials: exactness holds at an undersized index") {
+    // words=4 (256 bits/file) is far under the ~10 bits/key rule for
+    // this corpus — false positives explode, candidate reads grow,
+    // and the ANSWER must not move (no false negatives at any
+    // sizing + exact post-filter)
+    val spec = writeSpec(
+      """{"op": "k17_bloom_point_lookup", "params": {"words": "4"}}""")
+    val undersized = JobSpec.runAll(spark, sf, spec).head._2
+      .collect().map(_.toSeq).toSet
+    val registered = SparkEntry.queries("k17_bloom_point_lookup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(undersized === registered)
+    assert(undersized.nonEmpty)
+  }
+
   test("every configurable op is a registered query (dispatch stays honest)") {
     val registered = SparkEntry.queries.keySet
     val orphans = JobSpec.configurable -- registered
