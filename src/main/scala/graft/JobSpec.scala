@@ -192,12 +192,14 @@ object JobSpec {
           topN = j.int("topN", operators.Corpus.ImportanceTopN)))),
     // bloom sizing: exactness is dial-independent (no false
     // negatives at any sizing + exact post-filter); the dials trade
-    // index bytes against candidate-read fan-out. Dial-keyed staging
-    // — the on-disk index is sized by the dials.
+    // index bytes against candidate-read fan-out. The STORE is
+    // dial-independent and shares the corpus-keyed staging; each
+    // sizing builds its own `_bloom_w{W}_h{H}` manifest beside it —
+    // a sizing sweep rebuilds metadata, never re-lands the corpus.
     "k17_bloom_point_lookup" -> ((s, d, j) =>
       checked(j, "words", "hashes")(
         sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
-          cacheKey = dialKey(d, j),
+          cacheKey = d,
           words = j.int("words", sources.FileBloomIndex.Words),
           hashes = j.int("hashes", sources.FileBloomIndex.Hashes))))
   )

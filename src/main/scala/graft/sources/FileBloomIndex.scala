@@ -72,39 +72,68 @@ object FileBloomIndex {
     * build the per-file bloom manifest beside it. Memoized per
     * cacheKey like every staged sink.
     */
+  /** Index dir for a sizing, beside the store. Underscore-prefixed
+    * (any `_bloom*` name is invisible to data reads); suffixed by
+    * the dials because the bits on disk are sized by them — two
+    * sizings are two artifacts.
+    */
+  private[graft] def indexDirFor(dir: String, words: Int = Words,
+      hashes: Int = Hashes): String = s"$dir/_bloom_w${words}_h$hashes"
+
+  /** Land the store ONCE per corpus cut — the data tree is
+    * dial-independent; only the manifest is sized by (words, hashes).
+    * A bloom-sizing sweep must rebuild files×words longs per sizing,
+    * never re-land the corpus.
+    */
   def stageStore(documents: DataFrame, writers: Int = 32,
-      cacheKey: String = "", words: Int = Words,
-      hashes: Int = Hashes): String = {
+      cacheKey: String = ""): String = {
     def fresh(): String = {
       val dir = graft.Staging.dir("graft_k17_") + "/store"
       documents
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .repartition(writers, col("doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(dir)
-      val spark = documents.sparkSession
-      bloomBits(readStore(spark, dir)
-        .select(col("doc_id"), col("_metadata.file_path").as("file")),
-        words, hashes)
-        .groupBy(col("file"), col("word_idx"))
-        .agg(bit_or(col("word")).as("word"))
-        .repartition(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
       dir
     }
-    // the index on disk is sized by the dials — a dialed run must
-    // not share a default-sized staging entry (JobSpec passes a
-    // dial-keyed cacheKey for exactly this reason)
     if (cacheKey.isEmpty) fresh()
     else staged.getOrElseUpdate(cacheKey, fresh())
   }
 
+  private val stagedIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  /** Build (memoized per (store, sizing)) the per-file bloom
+    * manifest at the sizing's own dir and return that dir.
+    */
+  private[graft] def ensureIndex(spark: SparkSession, dir: String,
+      words: Int = Words, hashes: Int = Hashes): String =
+    stagedIndexes.getOrElseUpdate((dir, words, hashes), {
+      val idx = indexDirFor(dir, words, hashes)
+      indexRowsFor(readStore(spark, dir), words, hashes)
+        .write.mode(SaveMode.Overwrite).parquet(idx)
+      idx
+    })
+
+  /** The manifest build fold — ONE definition shared by k17's build
+    * and k18's bootstrap/refresh, so the index shape cannot drift
+    * between the static and the maintained store.
+    */
+  private[graft] def indexRowsFor(tree: DataFrame, words: Int = Words,
+      hashes: Int = Hashes): DataFrame =
+    bloomBits(
+      tree.select(col("doc_id"), col("_metadata.file_path").as("file")),
+      words, hashes)
+      .groupBy(col("file"), col("word_idx"))
+      .agg(bit_or(col("word")).as("word"))
+      .repartition(1)
+
   private[graft] def readStore(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(StoreSchema).parquet(dir)
 
-  /** Read a bloom manifest by ITS OWN dir (k17 keeps one at
-    * `<store>/_bloom`; k18's maintenance keeps versions under
-    * `<store>/_bloom/v{N}`) — the probe machinery is index-location
-    * agnostic.
+  /** Read a bloom manifest by ITS OWN dir (k17 keeps one per sizing
+    * at `<store>/_bloom_w{W}_h{H}`; k18's maintenance keeps versions
+    * under `<store>/_bloom/v{N}`) — the probe machinery is
+    * index-location agnostic.
     */
   private[graft] def readIndex(spark: SparkSession,
       indexDir: String): DataFrame =
@@ -117,7 +146,12 @@ object FileBloomIndex {
     * this one definition.
     */
   private[graft] def bloomBits(ids: DataFrame, words: Int = Words,
-      hashes: Int = Hashes): DataFrame =
+      hashes: Int = Hashes): DataFrame = {
+    // dial floor: hashes=0 would probe nothing and words=0 would
+    // pmod by zero — both degrade to a silently EMPTY (wrong) fetch,
+    // the one failure mode the exactness contract forbids
+    require(words > 0 && hashes > 0,
+      s"bloom sizing must be positive: words=$words, hashes=$hashes")
     ids
       .withColumn("seed", explode(lit((0 until hashes).toArray)))
       .withColumn("bitpos",
@@ -126,6 +160,7 @@ object FileBloomIndex {
       .withColumn("word",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))"))
       .drop("seed", "bitpos")
+  }
 
   /** Files that MAY contain any of `ids` (no false negatives by
     * bloom construction): a file qualifies for an id when ALL
@@ -154,14 +189,14 @@ object FileBloomIndex {
       cacheKey: String = "", words: Int = Words,
       hashes: Int = Hashes): DataFrame = {
     val spark = documents.sparkSession
-    val dir = stageStore(documents, cacheKey = cacheKey,
-      words = words, hashes = hashes)
+    val dir = stageStore(documents, cacheKey = cacheKey)
+    val indexDir = ensureIndex(spark, dir, words, hashes)
     val wanted = documents
       .filter(col("doc_id").isNotNull &&
         pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id")).distinct()
     val candidates =
-      candidateFiles(spark, s"$dir/_bloom", wanted, words, hashes)
+      candidateFiles(spark, indexDir, wanted, words, hashes)
     val fetched =
       if (candidates.isEmpty)
         readStore(spark, dir).filter(lit(false))

@@ -42,30 +42,27 @@ object IndexMaintenance {
   private val staged =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** The fetch list's arithmetic (shared with the oracle): a ~1%
-    * slice scattered uniformly across partitions AND files — chosen
-    * coprime to the demo's changelog moduli (3, 11, 13) so the list
-    * mixes kept, upserted, deleted, and NULL-partition keys.
+  /** The fetch list's arithmetic is k17's — one definition (mod 97,
+    * residue 7, coprime to the demo's changelog moduli 3/11/13 so
+    * the list mixes kept, upserted, deleted, and NULL-partition
+    * keys), shared so the two oracles' hard-coded predicates track
+    * one Scala source of truth.
     */
-  private[graft] val LookupMod = 97L
-  private[graft] val LookupRes = 7L
+  private[graft] val LookupMod = FileBloomIndex.LookupMod
+  private[graft] val LookupRes = FileBloomIndex.LookupRes
 
   private def treeSchema = PartitionUpsert.treeSchema
 
   /** Build a full bloom manifest over every file of a partitioned
     * tree (the v1 bootstrap — paid once, like the store itself).
+    * The fold is k17's `indexRowsFor` — the static and the
+    * maintained store share one index shape by construction.
     */
   private[graft] def buildIndex(spark: SparkSession, treeDir: String,
       indexDir: String): Unit =
-    indexRows(spark.read.schema(treeSchema).parquet(treeDir))
+    FileBloomIndex
+      .indexRowsFor(spark.read.schema(treeSchema).parquet(treeDir))
       .write.mode(SaveMode.Overwrite).parquet(indexDir)
-
-  private def indexRows(tree: DataFrame): DataFrame =
-    FileBloomIndex.bloomBits(
-      tree.select(col("doc_id"), col("_metadata.file_path").as("file")))
-      .groupBy(col("file"), col("word_idx"))
-      .agg(bit_or(col("word")).as("word"))
-      .repartition(1)
 
   /** TRUE iff `file` lies under one of the affected partition dirs
     * (on-disk names, e.g. `lang=en` / `lang=__HIVE_DEFAULT_PARTITION__`).
@@ -80,13 +77,27 @@ object IndexMaintenance {
     * directories' current files. The scan is constructed from the
     * affected paths — unaffected partitions are not listed, let
     * alone read (the incremental contract; spec asserts it on
-    * inputFiles). Exposed for the spec.
+    * inputFiles). An affected dir may not EXIST (a sparse corpus
+    * never materialized the partition, or a delete-everything merge
+    * left none) — existence-filter through the Hadoop FS rather
+    * than letting the reader throw PATH_NOT_FOUND, and degrade to
+    * an empty slice when nothing remains (operators yield empty,
+    * not errors). Exposed for the spec.
     */
   private[graft] def rebuiltSlice(spark: SparkSession, treeDir: String,
       affectedDirs: Set[String]): DataFrame = {
-    val paths = affectedDirs.toSeq.sorted.map(d => s"$treeDir/$d")
-    indexRows(spark.read.option("basePath", treeDir)
-      .schema(treeSchema).parquet(paths: _*))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val paths = affectedDirs.toSeq.sorted
+      .map(d => new org.apache.hadoop.fs.Path(s"$treeDir/$d"))
+      .filter(p => p.getFileSystem(hconf).exists(p))
+      .map(_.toString)
+    val slice =
+      if (paths.isEmpty)
+        spark.read.schema(treeSchema).parquet(treeDir).filter(lit(false))
+      else
+        spark.read.option("basePath", treeDir)
+          .schema(treeSchema).parquet(paths: _*)
+    FileBloomIndex.indexRowsFor(slice)
   }
 
   /** v(from) → v(to): kept rows verbatim for unaffected files +

@@ -125,5 +125,9 @@ class EmptyInputSpec extends AnyFunSuite {
       .coverageWindow(emptyEvents).count() === 0)
     assert(graft.sources.FileBloomIndex
       .pointLookup(emptyDocs).count() === 0)
+    // k18: the affected partition dirs never materialize on an
+    // empty corpus — the rebuild must existence-filter, not throw
+    assert(graft.sources.IndexMaintenance
+      .maintainedLookup(emptyDocs).count() === 0)
   }
 }

@@ -32,13 +32,14 @@ class FileBloomIndexSpec extends AnyFunSuite {
 
   test("k17: candidates cover every true file and skip most of the tree") {
     val dir = FileBloomIndex.stageStore(documents, cacheKey = sf)
+    val idx = FileBloomIndex.ensureIndex(spark, dir)
     val wanted = documents
       .filter(col("doc_id").isNotNull &&
         pmod(col("doc_id"), lit(FileBloomIndex.LookupMod))
           === FileBloomIndex.LookupRes)
       .select(col("doc_id")).distinct()
     val candidates =
-      FileBloomIndex.candidateFiles(spark, s"$dir/_bloom", wanted).toSet
+      FileBloomIndex.candidateFiles(spark, idx, wanted).toSet
 
     // ground truth: the files that actually hold the wanted ids
     // (_metadata must be projected off the scan before the join)
@@ -62,10 +63,11 @@ class FileBloomIndexSpec extends AnyFunSuite {
 
   test("k17: a planted miss probes zero files") {
     val dir = FileBloomIndex.stageStore(documents, cacheKey = sf)
+    val idx = FileBloomIndex.ensureIndex(spark, dir)
     // ids far outside the corpus key space
     val ghosts = spark.range(900000000L, 900000005L)
       .select(col("id").as("doc_id"))
-    val candidates = FileBloomIndex.candidateFiles(spark, s"$dir/_bloom", ghosts)
+    val candidates = FileBloomIndex.candidateFiles(spark, idx, ghosts)
     val allFiles = FileBloomIndex.readStore(spark, dir)
       .select(col("_metadata.file_path")).distinct().count()
     assert(candidates.size <= allFiles / 4,

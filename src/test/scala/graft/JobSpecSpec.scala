@@ -100,6 +100,12 @@ class JobSpecSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(undersized === registered)
     assert(undersized.nonEmpty)
+    // degenerate sizing must fail LOUDLY, not return an empty fetch
+    val bad = writeSpec(
+      """{"op": "k17_bloom_point_lookup", "params": {"hashes": "0"}}""")
+    intercept[IllegalArgumentException] {
+      JobSpec.runAll(spark, sf, bad).head._2.count()
+    }
   }
 
   test("every configurable op is a registered query (dispatch stays honest)") {
