@@ -288,6 +288,8 @@ object SparkEntry {
         cacheKey = d)),
     "st12_stream_upsert" -> ((s, d) =>
       StreamOps.streamUpsert(s, d)),
+    "st16_stream_index" -> ((s, d) =>
+      StreamOps.streamIndexMaintain(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
     "q44_exact_quantiles" -> ((s, d) =>
@@ -403,6 +405,16 @@ object SparkEntry {
            ON b.doc_id = l.doc_id
           AND b.lang IS NOT DISTINCT FROM l.lang
          WHERE coalesce(l.op, 'keep') <> 'delete')"""
+
+  /** k18 + st16: the indexed point fetch over the merged state —
+    * shared by the batch maintainer and its streaming twin.
+    */
+  private val k18Sql: String =
+    s"""WITH $k12Ctes
+       SELECT doc_id, lang,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM merged
+       WHERE doc_id % 97 = 7"""
 
   private val k12Sql: String =
     s"""WITH $k12Ctes
@@ -1276,13 +1288,12 @@ object SparkEntry {
     // POST-MERGE store and the fetch post-filters exactly, so the
     // indexed answer must equal k12's relational merge replay under
     // the same arithmetic fetch list (deleted keys absent, upserted
-    // rows at their new length).
-    "k18_index_maintenance" ->
-      s"""WITH $k12Ctes
-         SELECT doc_id, lang,
-                CAST(length(text) AS BIGINT) AS n_chars
-         FROM merged
-         WHERE doc_id % 97 = 7""",
+    // rows at their new length). st16 maintains the same index LIVE
+    // per micro-batch over the convergent tree, whose drained state
+    // is the same merge — one oracle serves both (the batch/stream
+    // twin discipline).
+    "k18_index_maintenance" -> k18Sql,
+    "st16_stream_index" -> k18Sql,
     "t14_bpe_tokenize" -> t14Sql,
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the

@@ -57,11 +57,16 @@ object IndexMaintenance {
     * tree (the v1 bootstrap — paid once, like the store itself).
     * The fold is k17's `indexRowsFor` — the static and the
     * maintained store share one index shape by construction.
+    * `schema` lets st16 index the CONVERGENT tree (seq + tombstone
+    * columns): blooms only hash doc_id, so any tree schema carrying
+    * it indexes identically — a tombstone's file is indexed like a
+    * live row's, and the fetch's liveness post-filter keeps
+    * exactness.
     */
   private[graft] def buildIndex(spark: SparkSession, treeDir: String,
-      indexDir: String): Unit =
+      indexDir: String, schema: String = PartitionUpsert.treeSchema): Unit =
     FileBloomIndex
-      .indexRowsFor(spark.read.schema(treeSchema).parquet(treeDir))
+      .indexRowsFor(spark.read.schema(schema).parquet(treeDir))
       .write.mode(SaveMode.Overwrite).parquet(indexDir)
 
   /** TRUE iff `file` lies under one of the affected partition dirs
@@ -85,7 +90,8 @@ object IndexMaintenance {
     * not errors). Exposed for the spec.
     */
   private[graft] def rebuiltSlice(spark: SparkSession, treeDir: String,
-      affectedDirs: Set[String]): DataFrame = {
+      affectedDirs: Set[String],
+      schema: String = PartitionUpsert.treeSchema): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val paths = affectedDirs.toSeq.sorted
       .map(d => new org.apache.hadoop.fs.Path(s"$treeDir/$d"))
@@ -93,10 +99,10 @@ object IndexMaintenance {
       .map(_.toString)
     val slice =
       if (paths.isEmpty)
-        spark.read.schema(treeSchema).parquet(treeDir).filter(lit(false))
+        spark.read.schema(schema).parquet(treeDir).filter(lit(false))
       else
         spark.read.option("basePath", treeDir)
-          .schema(treeSchema).parquet(paths: _*)
+          .schema(schema).parquet(paths: _*)
     FileBloomIndex.indexRowsFor(slice)
   }
 
@@ -104,14 +110,22 @@ object IndexMaintenance {
     * rebuilt rows for the affected directories.
     */
   private[graft] def refreshIndex(spark: SparkSession, treeDir: String,
-      affectedDirs: Set[String], fromV: Int, toV: Int): Unit = {
+      affectedDirs: Set[String], fromV: Int, toV: Int,
+      schema: String = PartitionUpsert.treeSchema): Unit = {
     val kept = FileBloomIndex
       .readIndex(spark, s"$treeDir/_bloom/v$fromV")
       .filter(!underAffected(col("file"), affectedDirs))
-    kept.unionByName(rebuiltSlice(spark, treeDir, affectedDirs))
+    kept.unionByName(rebuiltSlice(spark, treeDir, affectedDirs, schema))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$treeDir/_bloom/v$toV")
   }
+
+  /** On-disk partition dir name for a lang value (NULL is the hive
+    * default partition) — the bridge from a changelog's affected
+    * VALUES to the tree's affected DIRECTORIES.
+    */
+  private[graft] def langDir(lang: String): String =
+    if (lang == null) s"lang=${PartitionUpsert.HiveNull}" else s"lang=$lang"
 
   /** Stage the full demo: base tree (corpus + NULL-lang shadows,
     * k12's demoBase) → v1 index bootstrap → k12's CDC apply →

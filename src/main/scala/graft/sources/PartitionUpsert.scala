@@ -227,7 +227,7 @@ object PartitionUpsert {
     * how the feed was batched (spec applies the batches REVERSED
     * and gets the identical tree).
     */
-  private val convergentSchema =
+  private[graft] val convergentSchema =
     "doc_id BIGINT, source STRING, text STRING, seq BIGINT, " +
       "deleted BOOLEAN, lang STRING"
 

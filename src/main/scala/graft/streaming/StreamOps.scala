@@ -832,24 +832,33 @@ object StreamOps {
   private val stagedCdcChunks =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The demo CDC feed as a 4-file arrival tree — shared by st12 and
+    * st16 (identical changelog, staged once per corpus dir).
+    */
+  private def cdcChunks(dir: String,
+      base: org.apache.spark.sql.DataFrame): String =
+    stagedCdcChunks.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st12_cdc_")
+      graft.sources.PartitionUpsert.changelog(base)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+
+  private val CdcChunkSchema =
+    "doc_id BIGINT, lang STRING, seq BIGINT, op STRING, new_text STRING"
+
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.PartitionUpsert
     val docs = graft.Tables.documents(spark, dir)
     // same demo base as batch k12: corpus + NULL-lang shadow rows, so
     // the streaming merge exercises the hive default partition too
     val base = PartitionUpsert.demoBase(docs)
-    val chunks = stagedCdcChunks.getOrElseUpdate(dir, {
-      val s = graft.Staging.dir("graft_st12_cdc_")
-      PartitionUpsert.changelog(base)
-        .repartition(4)
-        .write.mode("overwrite").parquet(s)
-      s
-    })
+    val chunks = cdcChunks(dir, base)
     val tree = graft.Staging.dir("graft_st12_tree_") + "/tree"
     PartitionUpsert.stageConvergentBase(base, tree)
     val src = spark.readStream
-      .schema("doc_id BIGINT, lang STRING, seq BIGINT, op STRING, " +
-        "new_text STRING")
+      .schema(CdcChunkSchema)
       .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(chunks)
     val q = src.writeStream
@@ -861,6 +870,87 @@ object StreamOps {
     q.awaitTermination()
     PartitionUpsert.summarize(
       PartitionUpsert.convergentState(spark, tree))
+  }
+
+  /** st16_stream_index — k18's incremental index maintenance kept
+    * LIVE during streaming CDC ingest: st12 maintains the convergent
+    * tree per micro-batch, but a point-lookup consumer (takedown
+    * worker, audit probe) must not wait for a nightly index rebuild
+    * to see the data the stream already landed. Each micro-batch
+    * therefore applies the convergent merge AND refreshes the bloom
+    * manifest for exactly the partitions that batch touched — k18's
+    * kept-verbatim ∪ rebuilt-slice fold, versioned `_bloom/v{N}`
+    * (v1 = bootstrap, one version per batch; an in-flight reader on
+    * v(N-1) is never yanked, k14's convention). Index cost per batch
+    * is proportional to the BATCH's partition set, never the tree —
+    * the streaming twin of k18's delta-proportional contract.
+    *
+    * Blooms hash doc_id only, so tombstoned rows index like live
+    * ones and the fetch's liveness post-filter keeps exactness; the
+    * final fetched state is argmax(seq) over base ∪ feed = batch
+    * k18's merged state, so st16 SHARES k18's oracle (the
+    * batch/stream twin discipline).
+    */
+  def streamIndexMaintain(spark: SparkSession, dir: String): DataFrame =
+    streamIndexMaintainWithTree(spark, dir)._1
+
+  /** st16 with its artifacts exposed: (fetch, tree dir, final index
+    * version) — the spec needs the tree to diff the streamed index
+    * against a from-scratch rebuild and to count the version trail.
+    */
+  private[graft] def streamIndexMaintainWithTree(spark: SparkSession,
+      dir: String): (DataFrame, String, Int) = {
+    import graft.sources.{FileBloomIndex, IndexMaintenance, PartitionUpsert}
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val base = PartitionUpsert.demoBase(docs)
+    val chunks = cdcChunks(dir, base)
+    val tree = graft.Staging.dir("graft_st16_tree_") + "/tree"
+    PartitionUpsert.stageConvergentBase(base, tree)
+    IndexMaintenance.buildIndex(spark, tree, s"$tree/_bloom/v1",
+      PartitionUpsert.convergentSchema)
+    val ver = new java.util.concurrent.atomic.AtomicInteger(1)
+    val src = spark.readStream
+      .schema(CdcChunkSchema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(chunks)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PartitionUpsert.applyConvergent(spark, tree, batch)
+        // THIS batch's affected partitions — metadata-scale, null-safe
+        val affected = batch.select(col("lang")).distinct()
+          .collect().map(r => IndexMaintenance.langDir(r.getString(0)))
+          .toSet
+        IndexMaintenance.refreshIndex(spark, tree, affected,
+          fromV = ver.get(), toV = ver.incrementAndGet(),
+          schema = PartitionUpsert.convergentSchema)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the consumer's fetch through the LATEST index version: probe,
+    // read only candidate files, post-filter liveness + predicate
+    val wanted = base
+      .filter(pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
+        === IndexMaintenance.LookupRes)
+      .select(col("doc_id")).distinct()
+    val candidates = FileBloomIndex.candidateFiles(spark,
+      s"$tree/_bloom/v${ver.get()}", wanted)
+    val fetched =
+      if (candidates.isEmpty)
+        spark.read.schema(PartitionUpsert.convergentSchema)
+          .parquet(tree).filter(lit(false))
+      else
+        spark.read.option("basePath", tree)
+          .schema(PartitionUpsert.convergentSchema)
+          .parquet(candidates: _*)
+    val fetch = fetched
+      .filter(!col("deleted") &&
+        pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
+          === IndexMaintenance.LookupRes)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+    (fetch, tree, ver.get())
   }
 
   /** One micro-batch's probe, written idempotently: overwrite of the

@@ -75,6 +75,40 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("st16: live-maintained index fetch equals batch k18 exactly") {
+    val stream = SparkEntry.queries("st16_stream_index")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("k18_index_maintenance")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("st16: streamed index is genuinely incremental and multi-batch") {
+    val (_, tree, finalV) =
+      graft.streaming.StreamOps.streamIndexMaintainWithTree(spark, sf)
+    // 4 arrival files consumed 2 per trigger = 2 micro-batches:
+    // v1 bootstrap + one version per batch
+    assert(finalV >= 3,
+      s"expected a multi-batch version trail, got final v$finalV")
+    (1 to finalV).foreach { v =>
+      assert(new java.io.File(s"$tree/_bloom/v$v").exists(),
+        s"version v$v missing from the trail")
+    }
+    // the drained trail's head equals a from-scratch rebuild of the
+    // final tree — incremental-across-batches correctness
+    val probe = s"$tree/_bloom/vfull_probe"
+    IndexMaintenance.buildIndex(spark, tree, probe,
+      PartitionUpsert.convergentSchema)
+    val streamed = FileBloomIndex
+      .readIndex(spark, s"$tree/_bloom/v$finalV")
+      .collect().map(_.toSeq).toSet
+    val full = FileBloomIndex.readIndex(spark, probe)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === full)
+    assert(streamed.nonEmpty)
+  }
+
   test("k18: a deleted key is absent through the index; an upserted key is current") {
     // synthetic corpus dense enough that the fetch list (mod 97)
     // provably intersects the changelog's upsert (mod 3) and delete
