@@ -181,6 +181,26 @@ object FileBloomIndex {
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
 
+  /** The probe-and-read half of every indexed fetch — ONE
+    * definition serving k17, k18, and st16 (their stores differ in
+    * schema and index location, not in shape): resolve candidate
+    * files through the manifest, read ONLY those paths (basePath
+    * keeps partition columns on a leaf-file read; harmless on an
+    * unpartitioned store), degrade to a typed empty frame when no
+    * file can hold any wanted id. Callers post-filter exactly —
+    * predicate, liveness — and project.
+    */
+  private[graft] def fetchCandidates(spark: SparkSession, treeDir: String,
+      indexDir: String, schema: String, wanted: DataFrame,
+      words: Int = Words, hashes: Int = Hashes): DataFrame = {
+    val candidates = candidateFiles(spark, indexDir, wanted, words, hashes)
+    if (candidates.isEmpty)
+      spark.read.schema(schema).parquet(treeDir).filter(lit(false))
+    else
+      spark.read.option("basePath", treeDir).schema(schema)
+        .parquet(candidates: _*)
+  }
+
   /** The registered query: fetch the arithmetic lookup list through
     * the bloom manifest — probe, read ONLY candidate files,
     * post-filter exactly — and return the fetched rows.
@@ -195,14 +215,8 @@ object FileBloomIndex {
       .filter(col("doc_id").isNotNull &&
         pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id")).distinct()
-    val candidates =
-      candidateFiles(spark, indexDir, wanted, words, hashes)
-    val fetched =
-      if (candidates.isEmpty)
-        readStore(spark, dir).filter(lit(false))
-      else
-        spark.read.schema(StoreSchema).parquet(candidates: _*)
-    fetched
+    fetchCandidates(spark, dir, indexDir, StoreSchema, wanted,
+      words, hashes)
       .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }

@@ -71,10 +71,14 @@ object IndexMaintenance {
 
   /** TRUE iff `file` lies under one of the affected partition dirs
     * (on-disk names, e.g. `lang=en` / `lang=__HIVE_DEFAULT_PARTITION__`).
+    * An EMPTY affected set means nothing is affected (an empty
+    * micro-batch in st16) — constant false, so a refresh against it
+    * keeps every row and rebuilds nothing.
     */
   private[graft] def underAffected(file: Column,
       affectedDirs: Set[String]): Column =
-    affectedDirs.toSeq.sorted
+    if (affectedDirs.isEmpty) lit(false)
+    else affectedDirs.toSeq.sorted
       .map(d => file.contains(s"/$d/"))
       .reduce(_ || _)
 
@@ -163,15 +167,8 @@ object IndexMaintenance {
     val wanted = PartitionUpsert.demoBase(documents)
       .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id")).distinct()
-    val candidates =
-      FileBloomIndex.candidateFiles(spark, s"$dir/_bloom/v2", wanted)
-    val fetched =
-      if (candidates.isEmpty)
-        spark.read.schema(treeSchema).parquet(dir).filter(lit(false))
-      else
-        spark.read.option("basePath", dir).schema(treeSchema)
-          .parquet(candidates: _*)
-    fetched
+    FileBloomIndex.fetchCandidates(spark, dir, s"$dir/_bloom/v2",
+      treeSchema, wanted)
       .filter(pmod(col("doc_id"), lit(LookupMod)) === LookupRes)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))

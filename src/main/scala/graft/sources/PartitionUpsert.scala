@@ -242,9 +242,13 @@ object PartitionUpsert {
     * wins per (doc_id, lang), tombstones persist. Affected-partition
     * pruning + dynamic overwrite exactly as k12, with the same
     * null-safe prune (`langIn`) and `<=>` lang key — see mergeLatest.
+    * Returns the affected partition VALUES it pruned and rewrote —
+    * the single source of truth a downstream index refresh (st16)
+    * must stay in lockstep with (a second derivation could drift
+    * and strand stale index rows as false negatives).
     */
   private[graft] def applyConvergent(spark: SparkSession, dir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame): Seq[String] = {
     val incoming = batch
       .groupBy(col("doc_id"), col("lang"))
       .agg(max_by(struct(col("op"), col("new_text"), col("seq")),
@@ -275,6 +279,7 @@ object PartitionUpsert {
         col("r.text").as("text"), col("r.seq").as("seq"),
         col("r.deleted").as("deleted"), col("k_lang").as("lang"))
     writeTree(merged, dir)
+    affected
   }
 
   /** Live (non-tombstone) rows of a convergent tree. */

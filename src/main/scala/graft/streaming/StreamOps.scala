@@ -864,6 +864,7 @@ object StreamOps {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         PartitionUpsert.applyConvergent(spark, tree, batch)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -909,21 +910,30 @@ object StreamOps {
     PartitionUpsert.stageConvergentBase(base, tree)
     IndexMaintenance.buildIndex(spark, tree, s"$tree/_bloom/v1",
       PartitionUpsert.convergentSchema)
-    val ver = new java.util.concurrent.atomic.AtomicInteger(1)
+    // the version trail derives from batchId (v1 bootstrap, batch N
+    // refreshes v(N+1) → v(N+2)): foreachBatch is at-least-once, and
+    // a REPLAYED batch must chain from the same complete predecessor
+    // and overwrite the same target — an in-memory counter would
+    // chain a retry off its own partial write and silently strand
+    // unaffected files' rows (bloom false negatives)
+    val lastV = new java.util.concurrent.atomic.AtomicInteger(1)
     val src = spark.readStream
       .schema(CdcChunkSchema)
       .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(chunks)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        PartitionUpsert.applyConvergent(spark, tree, batch)
-        // THIS batch's affected partitions — metadata-scale, null-safe
-        val affected = batch.select(col("lang")).distinct()
-          .collect().map(r => IndexMaintenance.langDir(r.getString(0)))
-          .toSet
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the merge's OWN affected set drives the refresh — one
+        // derivation, so the kept-filter drops exactly the dirs the
+        // apply rewrote (a second derivation could drift)
+        val affected = PartitionUpsert
+          .applyConvergent(spark, tree, batch)
+          .map(IndexMaintenance.langDir).toSet
+        val toV = batchId.toInt + 2
         IndexMaintenance.refreshIndex(spark, tree, affected,
-          fromV = ver.get(), toV = ver.incrementAndGet(),
+          fromV = toV - 1, toV = toV,
           schema = PartitionUpsert.convergentSchema)
+        lastV.set(toV)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -934,23 +944,15 @@ object StreamOps {
       .filter(pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
         === IndexMaintenance.LookupRes)
       .select(col("doc_id")).distinct()
-    val candidates = FileBloomIndex.candidateFiles(spark,
-      s"$tree/_bloom/v${ver.get()}", wanted)
-    val fetched =
-      if (candidates.isEmpty)
-        spark.read.schema(PartitionUpsert.convergentSchema)
-          .parquet(tree).filter(lit(false))
-      else
-        spark.read.option("basePath", tree)
-          .schema(PartitionUpsert.convergentSchema)
-          .parquet(candidates: _*)
-    val fetch = fetched
+    val fetch = FileBloomIndex.fetchCandidates(spark, tree,
+      s"$tree/_bloom/v${lastV.get()}", PartitionUpsert.convergentSchema,
+      wanted)
       .filter(!col("deleted") &&
         pmod(col("doc_id"), lit(IndexMaintenance.LookupMod))
           === IndexMaintenance.LookupRes)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
-    (fetch, tree, ver.get())
+    (fetch, tree, lastV.get())
   }
 
   /** One micro-batch's probe, written idempotently: overwrite of the

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "st06_stream_sink", "st07_stream_funnel", "k05_orc_roundtrip",
       "st08_stream_outlier", "k06_csv_roundtrip", "k07_jsonl_roundtrip",
       "k11_ingest_manifest", "st11_stream_ingest",
-      "k12_partition_upsert", "st12_stream_upsert", "st13_stream_heavy",
+      "k12_partition_upsert", "st12_stream_upsert", "st16_stream_index",
+      "st13_stream_heavy",
       "k13_sketch_ledger", "st14_stream_ledger", "st15_stream_select",
       "d15_bloom_decontaminate", "p15_importance_sample",
       "k14_time_travel")
