@@ -109,6 +109,29 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("st16: a replayed refresh reproduces the version, never accumulates") {
+    // foreachBatch is at-least-once; versions derive from batchId so
+    // a replay re-runs refreshIndex against the SAME complete
+    // predecessor and target. Re-running from v(final-1) — here with
+    // the full changed-dir set, a superset of any batch's own — must
+    // converge to the same rows, because kept rows were touched by
+    // no batch and rebuilt rows read the drained tree
+    val (_, tree, finalV) =
+      graft.streaming.StreamOps.streamIndexMaintainWithTree(spark, sf)
+    val before = FileBloomIndex
+      .readIndex(spark, s"$tree/_bloom/v$finalV")
+      .collect().map(_.toSeq).toSet
+    IndexMaintenance.refreshIndex(spark, tree,
+      PartitionUpsert.ChangedPartitionDirs,
+      fromV = finalV - 1, toV = finalV,
+      schema = PartitionUpsert.convergentSchema)
+    val after = FileBloomIndex
+      .readIndex(spark, s"$tree/_bloom/v$finalV")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    assert(after.nonEmpty)
+  }
+
   test("k18: a deleted key is absent through the index; an upserted key is current") {
     // synthetic corpus dense enough that the fetch list (mod 97)
     // provably intersects the changelog's upsert (mod 3) and delete
