@@ -283,6 +283,9 @@ object SparkEntry {
     "k17_bloom_point_lookup" -> ((s, d) =>
       graft.sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
         cacheKey = d)),
+    "k19_zonemap_skipping" -> ((s, d) =>
+      graft.sources.ZoneMapIndex.rectangleSkipping(Tables.events(s, d),
+        cacheKey = d)),
     "k18_index_maintenance" -> ((s, d) =>
       graft.sources.IndexMaintenance.maintainedLookup(Tables.documents(s, d),
         cacheKey = d)),
@@ -1276,6 +1279,32 @@ object SparkEntry {
                            AND ulo + (uhi - ulo + 1) // 2
            AND bin_id BETWEEN blo + (bhi - blo + 1) // 4
                           AND blo + (bhi - blo + 1) // 2
+         GROUP BY 1""",
+    // k19: zone-map skipping only ever removes files whose exact
+    // min/max stats CANNOT overlap the rectangle, and the fetch
+    // post-filters on the natural columns — the manifest is
+    // semantically invisible, so the oracle replays the third-quarter
+    // rectangle straight off raw events (k16's arithmetic, next
+    // quarter over).
+    "k19_zonemap_skipping" ->
+      """WITH src AS (
+           SELECT user_id,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  event_type, value
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                      min(bin_id) AS blo, max(bin_id) AS bhi FROM src)
+         SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(user_id) AS BIGINT) AS user_checksum,
+                CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
+                round(sum(value), 4) AS sum_value
+         FROM src, b
+         WHERE user_id BETWEEN ulo + (uhi - ulo + 1) // 2
+                           AND ulo + 3 * (uhi - ulo + 1) // 4
+           AND bin_id BETWEEN blo + (bhi - blo + 1) // 2
+                          AND blo + 3 * (bhi - blo + 1) // 4
          GROUP BY 1""",
     // k17: blooms have no false negatives and the fetch post-filters
     // by the exact predicate, so the indexed path must return

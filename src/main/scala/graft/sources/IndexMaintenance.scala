@@ -114,7 +114,7 @@ object IndexMaintenance {
     * rebuilt rows for the affected directories.
     */
   private[graft] def refreshIndex(spark: SparkSession, treeDir: String,
-      affectedDirs: Set[String], fromV: Int, toV: Int,
+      affectedDirs: Set[String], fromV: Long, toV: Long,
       schema: String = PartitionUpsert.treeSchema): Unit = {
     val kept = FileBloomIndex
       .readIndex(spark, s"$treeDir/_bloom/v$fromV")

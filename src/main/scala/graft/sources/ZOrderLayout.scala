@@ -123,6 +123,15 @@ object ZOrderLayout {
       cacheKey: String = ""): String =
     stagedTree(events, writers, cacheKey)._1
 
+  /** The staged tree WITH its memoized grid bounds — k19's zone-map
+    * build rides the same landed artifact and must not pay a second
+    * raw-events scan to rediscover them (the k16 review-fix
+    * discipline, extended to the index that shares the tree).
+    */
+  private[graft] def stagedWithBounds(events: DataFrame,
+      cacheKey: String = ""): (String, (Long, Long, Long, Long)) =
+    stagedTree(events, writers = 16, cacheKey = cacheKey)
+
   /** Comparison foil for the spec: the SAME rows time-sorted only
     * (k08's single-dim layout) — perfect on bin_id, blind on
     * user_id.

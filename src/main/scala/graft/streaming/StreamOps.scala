@@ -900,7 +900,7 @@ object StreamOps {
     * against a from-scratch rebuild and to count the version trail.
     */
   private[graft] def streamIndexMaintainWithTree(spark: SparkSession,
-      dir: String): (DataFrame, String, Int) = {
+      dir: String): (DataFrame, String, Long) = {
     import graft.sources.{FileBloomIndex, IndexMaintenance, PartitionUpsert}
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, dir)
@@ -916,7 +916,7 @@ object StreamOps {
     // and overwrite the same target — an in-memory counter would
     // chain a retry off its own partial write and silently strand
     // unaffected files' rows (bloom false negatives)
-    val lastV = new java.util.concurrent.atomic.AtomicInteger(1)
+    val lastV = new java.util.concurrent.atomic.AtomicLong(1L)
     val src = spark.readStream
       .schema(CdcChunkSchema)
       .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
@@ -929,9 +929,9 @@ object StreamOps {
         val affected = PartitionUpsert
           .applyConvergent(spark, tree, batch)
           .map(IndexMaintenance.langDir).toSet
-        val toV = batchId.toInt + 2
+        val toV = batchId + 2L
         IndexMaintenance.refreshIndex(spark, tree, affected,
-          fromV = toV - 1, toV = toV,
+          fromV = toV - 1L, toV = toV,
           schema = PartitionUpsert.convergentSchema)
         lastV.set(toV)
       }

@@ -89,9 +89,9 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       graft.streaming.StreamOps.streamIndexMaintainWithTree(spark, sf)
     // 4 arrival files consumed 2 per trigger = 2 micro-batches:
     // v1 bootstrap + one version per batch
-    assert(finalV >= 3,
+    assert(finalV >= 3L,
       s"expected a multi-batch version trail, got final v$finalV")
-    (1 to finalV).foreach { v =>
+    (1L to finalV).foreach { v =>
       assert(new java.io.File(s"$tree/_bloom/v$v").exists(),
         s"version v$v missing from the trail")
     }
@@ -118,18 +118,22 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // no batch and rebuilt rows read the drained tree
     val (_, tree, finalV) =
       graft.streaming.StreamOps.streamIndexMaintainWithTree(spark, sf)
-    val before = FileBloomIndex
+    val streamed = FileBloomIndex
       .readIndex(spark, s"$tree/_bloom/v$finalV")
       .collect().map(_.toSeq).toSet
+    // replay into a SEPARATE probe version: the streamed artifact
+    // under comparison survives the test, and a silently-no-op
+    // refresh would leave the probe missing rather than pass
+    // vacuously against an untouched original
     IndexMaintenance.refreshIndex(spark, tree,
       PartitionUpsert.ChangedPartitionDirs,
-      fromV = finalV - 1, toV = finalV,
+      fromV = finalV - 1L, toV = 900L,
       schema = PartitionUpsert.convergentSchema)
-    val after = FileBloomIndex
-      .readIndex(spark, s"$tree/_bloom/v$finalV")
+    val replayed = FileBloomIndex
+      .readIndex(spark, s"$tree/_bloom/v900")
       .collect().map(_.toSeq).toSet
-    assert(after === before)
-    assert(after.nonEmpty)
+    assert(replayed === streamed)
+    assert(replayed.nonEmpty)
   }
 
   test("k18: a deleted key is absent through the index; an upserted key is current") {
