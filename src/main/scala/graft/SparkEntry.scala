@@ -293,6 +293,8 @@ object SparkEntry {
       StreamOps.streamUpsert(s, d)),
     "st16_stream_index" -> ((s, d) =>
       StreamOps.streamIndexMaintain(s, d)),
+    "st17_stream_zonemap" -> ((s, d) =>
+      StreamOps.streamZoneMap(s, d)),
     "q43_heavy_hitters" -> ((s, d) =>
       TextAnalysis.heavyHitterTokens(Tables.documents(s, d))),
     "q44_exact_quantiles" -> ((s, d) =>
@@ -408,6 +410,36 @@ object SparkEntry {
            ON b.doc_id = l.doc_id
           AND b.lang IS NOT DISTINCT FROM l.lang
          WHERE coalesce(l.op, 'keep') <> 'delete')"""
+
+  /** k19 + st17: zone-map skipping only ever removes files whose
+    * exact min/max stats CANNOT overlap the rectangle, and the fetch
+    * post-filters on the natural columns — the manifest is
+    * semantically invisible, so the oracle replays the third-quarter
+    * rectangle straight off raw events (k16's arithmetic, next
+    * quarter over). Shared by the batch build and the streaming
+    * maintainer: the drained append-only store holds exactly the
+    * corpus.
+    */
+  private val k19Sql: String =
+    """WITH src AS (
+         SELECT user_id,
+                CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                  AS bin_id,
+                event_type, value
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                    min(bin_id) AS blo, max(bin_id) AS bhi FROM src)
+       SELECT event_type,
+              count(*) AS n_events,
+              CAST(sum(user_id) AS BIGINT) AS user_checksum,
+              CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
+              round(sum(value), 4) AS sum_value
+       FROM src, b
+       WHERE user_id BETWEEN ulo + (uhi - ulo + 1) // 2
+                         AND ulo + 3 * (uhi - ulo + 1) // 4
+         AND bin_id BETWEEN blo + (bhi - blo + 1) // 2
+                        AND blo + 3 * (bhi - blo + 1) // 4
+       GROUP BY 1"""
 
   /** k18 + st16: the indexed point fetch over the merged state —
     * shared by the batch maintainer and its streaming twin.
@@ -1280,32 +1312,10 @@ object SparkEntry {
            AND bin_id BETWEEN blo + (bhi - blo + 1) // 4
                           AND blo + (bhi - blo + 1) // 2
          GROUP BY 1""",
-    // k19: zone-map skipping only ever removes files whose exact
-    // min/max stats CANNOT overlap the rectangle, and the fetch
-    // post-filters on the natural columns — the manifest is
-    // semantically invisible, so the oracle replays the third-quarter
-    // rectangle straight off raw events (k16's arithmetic, next
-    // quarter over).
-    "k19_zonemap_skipping" ->
-      """WITH src AS (
-           SELECT user_id,
-                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
-                    AS bin_id,
-                  event_type, value
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
-                      min(bin_id) AS blo, max(bin_id) AS bhi FROM src)
-         SELECT event_type,
-                count(*) AS n_events,
-                CAST(sum(user_id) AS BIGINT) AS user_checksum,
-                CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
-                round(sum(value), 4) AS sum_value
-         FROM src, b
-         WHERE user_id BETWEEN ulo + (uhi - ulo + 1) // 2
-                           AND ulo + 3 * (uhi - ulo + 1) // 4
-           AND bin_id BETWEEN blo + (bhi - blo + 1) // 2
-                          AND blo + 3 * (bhi - blo + 1) // 4
-         GROUP BY 1""",
+    // k19/st17: one rectangle oracle for the batch zone-map build
+    // and its live streaming maintainer (see k19Sql).
+    "k19_zonemap_skipping" -> k19Sql,
+    "st17_stream_zonemap" -> k19Sql,
     // k17: blooms have no false negatives and the fetch post-filters
     // by the exact predicate, so the indexed path must return
     // precisely the direct lookup — the oracle IS the direct lookup.

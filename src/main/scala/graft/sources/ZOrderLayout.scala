@@ -48,6 +48,14 @@ object ZOrderLayout {
   /** Bits per dimension: 2^8 quantization levels, 16-bit z. */
   private[graft] val Bits = 8
 
+  /** The landed tree's schema — one definition shared by the layout,
+    * the zone-map index, and the streaming twin (the k17 shared-
+    * constant discipline).
+    */
+  private[graft] val TreeSchema =
+    "event_id BIGINT, user_id BIGINT, bin_id BIGINT, " +
+      "event_type STRING, value DOUBLE"
+
   private[graft] val BinUs = 3600L * 1000000L // q10's hour bins
 
   /** Morton interleave of two pre-quantized [0, 2^Bits) longs:
@@ -150,9 +158,7 @@ object ZOrderLayout {
   }
 
   private[graft] def readZOrder(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(
-      "event_id BIGINT, user_id BIGINT, bin_id BIGINT, " +
-        "event_type STRING, value DOUBLE").parquet(dir)
+    spark.read.schema(TreeSchema).parquet(dir)
 
   /** The registered query: fetch the middle rectangle — users in
     * [lo + span/4, lo + span/2], bins likewise — from the LANDED

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * exactly on the natural columns.
   *
   * The registered rectangle is the THIRD quarter of each axis —
-  * deliberately disjoint from k16's middle rectangle so the two
+  * interior-disjoint from k16's second-quarter rectangle (the two
+  * inclusive ranges share only the span/2 boundary line) so the two
   * queries pin different slices of the same layout — and the oracle
   * replays the same integer arithmetic on raw events (the manifest
   * is invisible to semantics, as an index must be).
@@ -50,6 +51,9 @@ object ZoneMapIndex {
 
   private val staged = scala.collection.concurrent.TrieMap
     .empty[String, (String, String, (Long, Long, Long, Long))]
+
+  private[graft] val ManifestSchema =
+    "file STRING, u_lo BIGINT, u_hi BIGINT, b_lo BIGINT, b_hi BIGINT"
 
   /** Per-file min/max of the two clustered axes. One definition for
     * build and spec-recompute, k17's shared-fold discipline.
@@ -65,9 +69,7 @@ object ZoneMapIndex {
 
   private[graft] def readManifest(spark: SparkSession,
       manifestDir: String): DataFrame =
-    spark.read.schema(
-      "file STRING, u_lo BIGINT, u_hi BIGINT, b_lo BIGINT, b_hi BIGINT")
-      .parquet(manifestDir)
+    spark.read.schema(ManifestSchema).parquet(manifestDir)
 
   /** Stage k16's z-ordered tree (shared staging — the layout IS
     * k16's; two operators, one landed artifact) and build the stats
@@ -111,18 +113,93 @@ object ZoneMapIndex {
     */
   private[graft] def fetchRectangle(spark: SparkSession, treeDir: String,
       manifestDir: String, uLo: Long, uHi: Long, bLo: Long,
-      bHi: Long): DataFrame = {
+      bHi: Long, recursiveTree: Boolean = false): DataFrame = {
     val files = overlappingFiles(spark, manifestDir, uLo, uHi, bLo, bHi)
     val slice =
-      if (files.isEmpty)
-        ZOrderLayout.readZOrder(spark, treeDir).filter(lit(false))
-      else
+      if (files.isEmpty) {
+        // typed empty frame off the tree's own (possibly nested)
+        // listing — never an error on an overlap-free rectangle
+        val r = spark.read.schema(ZOrderLayout.TreeSchema)
+        (if (recursiveTree) r.option("recursiveFileLookup", "true") else r)
+          .parquet(treeDir).filter(lit(false))
+      } else
         spark.read.option("basePath", treeDir)
-          .schema("event_id BIGINT, user_id BIGINT, bin_id BIGINT, " +
-            "event_type STRING, value DOUBLE")
+          .schema(ZOrderLayout.TreeSchema)
           .parquet(files: _*)
     slice.filter(col("user_id").between(uLo, uHi) &&
       col("bin_id").between(bLo, bHi))
+  }
+
+  // ---- streaming maintenance (st17's per-batch primitives) --------
+
+  /** The drained streamed tree: batch directories `b{N}` under one
+    * root, read recursively (underscore dirs — `_zonemap` — are
+    * hidden from data listings by Spark's own path filter).
+    */
+  private[graft] def readStreamedTree(spark: SparkSession,
+      tree: String): DataFrame =
+    spark.read.schema(ZOrderLayout.TreeSchema)
+      .option("recursiveFileLookup", "true").parquet(tree)
+
+  /** Bootstrap manifest version: zero rows (the tree starts empty) —
+    * the st16 convention's v1, so batch N publishes v(N+2) and an
+    * in-flight reader on v(N+1) is never yanked.
+    */
+  private[graft] def writeEmptyManifest(spark: SparkSession,
+      path: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Publish manifest version `toV` = v(toV−1) ∪ stats of batch
+    * `batchId`'s landed directory. The delta's stats are recomputed
+    * from the files ON DISK (never carried in memory across a retry),
+    * and the fold chains from the predecessor version — so a REPLAYED
+    * batch overwrites its own landing dir, re-derives the same stats,
+    * and reproduces `toV` bit-identically instead of duplicating rows
+    * (st16's batchId-derived version discipline).
+    */
+  private[graft] def refoldVersionTo(spark: SparkSession, tree: String,
+      batchId: Long, fromV: Long, toV: Long): Unit = {
+    val delta = statsRowsFor(
+      spark.read.schema(ZOrderLayout.TreeSchema).parquet(s"$tree/b$batchId"))
+    readManifest(spark, s"$tree/_zonemap/v$fromV")
+      .unionByName(delta)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tree/_zonemap/v$toV")
+  }
+
+  /** Land one micro-batch as its own z-clustered immutable directory
+    * (idempotent overwrite of `b{batchId}` — the streaming family's
+    * replay convention) and publish the next manifest version covering
+    * exactly the files landed so far. Per-batch cost ∝ the BATCH, never
+    * the tree: the delta's stats come from scanning only `b{batchId}`,
+    * and the fold against v(toV−1) is metadata-cardinality. Batches
+    * z-cluster within themselves on the FIXED grid (`bounds` is the
+    * landing spec, set before the stream starts, exactly as production
+    * fixes quantization in the table spec) — clustering quality is
+    * per-batch rather than global, but manifest EXACTNESS (min/max per
+    * file → no false negatives) never depends on clustering at all.
+    */
+  private[graft] def appendBatch(spark: SparkSession, tree: String,
+      batch: DataFrame, batchId: Long,
+      bounds: (Long, Long, Long, Long), toV: Long): Unit = {
+    val (uLo, uHi, bLo, bHi) = bounds
+    batch
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        floor(graft.Tables.epochUs(col("ts")) / ZOrderLayout.BinUs)
+          .cast("long").as("bin_id"),
+        col("event_type"), col("value"))
+      .withColumn("z", ZOrderLayout.zInterleave(
+        ZOrderLayout.quantize(col("user_id"), uLo, uHi),
+        ZOrderLayout.quantize(col("bin_id"), bLo, bHi)))
+      .repartitionByRange(4, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tree/b$batchId")
+    refoldVersionTo(spark, tree, batchId, fromV = toV - 1L, toV = toV)
   }
 
   /** The registered query: the THIRD quarter of each axis —

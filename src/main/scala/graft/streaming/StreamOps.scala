@@ -955,6 +955,90 @@ object StreamOps {
     (fetch, tree, lastV.get())
   }
 
+  /** st17_stream_zonemap — k19's streaming twin: the zone-map
+    * manifest kept LIVE during streaming event ingest. k19 builds the
+    * stats manifest once over a static z-ordered tree; in deployment
+    * the event store is APPEND-ONLY and grows per micro-batch — and a
+    * rectangle consumer (dashboard slice, abuse probe) must not fall
+    * back to full scans for data the stream already landed, nor may
+    * the manifest ever lag the tree (a file the manifest misses is a
+    * silently DROPPED file at fetch time — a false negative, the one
+    * thing a zone map must never produce). Each micro-batch therefore
+    * lands its rows as an immutable z-clustered directory `b{N}` and
+    * publishes manifest version v(N+2) = previous ∪ the batch's own
+    * files' stats — per-batch index cost ∝ the BATCH (its files are
+    * scanned for min/max; the fold is metadata-cardinality), never
+    * the tree. Versions under `_zonemap/v{K}` (v1 = empty bootstrap,
+    * k14's in-flight-reader convention); version K covers EXACTLY the
+    * files of batches < K−1, so a fetch through version K against
+    * those batches is exact — the atomicity contract Delta/Iceberg
+    * get from the transaction log.
+    *
+    * The grid (quantization bounds) is the LANDING SPEC, fixed before
+    * the stream starts exactly as production fixes it in the table
+    * spec — batches z-cluster within themselves on that shared grid;
+    * manifest exactness never depends on clustering quality, only
+    * file-skipping EFFICIENCY does (an OPTIMIZE-style re-cluster is
+    * k03's compaction composed with a k19 rebuild).
+    *
+    * The registered fetch resolves k19's same third-quarter rectangle
+    * through the FINAL version against the drained tree — the drained
+    * store holds exactly the corpus, so st17 SHARES k19's raw-events
+    * oracle (the batch/stream twin discipline).
+    */
+  def streamZoneMap(spark: SparkSession, dir: String): DataFrame =
+    streamZoneMapWithTree(spark, dir)._1
+
+  private val stagedZmArrivals =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** st17 with its artifacts exposed: (fetch, tree dir, final manifest
+    * version) — the spec needs the tree to diff the streamed manifest
+    * against a from-scratch recompute and to count the version trail.
+    */
+  private[graft] def streamZoneMapWithTree(spark: SparkSession,
+      dir: String): (DataFrame, String, Long) = {
+    import graft.sources.{ZOrderLayout, ZoneMapIndex}
+    val events = graft.Tables.events(spark, dir)
+    val bounds @ (uLo, uHi, bLo, bHi) = ZOrderLayout.bounds(events)
+    val arrivals = stagedZmArrivals.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_st17_src_")
+      events.repartition(4).write.mode("overwrite").parquet(s)
+      s
+    })
+    val tree = graft.Staging.dir("graft_st17_tree_") + "/tree"
+    ZoneMapIndex.writeEmptyManifest(spark, s"$tree/_zonemap/v1")
+    // batchId-derived versions: a replayed batch re-lands its own
+    // directory and refolds the same target from the same complete
+    // predecessor (st16's at-least-once discipline)
+    val lastV = new java.util.concurrent.atomic.AtomicLong(1L)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(arrivals)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toV = batchId + 2L
+        ZoneMapIndex.appendBatch(spark, tree, batch, batchId, bounds, toV)
+        lastV.set(toV)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val uSpan = uHi - uLo + 1L
+    val bSpan = bHi - bLo + 1L
+    val fetch = ZoneMapIndex.fetchRectangle(spark, tree,
+      s"$tree/_zonemap/v${lastV.get()}",
+      uLo + uSpan / 2, uLo + 3L * uSpan / 4,
+      bLo + bSpan / 2, bLo + 3L * bSpan / 4,
+      recursiveTree = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).cast("long").as("user_checksum"),
+        sum(col("bin_id")).cast("long").as("bin_checksum"),
+        round(sum(col("value")), 4).as("sum_value"))
+    (fetch, tree, lastV.get())
+  }
+
   /** One micro-batch's probe, written idempotently: overwrite of the
     * batch's OWN directory, so a Structured Streaming batch replay
     * rewrites instead of duplicating.
