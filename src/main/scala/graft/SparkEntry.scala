@@ -286,6 +286,9 @@ object SparkEntry {
     "k19_zonemap_skipping" -> ((s, d) =>
       graft.sources.ZoneMapIndex.rectangleSkipping(Tables.events(s, d),
         cacheKey = d)),
+    "k20_compact_reindex" -> ((s, d) =>
+      graft.sources.ZoneMapCompaction.compactedRectangle(Tables.events(s, d),
+        cacheKey = d)),
     "k18_index_maintenance" -> ((s, d) =>
       graft.sources.IndexMaintenance.maintainedLookup(Tables.documents(s, d),
         cacheKey = d)),
@@ -1316,6 +1319,29 @@ object SparkEntry {
     // and its live streaming maintainer (see k19Sql).
     "k19_zonemap_skipping" -> k19Sql,
     "st17_stream_zonemap" -> k19Sql,
+    // k20: compaction rewrites layout, never semantics — the oracle
+    // replays the FIRST-quarter rectangle off raw events (a third
+    // slice of the shared layout family: k16 pins the second quarter,
+    // k19/st17 the third), blind to fragments, generations, and
+    // manifests alike.
+    "k20_compact_reindex" ->
+      """WITH src AS (
+           SELECT user_id,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                    AS bin_id,
+                  event_type, value
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         b AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                      min(bin_id) AS blo, max(bin_id) AS bhi FROM src)
+         SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(user_id) AS BIGINT) AS user_checksum,
+                CAST(sum(bin_id) AS BIGINT) AS bin_checksum,
+                round(sum(value), 4) AS sum_value
+         FROM src, b
+         WHERE user_id BETWEEN ulo AND ulo + (uhi - ulo + 1) // 4
+           AND bin_id BETWEEN blo AND blo + (bhi - blo + 1) // 4
+         GROUP BY 1""",
     // k17: blooms have no false negatives and the fetch post-filters
     // by the exact predicate, so the indexed path must return
     // precisely the direct lookup — the oracle IS the direct lookup.

@@ -182,11 +182,14 @@ object ZoneMapIndex {
     * per-batch rather than global, but manifest EXACTNESS (min/max per
     * file → no false negatives) never depends on clustering at all.
     */
-  private[graft] def appendBatch(spark: SparkSession, tree: String,
-      batch: DataFrame, batchId: Long,
-      bounds: (Long, Long, Long, Long), toV: Long): Unit = {
+  /** The landing write shared by st17's micro-batches and k20's demo
+    * fragments: normalize, z-cluster WITHIN the slice on the fixed
+    * grid, land as an immutable directory (idempotent overwrite).
+    */
+  private def landClustered(slice: DataFrame, target: String,
+      bounds: (Long, Long, Long, Long)): Unit = {
     val (uLo, uHi, bLo, bHi) = bounds
-    batch
+    slice
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"),
         floor(graft.Tables.epochUs(col("ts")) / ZOrderLayout.BinUs)
@@ -198,9 +201,23 @@ object ZoneMapIndex {
       .repartitionByRange(4, col("z"))
       .sortWithinPartitions(col("z"))
       .drop("z")
-      .write.mode(SaveMode.Overwrite).parquet(s"$tree/b$batchId")
+      .write.mode(SaveMode.Overwrite).parquet(target)
+  }
+
+  private[graft] def appendBatch(spark: SparkSession, tree: String,
+      batch: DataFrame, batchId: Long,
+      bounds: (Long, Long, Long, Long), toV: Long): Unit = {
+    landClustered(batch, s"$tree/b$batchId", bounds)
     refoldVersionTo(spark, tree, batchId, fromV = toV - 1L, toV = toV)
   }
+
+  /** One of k20's demo fragments: a landed slice with NO manifest
+    * fold (k20 builds v1 once over the whole fragmented tree).
+    */
+  private[graft] def appendFragment(spark: SparkSession, fragRoot: String,
+      slice: DataFrame, id: Long,
+      bounds: (Long, Long, Long, Long)): Unit =
+    landClustered(slice, s"$fragRoot/b$id", bounds)
 
   /** The registered query: the THIRD quarter of each axis —
     * [lo + span/2, lo + 3·span/4] by the same integer arithmetic as
