@@ -325,6 +325,15 @@ object SparkEntry {
       StreamOps.streamSelect(s, d)),
     "t16_compress_filter" -> ((s, d) =>
       TextAnalysis.compressFilter(Tables.documents(s, d))),
+    "k21_restore" -> ((s, d) =>
+      graft.sources.TimeTravel.restoreSummary(Tables.documents(s, d),
+        cacheKey = d)),
+    "k22_shallow_clone" -> ((s, d) =>
+      graft.sources.TimeTravel.cloneSummary(Tables.documents(s, d),
+        cacheKey = d)),
+    "k23_concurrent_commit" -> ((s, d) =>
+      graft.sources.OptimisticCommit.concurrentSummary(
+        Tables.documents(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -479,6 +488,110 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_upserted
          FROM vs GROUP BY 1, 2"""
+
+  /** k21: v1 = the pre-image, v2 = the bad commit (k12's post-apply
+    * state), v3 = the RESTORE — which must summarize identically to
+    * v1, so the oracle replays it as the base state verbatim. Same
+    * k12Ctes replay as k14.
+    */
+  private val k21Sql: String =
+    s"""WITH $k12Ctes,
+         vs AS (
+           SELECT 1 AS version, lang, doc_id, text FROM base
+           UNION ALL
+           SELECT 2 AS version, lang, doc_id, text FROM merged
+           UNION ALL
+           SELECT 3 AS version, lang, doc_id, text FROM base)
+         SELECT CAST(version AS BIGINT) AS version, lang,
+                count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_upserted
+         FROM vs GROUP BY 1, 2"""
+
+  /** k22: src head = k12's merged state untouched (zero ' v3' rows —
+    * the clone's divergence never reaches the source), clone head =
+    * the divergent changelog applied ON TOP of merged (upsert
+    * text+' v3' for doc_id ≡ 2 mod 7 at seq 1, delete doc_id ≡ 1
+    * mod 13 at seq 2 — delete wins on keys hit by both, mirroring
+    * latestOps max-seq), confined to en/fr + the NULL partition.
+    */
+  private val k22Sql: String =
+    s"""WITH $k12Ctes,
+         latest2 AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 13 = 1 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM merged
+           WHERE (lang IN ('en', 'fr') OR lang IS NULL)
+             AND (doc_id % 7 = 2 OR doc_id % 13 = 1)),
+         merged2 AS (
+           SELECT m.doc_id, m.lang,
+                  CASE WHEN l.op = 'upsert' THEN m.text || ' v3'
+                       ELSE m.text END AS text
+           FROM merged m LEFT JOIN latest2 l
+             ON m.doc_id = l.doc_id
+            AND m.lang IS NOT DISTINCT FROM l.lang
+           WHERE coalesce(l.op, 'keep') <> 'delete'),
+         sides AS (
+           SELECT 'src' AS side, lang, doc_id, text FROM merged
+           UNION ALL
+           SELECT 'clone' AS side, lang, doc_id, text FROM merged2)
+         SELECT side, lang, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v2,
+                CAST(sum(CASE WHEN text LIKE '% v3' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v3
+         FROM sides GROUP BY 1, 2"""
+
+  /** k23: the serialized head after two CONCURRENT writers — A on
+    * en + the NULL partition (upsert ' vA' for doc_id ≡ 0 mod 3 at
+    * seq 1, delete doc_id ≡ 4 mod 11 at seq 2), B on de (upsert
+    * ' vB' for doc_id ≡ 1 mod 4, delete doc_id ≡ 2 mod 9). The
+    * partitions are disjoint, so the oracle is the commutative
+    * both-applied state regardless of which writer won the first
+    * claim.
+    */
+  private val k23Sql: String =
+    s"""WITH $k12Ctes,
+         a_latest AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM base
+           WHERE (lang = 'en' OR lang IS NULL)
+             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+         b_latest AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 9 = 2 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM base
+           WHERE lang = 'de' AND (doc_id % 4 = 1 OR doc_id % 9 = 2)),
+         applied AS (
+           SELECT b.doc_id, b.lang,
+                  CASE WHEN al.op = 'upsert' THEN b.text || ' vA'
+                       WHEN bl.op = 'upsert' THEN b.text || ' vB'
+                       ELSE b.text END AS text
+           FROM base b
+           LEFT JOIN a_latest al
+             ON b.doc_id = al.doc_id
+            AND b.lang IS NOT DISTINCT FROM al.lang
+           LEFT JOIN b_latest bl
+             ON b.doc_id = bl.doc_id
+            AND b.lang IS NOT DISTINCT FROM bl.lang
+           WHERE coalesce(al.op, 'keep') <> 'delete'
+             AND coalesce(bl.op, 'keep') <> 'delete')
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(sum(CASE WHEN text LIKE '% vA' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN text LIKE '% vB' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+         FROM applied GROUP BY 1"""
 
   /** Shared by k11 (batch read-back reconcile) and st11 (incremental
     * fold of per-micro-batch partials): both must classify every
@@ -2840,6 +2953,15 @@ object SparkEntry {
     // version 2 as k12's post-apply state; built from the SHARED
     // k12Ctes replay (see k14Sql).
     "k14_time_travel" -> k14Sql,
+    // k21: the restore (v3) must read as the pre-image verbatim while
+    // the bad commit (v2) stays readable — same shared replay.
+    "k21_restore" -> k21Sql,
+    // k22: the clone diverges, the source must not move — both heads
+    // rebuilt relationally (see k22Sql).
+    "k22_shallow_clone" -> k22Sql,
+    // k23: two concurrent OCC writers on disjoint partitions — the
+    // serialized head is the commutative both-applied state.
+    "k23_concurrent_commit" -> k23Sql,
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

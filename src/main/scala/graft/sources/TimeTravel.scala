@@ -48,6 +48,17 @@ object TimeTravel {
 
   private val HiveNull = PartitionUpsert.HiveNull
 
+  /** One manifest entry: which commit TREE serves partition `lang`
+    * at a version. `commit` is the tree's directory NAME under its
+    * owning catalog root; `base` is that root when it is NOT this
+    * catalog (a k22 shallow clone referencing the source's immutable
+    * trees), null for the catalog's own commits. Keying trees by
+    * (base, commit) keeps a clone's local names disjoint from the
+    * source's without any global registry.
+    */
+  private[graft] case class ManifestRow(lang: String, commit: String,
+      base: String)
+
   private def langDir(lang: String): String =
     "lang=" + (if (lang == null) HiveNull else lang)
 
@@ -76,26 +87,29 @@ object TimeTravel {
   /** Partition values of a committed tree, from the DIRECTORY
     * listing partitionBy materialized — metadata cost, no data scan.
     */
-  private def commitLangs(spark: SparkSession, dir: String): Seq[String] =
+  private[graft] def commitLangs(spark: SparkSession, dir: String): Seq[String] =
     listDirs(spark, dir, "lang=")
       .map(_.stripPrefix("lang="))
       .map(v => if (v == HiveNull) null else v)
 
-  /** Manifest rows for one version: (lang, commit). NULL lang is a
-    * legitimate partition value (hive default partition on disk) and
-    * survives the round trip.
+  /** Manifest rows for one version. NULL lang is a legitimate
+    * partition value (hive default partition on disk) and survives
+    * the round trip; NULL base means "this catalog's own tree".
     */
-  private def writeManifest(spark: SparkSession, dir: String,
-      version: Int, rows: Seq[(String, Int)]): Unit = {
+  private[graft] def writeManifest(spark: SparkSession, dir: String,
+      version: Int, rows: Seq[ManifestRow]): Unit = {
     import spark.implicits._
-    rows.toDF("lang", "commit").coalesce(1)
+    rows.toDF("lang", "commit", "base").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta/v$version")
   }
 
-  private def readManifest(spark: SparkSession, dir: String,
-      version: Int): Seq[(String, Int)] =
+  private[graft] def readManifest(spark: SparkSession, dir: String,
+      version: Int): Seq[ManifestRow] =
     spark.read.parquet(s"$dir/meta/v$version")
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      .select(col("lang"), col("commit"), col("base"))
+      .collect()
+      .map(r => ManifestRow(r.getString(0), r.getString(1),
+        r.getString(2))).toSeq
 
   /** Read the table AS OF `version`: the manifest's (lang, commit)
     * rows become explicit partition-directory paths (one pruned scan
@@ -107,10 +121,11 @@ object TimeTravel {
   def readAt(spark: SparkSession, dir: String,
       version: Int): DataFrame = {
     val manifest = readManifest(spark, dir, version)
-    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (commit, rows) =>
-      val paths = rows.map(r => s"$dir/c$commit/${langDir(r._1)}")
+    manifest.groupBy(r => (Option(r.base).getOrElse(dir), r.commit))
+      .toSeq.sortBy(_._1).map { case ((root, commit), rows) =>
+      val paths = rows.map(r => s"$root/$commit/${langDir(r.lang)}")
       spark.read
-        .option("basePath", s"$dir/c$commit")
+        .option("basePath", s"$root/$commit")
         .schema(PartitionUpsert.treeSchema)
         .parquet(paths: _*)
     }.reduceOption(_.unionByName(_))
@@ -135,35 +150,50 @@ object TimeTravel {
     // (the isEmpty probe runs only on the empty-listing path)
     require(langs.nonEmpty || base.isEmpty,
       s"c1 wrote a non-empty tree but the listing of $dir/c1 is empty")
-    writeManifest(spark, dir, 1, langs.map(_ -> 1))
+    writeManifest(spark, dir, 1, langs.map(ManifestRow(_, "c1", null)))
   }
 
-  /** Commit 2: k12's demo changelog merged into ONLY the affected
-    * partitions (shared latestOps/mergeLatest code path, null-safe
-    * prune + <=> keys), landed as a NEW tree + manifest — c1 is never
-    * touched. The v2 manifest's c2 rows come from the partitions c2
-    * ACTUALLY materialized, not the affected list: an affected
-    * partition whose merge deleted every row writes no directory and
-    * must simply be absent at v2 (falling back to v1 would resurrect
-    * the deleted rows).
+  /** The general commit: merge a keyed changelog into ONLY the
+    * affected partitions of the LATEST version (shared
+    * latestOps/mergeLatest code path, null-safe prune + <=> keys),
+    * landed as a NEW tree `dir/name` + a new manifest — no prior
+    * commit's files are ever touched. The new manifest's rows for
+    * the fresh tree come from the partitions it ACTUALLY
+    * materialized, not the affected list: an affected partition
+    * whose merge deleted every row writes no directory and must
+    * simply be absent at the new version (inheriting the prior row
+    * would resurrect the deleted rows). Unaffected partitions
+    * inherit their prior manifest rows verbatim — including rows a
+    * k22 clone points at its SOURCE catalog, which is what lets a
+    * clone evolve without ever copying or touching source files.
+    */
+  private[graft] def commitVersion(spark: SparkSession, dir: String,
+      changes: DataFrame, name: String): Int = {
+    val v = versions(spark, dir).max
+    val latest = PartitionUpsert.latestOps(changes)
+    val affected = latest.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pruned = readAt(spark, dir, v)
+      .filter(PartitionUpsert.langIn(affected))
+    PartitionUpsert.writeTree(
+      PartitionUpsert.mergeLatest(pruned, latest), s"$dir/$name")
+    val written = commitLangs(spark, s"$dir/$name")
+    val prior = readManifest(spark, dir, v)
+    writeManifest(spark, dir, v + 1,
+      written.map(ManifestRow(_, name, null)) ++
+        prior.filterNot(r => affected.contains(r.lang)))
+    v + 1
+  }
+
+  /** Commit 2 of the demo: k12's demo changelog through the general
+    * commit path.
     */
   private[graft] def commitChanges(documents: DataFrame,
       dir: String): Unit = {
-    val spark = documents.sparkSession
-    val latest = PartitionUpsert.latestOps(
-      PartitionUpsert.changelog(PartitionUpsert.demoBase(documents)))
-    val affected = latest.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val pruned = spark.read.schema(PartitionUpsert.treeSchema)
-      .parquet(s"$dir/c1")
-      .filter(PartitionUpsert.langIn(affected))
-    PartitionUpsert.writeTree(
-      PartitionUpsert.mergeLatest(pruned, latest), s"$dir/c2")
-    val written = commitLangs(spark, s"$dir/c2")
-    val v1Langs = readManifest(spark, dir, 1).map(_._1)
-    writeManifest(spark, dir, 2,
-      written.map(_ -> 2) ++
-        v1Langs.filterNot(affected.contains).map(_ -> 1))
+    commitVersion(documents.sparkSession, dir,
+      PartitionUpsert.changelog(PartitionUpsert.demoBase(documents)),
+      "c2")
+    ()
   }
 
   /** Stage the two-commit demo; memoized per sfDir like every
@@ -200,11 +230,18 @@ object TimeTravel {
 
   // ---- retention: snapshot expiry + orphan vacuum -----------------
 
-  /** Versions with a manifest in the catalog. */
+  /** Versions with a COMPLETE manifest in the catalog — a manifest
+    * directory only counts once its _SUCCESS marker landed, so a
+    * concurrent writer mid-publish (k23) is never read as a version.
+    */
   private[graft] def versions(spark: SparkSession,
-      dir: String): Seq[Int] =
+      dir: String): Seq[Int] = {
+    val (fs, _) = fsOf(spark, dir)
     listDirs(spark, s"$dir/meta", "v")
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/meta/$v/_SUCCESS")))
       .map(_.stripPrefix("v").toInt).sorted
+  }
 
   /** Expire every version `< retainFrom`: delete their manifests,
     * then VACUUM every commit partition directory no RETAINED
@@ -226,23 +263,188 @@ object TimeTravel {
     require(live.nonEmpty,
       s"expire(retainFrom=$retainFrom) would retain no version of $dir")
     if (dead.isEmpty) return
-    val liveRefs: Set[(Int, String)] = live.flatMap { v =>
-      readManifest(spark, dir, v).map { case (l, c) => (c, langDir(l)) }
+    // Only LOCAL trees are vacuum candidates: a clone's manifest rows
+    // that point at its SOURCE catalog (base != null) are someone
+    // else's files — a clone expiring its history must never reach
+    // into the source (the source's own expire owns those bytes).
+    val liveRefs: Set[(String, String)] = live.flatMap { v =>
+      readManifest(spark, dir, v)
+        .filter(r => r.base == null || r.base == dir)
+        .map(r => (r.commit, langDir(r.lang)))
     }.toSet
     val (fs, _) = fsOf(spark, dir)
-    listDirs(spark, dir, "c").filter(_.matches("c\\d+")).foreach { cName =>
-      val commit = cName.stripPrefix("c").toInt
+    listDirs(spark, dir, "").filterNot(_ == "meta").foreach { cName =>
       listDirs(spark, s"$dir/$cName", "lang=").foreach { ld =>
-        if (!liveRefs.contains((commit, ld)))
+        if (!liveRefs.contains((cName, ld)))
           fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cName/$ld"),
             true)
       }
       // drop a commit tree no retained manifest references at all
-      if (!liveRefs.exists(_._1 == commit))
+      if (!liveRefs.exists(_._1 == cName))
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$cName"), true)
     }
     dead.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/v$v"), true)
     }
+  }
+
+  // ---- k21: restore (rollback-as-new-version) ---------------------
+
+  /** k21_restore — roll the table back to `toVersion` by publishing
+    * a NEW version whose manifest is a verbatim copy of the old one:
+    * the Delta RESTORE / Iceberg rollback pattern. Pure metadata —
+    * zero data files are written, read, or deleted (spec asserts the
+    * commit trees are byte-identical across the call), because every
+    * version is just a set of pointers into immutable trees. History
+    * is preserved, not rewritten: the bad version stays readable for
+    * a post-mortem until `expire` reclaims it, and the restored
+    * version composes with expire exactly like any other retained
+    * manifest (retain only the restore and the bad commit's files
+    * are vacuumed while the restored read stays byte-identical —
+    * spec-pinned). At 100 TB this is the difference between an
+    * operational UNDO (one manifest write) and a day-long re-copy of
+    * yesterday's tree. Reference analog: re-running from the durable
+    * pre-image (tools.py:677's rsync tree) — which the reference can
+    * only do by recomputing, having kept no versioned pointer.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(toVersion),
+      s"restore: version $toVersion does not exist in $dir (have $vs)")
+    val v = vs.max + 1
+    writeManifest(spark, dir, v, readManifest(spark, dir, toVersion))
+    v
+  }
+
+  /** k21's staged demo: the k14 two-version catalog (v1 base, v2 =
+    * the "bad" changelog apply), then restore(v1) publishing v3.
+    * Staged in its OWN directory — the shared k14 staging must keep
+    * exactly two versions.
+    */
+  private[graft] def stageRestored(documents: DataFrame,
+      cacheKey: String = ""): String = {
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k21_")
+      stageBase(documents, dir)
+      commitChanges(documents, dir)
+      restore(documents.sparkSession, dir, 1)
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate(cacheKey + "#k21", fresh())
+  }
+
+  /** Registered k21 query: all three versions read back through
+    * their manifests — v1 the pre-image, v2 the bad commit, v3 the
+    * restore, which must summarize IDENTICALLY to v1 (the oracle
+    * replays v3 as the base state verbatim).
+    */
+  def restoreSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageRestored(documents, cacheKey)
+    Seq(1, 2, 3).map { v =>
+      PartitionUpsert.summarize(readAt(spark, dir, v))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("version"), col("lang"), col("n_docs"),
+        col("key_checksum"), col("chars_checksum"), col("n_upserted"))
+  }
+
+  // ---- k22: shallow clone (zero-copy fork + divergence) -----------
+
+  /** k22_shallow_clone — fork a catalog WITHOUT copying a byte of
+    * data: the clone's v1 manifest holds the source's rows with
+    * `base` resolved to the tree's true OWNER (a clone of a clone
+    * still points at the original files — pointer chains never
+    * nest), so the clone reads the source's immutable trees in
+    * place; its own commits then land under its OWN root and the
+    * manifest mixes local and source-owned rows per partition (the
+    * Delta SHALLOW CLONE / Iceberg snapshot-ref pattern). The source
+    * is never touched — not by the clone's commits (spec pins source
+    * bytes across a divergent commit) and not by the clone's expire
+    * (only local trees are vacuum candidates). At 100 TB this is
+    * what makes a dev/test fork or a what-if reprocessing run FREE:
+    * metadata-cardinality to create, delta-proportional to evolve.
+    */
+  def cloneAt(spark: SparkSession, srcDir: String, dstDir: String,
+      atVersion: Int): Unit = {
+    val rows = readManifest(spark, srcDir, atVersion)
+      .map(r => r.copy(base = Option(r.base).getOrElse(srcDir)))
+    writeManifest(spark, dstDir, 1, rows)
+  }
+
+  /** The clone's divergent demo changelog, defined over the CURRENT
+    * state it reads through its manifest (oracle replays the same
+    * arithmetic over the merged CTE): upsert text+" v3" for
+    * doc_id ≡ 2 (mod 7) at seq 1, delete doc_id ≡ 1 (mod 13) at
+    * seq 2 — confined to en/fr plus the NULL partition, so the
+    * clone's 'en' genuinely diverges from a partition the SOURCE
+    * also changed.
+    */
+  private[graft] val CloneLangs: Seq[String] = Seq("en", "fr")
+
+  private[graft] def cloneChangelog(state: DataFrame): DataFrame = {
+    val changed = state.filter(PartitionUpsert.langIn(CloneLangs :+ null))
+    val upserts = changed
+      .filter(pmod(col("doc_id"), lit(7L)) === 2L)
+      .select(col("doc_id"), col("lang"), lit(1L).as("seq"),
+        lit("upsert").as("op"),
+        concat(col("text"), lit(" v3")).as("new_text"))
+    val deletes = changed
+      .filter(pmod(col("doc_id"), lit(13L)) === 1L)
+      .select(col("doc_id"), col("lang"), lit(2L).as("seq"),
+        lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"))
+    upserts.unionByName(deletes)
+  }
+
+  /** Stage the clone demo: shallow-clone the SHARED k14 catalog at
+    * its v2 (metadata-only), then commit the divergent changelog to
+    * the clone — its v2 mixes a local tree (changed partitions) with
+    * source-owned rows (the rest).
+    */
+  private[graft] def stageClone(documents: DataFrame,
+      cacheKey: String = ""): (String, String) = {
+    val spark = documents.sparkSession
+    val srcDir = stageVersions(documents, cacheKey)
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k22_")
+      cloneAt(spark, srcDir, dir, 2)
+      commitVersion(spark, dir,
+        cloneChangelog(readAt(spark, dir, 1)), "c1")
+      dir
+    }
+    val dstDir =
+      if (cacheKey.isEmpty) fresh()
+      else staged.getOrElseUpdate(cacheKey + "#k22", fresh())
+    (srcDir, dstDir)
+  }
+
+  /** Registered k22 query: source head and clone head side by side —
+    * the source must still read EXACTLY k12's post-apply state (no
+    * ' v3' anywhere) while the clone reads the divergent merge; the
+    * per-suffix counts are the same LIKE predicates both engines
+    * evaluate.
+    */
+  def cloneSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val (srcDir, dstDir) = stageClone(documents, cacheKey)
+    def side(name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("key_checksum"),
+          sum(length(col("text"))).cast("long").as("chars_checksum"),
+          sum(when(col("text").like("% v2"), 1L).otherwise(0L))
+            .cast("long").as("n_v2"),
+          sum(when(col("text").like("% v3"), 1L).otherwise(0L))
+            .cast("long").as("n_v3"))
+        .withColumn("side", lit(name))
+    side("src", readAt(spark, srcDir, 2))
+      .unionByName(side("clone", readAt(spark, dstDir, 2)))
+      .select(col("side"), col("lang"), col("n_docs"),
+        col("key_checksum"), col("chars_checksum"),
+        col("n_v2"), col("n_v3"))
   }
 }
