@@ -334,6 +334,9 @@ object SparkEntry {
     "k23_concurrent_commit" -> ((s, d) =>
       graft.sources.OptimisticCommit.concurrentSummary(
         Tables.documents(s, d), cacheKey = d)),
+    "k24_schema_evolution" -> ((s, d) =>
+      graft.sources.TimeTravel.evolutionSummary(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -592,6 +595,53 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% vB' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_b
          FROM applied GROUP BY 1"""
+
+  /** k24: three versions under their own schemas — v1/v2 predate the
+    * quality column (n_quality 0, checksum 0), v3 = the es/zh
+    * changelog (upsert ' v4' for doc_id ≡ 5 mod 6 at seq 1, delete
+    * doc_id ≡ 3 mod 17 at seq 2) with quality = round(len/100, 4)
+    * computed on the REWRITTEN partitions only; inherited partitions
+    * surface NULL under the evolved schema. The checksum de-scales
+    * quality back to the integer length so the compare is exact.
+    */
+  private val k24Sql: String =
+    s"""WITH $k12Ctes,
+         latest3 AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 17 = 3 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM merged
+           WHERE lang IN ('es', 'zh')
+             AND (doc_id % 6 = 5 OR doc_id % 17 = 3)),
+         merged3 AS (
+           SELECT m.doc_id, m.lang,
+                  CASE WHEN l.op = 'upsert' THEN m.text || ' v4'
+                       ELSE m.text END AS text
+           FROM merged m LEFT JOIN latest3 l
+             ON m.doc_id = l.doc_id
+            AND m.lang IS NOT DISTINCT FROM l.lang
+           WHERE coalesce(l.op, 'keep') <> 'delete'),
+         v3 AS (
+           SELECT doc_id, lang, text,
+                  CASE WHEN lang IN ('es', 'zh')
+                       THEN round(length(text) / 100.0, 4) END AS quality
+           FROM merged3),
+         vs AS (
+           SELECT 1 AS version, lang, doc_id, text,
+                  CAST(NULL AS DOUBLE) AS quality FROM base
+           UNION ALL
+           SELECT 2 AS version, lang, doc_id, text,
+                  CAST(NULL AS DOUBLE) AS quality FROM merged
+           UNION ALL
+           SELECT 3 AS version, lang, doc_id, text, quality FROM v3)
+         SELECT CAST(version AS BIGINT) AS version, lang,
+                count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
+                CAST(count(quality) AS BIGINT) AS n_quality,
+                CAST(coalesce(sum(CAST(round(quality * 100) AS BIGINT)),
+                  0) AS BIGINT) AS quality_checksum
+         FROM vs GROUP BY 1, 2"""
 
   /** Shared by k11 (batch read-back reconcile) and st11 (incremental
     * fold of per-micro-batch partials): both must classify every
@@ -2962,6 +3012,9 @@ object SparkEntry {
     // k23: two concurrent OCC writers on disjoint partitions — the
     // serialized head is the commutative both-applied state.
     "k23_concurrent_commit" -> k23Sql,
+    // k24: schema is commit-log state — v3 carries quality exactly on
+    // its rewritten partitions, older versions not at all.
+    "k24_schema_evolution" -> k24Sql,
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

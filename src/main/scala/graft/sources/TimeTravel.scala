@@ -111,29 +111,79 @@ object TimeTravel {
       .map(r => ManifestRow(r.getString(0), r.getString(1),
         r.getString(2))).toSeq
 
+  // ---- k24: per-version schema (evolution half of the log) --------
+
+  /** The DDL a version reads with. Schema is COMMIT-LOG state, not
+    * file state (the Delta/Iceberg rule): an evolved commit writes
+    * `meta/schema_v{N}`; versions without one read the catalog's
+    * founding schema. A reader must never infer schema by crawling
+    * parquet footers — at 100 TB that is a full metadata pass, and
+    * worse, it is WRONG: partitions inherited from pre-evolution
+    * commits lack the new column on disk and must surface it as NULL
+    * under the version's schema, not drop it.
+    */
+  private[graft] def schemaAt(spark: SparkSession, dir: String,
+      version: Int): String = {
+    val (fs, _) = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta/schema_v$version")
+    if (!fs.exists(p)) PartitionUpsert.treeSchema
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  private[graft] def writeSchemaFile(spark: SparkSession, dir: String,
+      version: Int, ddl: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/meta/schema_v$version"), true)
+    try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Copy `fromVersion`'s schema pointer to `toVersion` (restore and
+    * clone must carry the schema with the manifest — a restore of an
+    * evolved version that fell back to the founding schema would
+    * silently drop the evolved column).
+    */
+  private def carrySchema(spark: SparkSession, srcDir: String,
+      fromVersion: Int, dstDir: String, toVersion: Int): Unit = {
+    val (fs, _) = fsOf(spark, srcDir)
+    val p = new org.apache.hadoop.fs.Path(
+      s"$srcDir/meta/schema_v$fromVersion")
+    if (fs.exists(p))
+      writeSchemaFile(spark, dstDir, toVersion,
+        schemaAt(spark, srcDir, fromVersion))
+  }
+
   /** Read the table AS OF `version`: the manifest's (lang, commit)
     * rows become explicit partition-directory paths (one pruned scan
     * per referenced commit, `basePath` recovers the lang column), so
     * the file index lists EXACTLY the manifest's directories — a
     * tree-wide read with partition filters would still crawl every
-    * leaf of the commit to build its file index first.
+    * leaf of the commit to build its file index first. The scan
+    * reads under the VERSION'S schema (schemaAt): trees older than
+    * an evolved column surface it as NULL.
     */
   def readAt(spark: SparkSession, dir: String,
       version: Int): DataFrame = {
+    val ddl = schemaAt(spark, dir, version)
     val manifest = readManifest(spark, dir, version)
     manifest.groupBy(r => (Option(r.base).getOrElse(dir), r.commit))
       .toSeq.sortBy(_._1).map { case ((root, commit), rows) =>
       val paths = rows.map(r => s"$root/$commit/${langDir(r.lang)}")
       spark.read
         .option("basePath", s"$root/$commit")
-        .schema(PartitionUpsert.treeSchema)
+        .schema(ddl)
         .parquet(paths: _*)
     }.reduceOption(_.unionByName(_))
       // schema-correct empty frame so downstream summaries stay total
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          PartitionUpsert.treeSchema)))
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)))
   }
 
   /** Commit 1: the demo base tree (corpus + NULL-lang shadows, see
@@ -170,6 +220,12 @@ object TimeTravel {
   private[graft] def commitVersion(spark: SparkSession, dir: String,
       changes: DataFrame, name: String): Int = {
     val v = versions(spark, dir).max
+    // mergeLatest carries exactly the founding column set; a commit
+    // to an evolved catalog must go through commitEvolved or it
+    // would silently drop the evolved columns from rewritten
+    // partitions
+    require(schemaAt(spark, dir, v) == PartitionUpsert.treeSchema,
+      s"commitVersion on an evolved catalog ($dir v$v) — use commitEvolved")
     val latest = PartitionUpsert.latestOps(changes)
     val affected = latest.select(col("lang")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -312,6 +368,9 @@ object TimeTravel {
     require(vs.contains(toVersion),
       s"restore: version $toVersion does not exist in $dir (have $vs)")
     val v = vs.max + 1
+    // schema travels with the manifest: restoring an evolved version
+    // must keep its column set (k24)
+    carrySchema(spark, dir, toVersion, dir, v)
     writeManifest(spark, dir, v, readManifest(spark, dir, toVersion))
     v
   }
@@ -371,6 +430,8 @@ object TimeTravel {
       atVersion: Int): Unit = {
     val rows = readManifest(spark, srcDir, atVersion)
       .map(r => r.copy(base = Option(r.base).getOrElse(srcDir)))
+    // the clone reads under the source version's schema (k24)
+    carrySchema(spark, srcDir, atVersion, dstDir, 1)
     writeManifest(spark, dstDir, 1, rows)
   }
 
@@ -446,5 +507,126 @@ object TimeTravel {
       .select(col("side"), col("lang"), col("n_docs"),
         col("key_checksum"), col("chars_checksum"),
         col("n_v2"), col("n_v3"))
+  }
+
+  // ---- k24: schema evolution in the commit log --------------------
+
+  /** k24's demo evolution: ALTER TABLE ADD COLUMN quality DOUBLE,
+    * landed WITH a normal changelog commit confined to es/zh
+    * (disjoint from the v2 changelog's en/de/NULL, so the two
+    * commits' effects separate cleanly in the oracle): upsert
+    * text+" v4" for doc_id ≡ 5 (mod 6) at seq 1, delete
+    * doc_id ≡ 3 (mod 17) at seq 2.
+    */
+  private[graft] val EvolveLangs: Seq[String] = Seq("es", "zh")
+
+  private[graft] val EvolvedSchema: String =
+    PartitionUpsert.treeSchema + ", quality DOUBLE"
+
+  private[graft] def evolveChangelog(state: DataFrame): DataFrame = {
+    val changed = state.filter(PartitionUpsert.langIn(EvolveLangs))
+    val upserts = changed
+      .filter(pmod(col("doc_id"), lit(6L)) === 5L)
+      .select(col("doc_id"), col("lang"), lit(1L).as("seq"),
+        lit("upsert").as("op"),
+        concat(col("text"), lit(" v4")).as("new_text"))
+    val deletes = changed
+      .filter(pmod(col("doc_id"), lit(17L)) === 3L)
+      .select(col("doc_id"), col("lang"), lit(2L).as("seq"),
+        lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"))
+    upserts.unionByName(deletes)
+  }
+
+  /** k24_schema_evolution — commit a changelog AND widen the schema
+    * in the same version: the merged rows of the affected partitions
+    * land WITH the new columns computed, `meta/schema_v{N}` records
+    * the widened DDL, and every UNAFFECTED partition keeps serving
+    * its old-schema files — readAt(N) surfaces their missing columns
+    * as NULL under the version's schema, while readAt(<N) still
+    * reads the exact old column set (spec-pinned both ways). This is
+    * the Delta/Iceberg rule that schema is COMMIT-LOG state: no
+    * backfill rewrite of a 100 TB table just to add a column, no
+    * footer-crawl schema inference, and old readers are never
+    * broken because old versions' schemas are immutable. Reference
+    * analog: none — the reference pipeline re-derives its column
+    * layout per tool invocation (tools.py's per-step TSVs), which is
+    * exactly the drift this removes.
+    */
+  private[graft] def commitEvolved(spark: SparkSession, dir: String,
+      changes: DataFrame, name: String, ddl: String,
+      extra: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    val v = versions(spark, dir).max
+    require(schemaAt(spark, dir, v) == PartitionUpsert.treeSchema,
+      s"commitEvolved widens the founding column set once; $dir v$v " +
+        "is already evolved")
+    val latest = PartitionUpsert.latestOps(changes)
+    val affected = latest.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pruned = readAt(spark, dir, v)
+      .filter(PartitionUpsert.langIn(affected))
+    val widened = extra.foldLeft(
+        PartitionUpsert.mergeLatest(pruned, latest)) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    PartitionUpsert.writeTree(widened, s"$dir/$name")
+    val written = commitLangs(spark, s"$dir/$name")
+    val prior = readManifest(spark, dir, v)
+    writeSchemaFile(spark, dir, v + 1, ddl)
+    writeManifest(spark, dir, v + 1,
+      written.map(ManifestRow(_, name, null)) ++
+        prior.filterNot(r => affected.contains(r.lang)))
+    v + 1
+  }
+
+  /** Stage the k24 demo: the two-version base catalog, then the
+    * evolved v3 (es/zh changelog + quality = round(len/100, 4)
+    * computed on the post-merge rows).
+    */
+  private[graft] def stageEvolved(documents: DataFrame,
+      cacheKey: String = ""): String = {
+    def fresh(): String = {
+      val spark = documents.sparkSession
+      val dir = graft.Staging.dir("graft_k24_")
+      stageBase(documents, dir)
+      commitChanges(documents, dir)
+      commitEvolved(spark, dir,
+        evolveChangelog(readAt(spark, dir, 2)), "c3", EvolvedSchema,
+        Seq("quality" -> round(length(col("text")) / 100.0, 4)))
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate(cacheKey + "#k24", fresh())
+  }
+
+  /** Registered k24 query: all three versions under their OWN
+    * schemas — v1/v2 genuinely lack the quality column (summarized
+    * as typed NULL), v3 carries it exactly on the rewritten es/zh
+    * partitions and NULL on every inherited one. The quality
+    * checksum is integer (len-valued once de-scaled) so the compare
+    * is exact.
+    */
+  def evolutionSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageEvolved(documents, cacheKey)
+    Seq(1, 2, 3).map { v =>
+      val df = readAt(spark, dir, v)
+      val q = if (df.columns.contains("quality")) col("quality")
+        else lit(null).cast("double")
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("key_checksum"),
+          sum(length(col("text"))).cast("long").as("chars_checksum"),
+          count(q).as("n_quality"),
+          // coalesce: an all-NULL sum must land as 0, not a NULL
+          // whose pandas dtype drifts to float on the compare
+          coalesce(sum(round(q * 100).cast("long")), lit(0L))
+            .cast("long").as("quality_checksum"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("version"), col("lang"), col("n_docs"),
+        col("key_checksum"), col("chars_checksum"),
+        col("n_quality"), col("quality_checksum"))
   }
 }
