@@ -201,7 +201,23 @@ object JobSpec {
         sources.FileBloomIndex.pointLookup(Tables.documents(s, d),
           cacheKey = d,
           words = j.int("words", sources.FileBloomIndex.Words),
-          hashes = j.int("hashes", sources.FileBloomIndex.Hashes))))
+          hashes = j.int("hashes", sources.FileBloomIndex.Hashes)))),
+    // p16: shard count is the layout dial (a deployment sizes it to
+    // target shard bytes); the salts pin which permutation — two
+    // runs agree iff their salts do.
+    "p16_shard_shuffle" -> ((s, d, j) =>
+      checked(j, "shards", "saltShard", "saltOrder")(
+        operators.Corpus.shardShuffle(Tables.documents(s, d),
+          shards = j.int("shards", 8),
+          saltShard = j.long("saltShard", 5711L),
+          saltOrder = j.long("saltOrder", 8231L)))),
+    // st18: the attribution horizon and the out-of-orderness
+    // allowance — the two numbers a deployment actually tunes.
+    "st18_stream_join" -> ((s, d, j) =>
+      checked(j, "horizonHours", "delay")(
+        streaming.StreamOps.streamStreamJoin(s, d,
+          horizonHours = j.long("horizonHours", 24L),
+          delay = j.str("delay", "1 hour"))))
   )
 
   /** Memo key for operators with a dial-dependent staged artifact

@@ -337,6 +337,13 @@ object SparkEntry {
     "k24_schema_evolution" -> ((s, d) =>
       graft.sources.TimeTravel.evolutionSummary(Tables.documents(s, d),
         cacheKey = d)),
+    "k25_delete_files" -> ((s, d) =>
+      graft.sources.DeleteFiles.mergedScan(Tables.documents(s, d),
+        cacheKey = d)),
+    "p16_shard_shuffle" -> ((s, d) =>
+      Corpus.shardShuffle(Tables.documents(s, d))),
+    "st18_stream_join" -> ((s, d) =>
+      graft.streaming.StreamOps.streamStreamJoin(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3315,5 +3322,48 @@ object SparkEntry {
     // model, so the stream equals the batch arithmetic exactly; the
     // keep gate (score > 0) replaces p15's top-N.
     "st15_stream_select" -> st15Sql,
+    // k25: merge-on-read = base minus the two arithmetic delete
+    // commits. The IS NULL disjunct is the anti-join's null
+    // semantics spelled out: a NULL doc_id matches no delete key
+    // and survives (NOT IN would three-value it away).
+    "k25_delete_files" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE doc_id IS NULL
+            OR NOT (doc_id % 97 = 11 OR doc_id % 101 = 13)""",
+    // p16: the deterministic permutation is pure integer arithmetic
+    // (the salted multiply chain plus one quadratic mixing round —
+    // see Corpus.mixedHash), so the oracle replays shard assignment
+    // AND intra-shard rank exactly.
+    "p16_shard_shuffle" ->
+      """SELECT shard,
+                CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY ord, doc_id)
+                     AS BIGINT) AS pos,
+                doc_id
+         FROM (SELECT doc_id,
+                      (hs * hs % 1000000007 + hs) % 1000000007 % 8 AS shard,
+                      (ho * ho % 1000000007 + ho) % 1000000007 AS ord
+               FROM (SELECT doc_id,
+                            ((doc_id % 1000000007 + 5711) % 1000000007)
+                              * 2654435761 % 1000000007 AS hs,
+                            ((doc_id % 1000000007 + 8231) % 1000000007)
+                              * 2654435761 % 1000000007 AS ho
+                     FROM documents))""",
+    // st18: the watermarked stream-stream join's finite-harness run
+    // equals the batch interval self-join row for row (time-ordered
+    // arrivals — nothing is droppably late).
+    "st18_stream_join" ->
+      """SELECT p.event_id AS purchase_id,
+                c.event_id AS click_id,
+                p.user_id,
+                (epoch_us(p.ts) - epoch_us(c.ts)) AS gap_us
+         FROM events c
+         JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+         WHERE c.ts IS NOT NULL AND c.user_id IS NOT NULL
+           AND p.ts IS NOT NULL AND p.user_id IS NOT NULL""",
   )
 }

@@ -955,4 +955,78 @@ object Corpus {
         sum(when(col("epoch") === 0L, col("ck"))).cast("long")
           .as("id_checksum"))
   }
+
+  /** p16_shard_shuffle — the DETERMINISTIC GLOBAL SHUFFLE that turns
+    * a prepared corpus into training shards: SGD wants the epoch's
+    * read order decorrelated from ingest order (documents land
+    * grouped by source/crawl, and a source-ordered epoch is a
+    * curriculum nobody asked for), and a reproducible run wants the
+    * permutation to be a FUNCTION of the data, not of cluster
+    * scheduling. Both come from the same recipe the split/sample
+    * layers already use: hash, don't randomize.
+    *
+    *   shard = saltedBucket(doc_id, saltShard, shards)   — which file
+    *   pos   = rank of saltedBucket(doc_id, saltOrder, P) within the
+    *           shard (doc_id tiebreak)                   — where in it
+    *
+    * Independence is the point of the two salts (p04's argument): the
+    * shard hash nests documents into files, the order hash permutes
+    * WITHIN each file, and neither correlates with doc_id order or
+    * with any sampling layer's admission hash — so a shard is an
+    * unbiased sample of the corpus and reading shards sequentially
+    * visits the corpus in hash-permuted order. Rerunning the job —
+    * any cluster size, any partitioning — reproduces the identical
+    * permutation, which is what makes a training run resumable and
+    * an ablation comparable.
+    *
+    * The mixer is saltedBucket's multiply chain plus ONE quadratic
+    * round (h² + h mod P). The sampling layers only need MARGINAL
+    * uniformity, so their affine chain suffices and stays pinned;
+    * a shuffle needs PAIRWISE decorrelation, and an affine map
+    * can't give it — ord(id) = (id+salt)·K² mod P makes consecutive
+    * ids a fixed-stride lattice (measured: 17% ascents instead of
+    * 50%, i.e. the "shuffle" was mostly a blockwise reversal — the
+    * decorrelation spec caught it). Squaring breaks the linearity
+    * while staying exact 64-bit integer arithmetic in both engines
+    * (h < P ⇒ h² < 2^60), so the oracle still replays it verbatim.
+    *
+    * Scale: one hash exchange on `shard` + a per-shard sort — the
+    * rank window's partition count IS the shard count, so
+    * parallelism is the `shards` dial (a 100 TB run shards to
+    * O(10k) files of a few GB each, exactly the shape a data loader
+    * wants; the 8 here is the sf-sized demo of the same plan). The
+    * sort key is an 8-byte hash, never text; composing the actual
+    * shard WRITE is k01's partitioned sink on `shard` with
+    * `sortWithinPartitions(pos)`.
+    *
+    * Reference analog: the reference processes samples in whatever
+    * order the GEO fetch lands them (mainScript.py's per-sample fan
+    * out) — order-sensitivity is exactly what it never had to face;
+    * a training pipeline does, so the engine owns the permutation.
+    */
+  /** One multiply round then one quadratic round, mod P — see
+    * shardShuffle's doc for why the sampling layers' affine chain is
+    * not shuffle-grade. h < P keeps h² inside exact Long range in
+    * Spark and DuckDB alike.
+    */
+  private def mixedHash(id: Column, salt: Long): Column = {
+    val P = lit(1000000007L)
+    val K = lit(2654435761L)
+    val h = pmod(pmod(pmod(id, P) + lit(salt), P) * K, P)
+    pmod(pmod(h * h, P) + h, P)
+  }
+
+  def shardShuffle(documents: DataFrame, shards: Int = 8,
+      saltShard: Long = 5711L, saltOrder: Long = 8231L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        pmod(mixedHash(col("doc_id"), saltShard), lit(shards.toLong))
+          .as("shard"),
+        mixedHash(col("doc_id"), saltOrder).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
 }

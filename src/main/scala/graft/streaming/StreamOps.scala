@@ -1260,4 +1260,104 @@ object StreamOps {
       out: String, weights: Seq[(Long, Long)]): Unit =
     graft.operators.Corpus.importanceScore(spread(batch), weights)
       .write.mode("overwrite").parquet(s"$out/b$batchId")
+
+  private val stagedOrderedEvents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage the events as `OrderedSlices` event-TIME-ordered file
+    * slices, landed sequentially so the file source's oldest-first
+    * (mtime) consumption replays them in event-time order — the
+    * arrival discipline a production landing zone actually has (a
+    * collector ships closed time buckets in order). Slice boundaries
+    * are arithmetic on the epoch range (two scalars off a min/max
+    * agg), not a global sort: each slice is a map-side predicate
+    * over the corpus, and the single-file coalesce is harness-only
+    * (a real landing zone is already many files per bucket).
+    */
+  private val OrderedSlices = 4
+
+  private def orderedEventStage(spark: SparkSession, dir: String): String =
+    stagedOrderedEvents.getOrElseUpdate(dir, {
+      val batch = graft.Tables.events(spark, dir)
+      val s = graft.Staging.dir("graft_st18_")
+      val Array(lo, hi) = batch
+        .agg(min(graft.Tables.epochUs(col("ts"))),
+          max(graft.Tables.epochUs(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = hi - lo + 1
+      (0 until OrderedSlices).foreach { i =>
+        val from = lo + span * i / OrderedSlices
+        val until = lo + span * (i + 1) / OrderedSlices
+        val us = graft.Tables.epochUs(col("ts"))
+        batch.filter(us >= from && us < until)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$s/f$i")
+      }
+      s
+    })
+
+  /** st18_stream_join — the watermarked STREAM-STREAM join: every
+    * purchase attributed to the same user's clicks in the preceding
+    * `horizonHours`, with BOTH sides arriving live. st04 joins a
+    * stream against a broadcast dimension and st05 carries one
+    * anchor per user in custom state; neither covers the case where
+    * the two event feeds are both unbounded and the match is
+    * many-to-many within a time bound — that is Spark's symmetric
+    * join-state machinery, and this operator is its deployment
+    * shape.
+    *
+    * Semantics are exactly the batch interval self-join (shared
+    * DuckDB oracle): click c matches purchase p when users are equal
+    * and p.ts ∈ [c.ts, c.ts + horizon]. Both sides carry an
+    * event-time watermark and the join condition bounds each side's
+    * event time by the other's, which is what lets the engine EVICT:
+    * a click older than (watermark − horizon) can never match a
+    * future purchase, so join state is O(events in the horizon
+    * window), not O(stream) — the property that makes the join
+    * runnable 24/7 at 100 TB. `delay` is the production
+    * out-of-orderness allowance; the harness stages arrivals
+    * time-ordered (orderedEventStage), so no row is droppably late
+    * and the finite run is bit-equal to the batch join
+    * (spec-pinned).
+    *
+    * Output rows are emitted as matches form (append mode — joins
+    * have no "final" aggregate to wait for); gap_us is the
+    * attribution latency, the thing a monitoring consumer windows
+    * over next.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      horizonHours: Long = 24L, delay: String = "1 hour",
+      clickType: String = "click",
+      purchaseType: String = "purchase"): DataFrame = {
+    val schema = graft.Tables.events(spark, dir).schema
+    val stage = orderedEventStage(spark, dir)
+    def side(tp: String, pre: String): DataFrame =
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+        .parquet(s"$stage/f*")
+        .filter(col("event_type") === tp)
+        .select(col("event_id").as(s"${pre}_id"),
+          col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"))
+        .withWatermark(s"${pre}_ts", delay)
+    val joined = side(clickType, "c")
+      .join(side(purchaseType, "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonHours HOURS"))
+    val sink = s"st18_mem_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(
+      col("p_id").as("purchase_id"),
+      col("c_id").as("click_id"),
+      col("p_user").as("user_id"),
+      (graft.Tables.epochUs(col("p_ts")) - graft.Tables.epochUs(col("c_ts")))
+        .as("gap_us"))
+  }
 }

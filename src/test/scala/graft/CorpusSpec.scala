@@ -652,4 +652,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "nothing here may shuffle-sort a corpus-sized side")
   }
+
+  test("p16: shard positions are a bijection onto 1..n per shard") {
+    val out = Corpus.shardShuffle(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val pos = rows.map(_._2).sorted.toSeq
+      assert(pos === (1L to pos.length).toSeq,
+        s"shard $shard positions must be exactly 1..n")
+    }
+    // every doc appears exactly once — it IS a permutation
+    assert(out.map(_._3).distinct.length === out.length)
+  }
+
+  test("p16: the permutation is deterministic and hash-balanced") {
+    val a = Corpus.shardShuffle(Tables.documents(spark, sf)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val b = Corpus.shardShuffle(Tables.documents(spark, sf)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(a === b, "rerun must reproduce the identical permutation")
+    val counts = Corpus.shardShuffle(Tables.documents(spark, sf))
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length === 8)
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.forall(c => c > mean * 0.5 && c < mean * 1.5),
+      s"hash sharding must balance: ${counts.toSeq} vs mean $mean")
+  }
+
+  test("p16: shard order is decorrelated from ingest order") {
+    // within a shard, walk docs in pos order: if the permutation
+    // were a no-op, every adjacent doc_id pair would ascend; a hash
+    // permutation ascends ~half the time
+    val rows = Corpus.shardShuffle(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (asc, tot) = rows.groupBy(_._1).values.map { shard =>
+      val ids = shard.sortBy(_._2).map(_._3)
+      val pairs = ids.sliding(2).toSeq
+      (pairs.count(p => p(1) > p(0)), pairs.length)
+    }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    val frac = asc.toDouble / tot
+    assert(frac > 0.35 && frac < 0.65,
+      s"adjacent ascents should be ~0.5 for a real shuffle, got $frac")
+  }
 }

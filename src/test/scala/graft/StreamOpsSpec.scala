@@ -379,4 +379,47 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(idx === (1L to idx.length).toSeq)
     }
   }
+
+  test("st18: stream-stream join equals the batch interval self-join") {
+    val stream = StreamOps.streamStreamJoin(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), Tables.epochUs(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), Tables.epochUs(col("ts")).as("p_us"))
+    val batch = c.join(p, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + lit(24L * 3600 * 1000000L))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("st18: matches span micro-batch boundaries — join state carries") {
+    // arrivals are staged as 4 event-time slices consumed 2 per
+    // trigger, so the second trigger's purchases must still match
+    // clicks that arrived (and were put in join state) a trigger
+    // earlier: at least one emitted pair must straddle the midpoint
+    // slice boundary, or the join forgot its state
+    val ev = Tables.events(spark, sf)
+    val Array(lo, hi) = ev
+      .agg(min(Tables.epochUs(col("ts"))), max(Tables.epochUs(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = lo + (hi - lo + 1) / 2
+    val ts = ev.select(col("event_id"), Tables.epochUs(col("ts")).as("us"))
+    val pairs = StreamOps.streamStreamJoin(spark, sf)
+      .join(ts.withColumnRenamed("us", "c_us")
+        .withColumnRenamed("event_id", "click_id"), Seq("click_id"))
+      .join(ts.withColumnRenamed("us", "p_us")
+        .withColumnRenamed("event_id", "purchase_id"), Seq("purchase_id"))
+    val straddling = pairs
+      .filter(col("c_us") < mid && col("p_us") >= mid).count()
+    assert(straddling > 0,
+      "no pair straddles the half-way arrival boundary — " +
+        "cross-micro-batch join state was not exercised")
+  }
 }
