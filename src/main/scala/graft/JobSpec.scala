@@ -211,13 +211,21 @@ object JobSpec {
           shards = j.int("shards", 8),
           saltShard = j.long("saltShard", 5711L),
           saltOrder = j.long("saltOrder", 8231L)))),
-    // st18: the attribution horizon and the out-of-orderness
-    // allowance — the two numbers a deployment actually tunes.
+    // st18: the attribution horizon, the out-of-orderness allowance,
+    // and the stateful operator's partition sizing — the three
+    // numbers a deployment actually tunes.
     "st18_stream_join" -> ((s, d, j) =>
-      checked(j, "horizonHours", "delay")(
+      checked(j, "horizonHours", "delay", "statePartitions")(
         streaming.StreamOps.streamStreamJoin(s, d,
           horizonHours = j.long("horizonHours", 24L),
-          delay = j.str("delay", "1 hour"))))
+          delay = j.str("delay", "1 hour"),
+          statePartitions = j.int("statePartitions", 8)))),
+    "st19_stream_outer_join" -> ((s, d, j) =>
+      checked(j, "horizonHours", "delay", "statePartitions")(
+        streaming.StreamOps.streamStreamOuterJoin(s, d,
+          horizonHours = j.long("horizonHours", 24L),
+          delay = j.str("delay", "1 hour"),
+          statePartitions = j.int("statePartitions", 8))))
   )
 
   /** Memo key for operators with a dial-dependent staged artifact

@@ -344,6 +344,8 @@ object SparkEntry {
       Corpus.shardShuffle(Tables.documents(s, d))),
     "st18_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamStreamJoin(s, d)),
+    "st19_stream_outer_join" -> ((s, d) =>
+      graft.streaming.StreamOps.streamStreamOuterJoin(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3365,5 +3367,22 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
          WHERE c.ts IS NOT NULL AND c.user_id IS NOT NULL
            AND p.ts IS NOT NULL AND p.user_id IS NOT NULL""",
+    // st19: the LEFT OUTER edition — unmatched clicks emit null
+    // purchase columns when their horizon closes (sentinel-flushed
+    // on the finite harness), so the stream closes to exactly the
+    // batch LEFT JOIN.
+    "st19_stream_outer_join" ->
+      """SELECT c.event_id AS click_id,
+                c.user_id,
+                p.event_id AS purchase_id,
+                (epoch_us(p.ts) - epoch_us(c.ts)) AS gap_us
+         FROM events c
+         LEFT JOIN events p
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts IS NOT NULL AND p.user_id IS NOT NULL
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+         WHERE c.event_type = 'click'
+           AND c.ts IS NOT NULL AND c.user_id IS NOT NULL""",
   )
 }

@@ -1325,12 +1325,20 @@ object StreamOps {
     * attribution latency, the thing a monitoring consumer windows
     * over next.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String,
-      horizonHours: Long = 24L, delay: String = "1 hour",
-      clickType: String = "click",
-      purchaseType: String = "purchase"): DataFrame = {
+  /** The two watermarked join sides over the shared time-ordered
+    * arrival slices — ONE definition serving st18 (inner) and st19
+    * (left outer), so the join modes cannot drift in staging,
+    * filtering, or watermarking. `sentinel` appends the far-future
+    * flush slice outer joins need (see streamStreamOuterJoin).
+    */
+  private def streamJoinSides(spark: SparkSession, dir: String,
+      horizonHours: Long, delay: String, clickType: String,
+      purchaseType: String, joinType: String,
+      sentinel: Boolean = false): DataFrame = {
     val schema = graft.Tables.events(spark, dir).schema
-    val stage = orderedEventStage(spark, dir)
+    val stage =
+      if (sentinel) sentinelEventStage(spark, dir, clickType, purchaseType)
+      else orderedEventStage(spark, dir)
     def side(tp: String, pre: String): DataFrame =
       spark.readStream
         .schema(schema)
@@ -1340,24 +1348,137 @@ object StreamOps {
         .select(col("event_id").as(s"${pre}_id"),
           col("user_id").as(s"${pre}_user"), col("ts").as(s"${pre}_ts"))
         .withWatermark(s"${pre}_ts", delay)
-    val joined = side(clickType, "c")
+    side(clickType, "c")
       .join(side(purchaseType, "p"),
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonHours HOURS"))
-    val sink = s"st18_mem_${System.nanoTime()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonHours HOURS"),
+        joinType)
+  }
+
+  /** Run a symmetric-join stream to a memory sink under a SIZED
+    * stateful-operator partitioning. The symmetric join keeps FOUR
+    * state stores per shuffle partition (keyToNumValues +
+    * keyWithIndex, each side), and every micro-batch commits a delta
+    * file per store — so the stateful operator's partition count is
+    * a knob a deployment SIZES, not inherits: per-batch floor ∝
+    * partitions × 4, and the partitioning is baked into the
+    * checkpoint at first start (measured: the inherited 32 cost 3×
+    * the sized 8 at sf0.1 — pure state-commit floor, not join work;
+    * a 100 TB 24/7 job sizes it to its executor cores). The stream
+    * clones the session at start, so the conf flip is scoped to the
+    * clone and restored immediately for everyone else.
+    */
+  private def runJoinStream(spark: SparkSession, joined: DataFrame,
+      sinkPrefix: String, statePartitions: Int): DataFrame = {
+    val sink = s"${sinkPrefix}_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val q =
+      try joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    spark.table(sink).select(
+    spark.table(sink)
+  }
+
+  def streamStreamJoin(spark: SparkSession, dir: String,
+      horizonHours: Long = 24L, delay: String = "1 hour",
+      clickType: String = "click", purchaseType: String = "purchase",
+      statePartitions: Int = 8): DataFrame = {
+    val joined = streamJoinSides(spark, dir, horizonHours, delay,
+      clickType, purchaseType, "inner")
+    runJoinStream(spark, joined, "st18_mem", statePartitions).select(
       col("p_id").as("purchase_id"),
       col("c_id").as("click_id"),
       col("p_user").as("user_id"),
       (graft.Tables.epochUs(col("p_ts")) - graft.Tables.epochUs(col("c_ts")))
         .as("gap_us"))
+  }
+
+  private val stagedSentinelEvents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The far-future flush: orderedEventStage's slices plus a LAST
+    * slice carrying one sentinel event per join side (user_id = −1,
+    * ts = corpus max + 3650 days). An OUTER join emits its unmatched
+    * rows only when their state EVICTS — i.e. when the watermark
+    * passes row_ts + horizon — and a finite stream's watermark stops
+    * at its last real event, which would hold the final horizon's
+    * unmatched rows in state forever (the streaming-vs-batch
+    * divergence st02 solved the same way). The sentinel advances
+    * both sides' watermarks past every eviction boundary (any
+    * horizon + delay below a decade — dial bound documented), the
+    * engine's end-of-stream no-data batch flushes the remaining
+    * state, and the harness result closes to exactly the batch LEFT
+    * JOIN. user_id −1 rows are dropped from the output; in a 24/7
+    * deployment no sentinel exists — unmatched rows simply emit
+    * `horizon+delay` after their event time, continuously.
+    */
+  private def sentinelEventStage(spark: SparkSession, dir: String,
+      clickType: String, purchaseType: String): String =
+    stagedSentinelEvents.getOrElseUpdate(dir, {
+      val ordered = orderedEventStage(spark, dir)
+      val s = graft.Staging.dir("graft_st19_")
+      val fs = new org.apache.hadoop.fs.Path(s)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until OrderedSlices).foreach { i =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$ordered/f$i"),
+          fs, new org.apache.hadoop.fs.Path(s"$s/f$i"),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+      val batch = graft.Tables.events(spark, dir)
+      val hi = batch.agg(max(graft.Tables.epochUs(col("ts"))))
+        .collect()(0).getLong(0)
+      val flushUs = hi + 3650L * 24 * 3600 * 1000000L
+      val template = batch.limit(0)
+      template.sparkSession.createDataFrame(
+        template.sparkSession.sparkContext.parallelize(Seq(clickType,
+          purchaseType).map(tp => org.apache.spark.sql.Row.fromSeq(
+          template.schema.fields.map(_.name match {
+            case "event_id" => -1L
+            case "user_id" => -1L
+            case "ts" => new java.sql.Timestamp(flushUs / 1000L)
+            case "event_type" => tp
+            case _ => null
+          }).toSeq)), 1), template.schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$s/f$OrderedSlices")
+      s
+    })
+
+  /** st19_stream_outer_join — the LEFT OUTER stream-stream join:
+    * st18 emits the clicks that converted; the rows a funnel/alert
+    * consumer actually wants are the ones that DIDN'T — "clicks with
+    * no purchase within the horizon", emitted continuously as their
+    * horizon closes. This is the watermark-DRIVEN half of the
+    * symmetric join machinery (null rows are produced by state
+    * EVICTION, not by matching), the one join behavior st18 cannot
+    * show. Semantics ≡ the batch LEFT JOIN under the same condition
+    * (shared-oracle discipline; sentinel-flushed on the finite
+    * harness — see sentinelEventStage). Unmatched rows carry null
+    * purchase_id/gap_us; matched rows are exactly st18's pairs
+    * (spec-pinned both ways).
+    */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String,
+      horizonHours: Long = 24L, delay: String = "1 hour",
+      clickType: String = "click", purchaseType: String = "purchase",
+      statePartitions: Int = 8): DataFrame = {
+    val joined = streamJoinSides(spark, dir, horizonHours, delay,
+      clickType, purchaseType, "left_outer", sentinel = true)
+    runJoinStream(spark, joined, "st19_mem", statePartitions)
+      .filter(col("c_user") >= 0 &&
+        (col("p_user").isNull || col("p_user") >= 0))
+      .select(
+        col("c_id").as("click_id"),
+        col("c_user").as("user_id"),
+        col("p_id").as("purchase_id"),
+        (graft.Tables.epochUs(col("p_ts")) -
+          graft.Tables.epochUs(col("c_ts"))).as("gap_us"))
   }
 }

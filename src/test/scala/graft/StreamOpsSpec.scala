@@ -399,6 +399,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st19: outer stream-stream join equals the batch LEFT JOIN") {
+    val stream = StreamOps.streamStreamOuterJoin(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id"), Tables.epochUs(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), Tables.epochUs(col("ts")).as("p_us"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + lit(24L * 3600 * 1000000L),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+    // the null rows are the operator's whole point: some clicks
+    // must NOT have converted, or the outer mode wasn't exercised
+    assert(stream.exists(_.isNullAt(2)),
+      "expected at least one unconverted click (null purchase_id)")
+  }
+
+  test("st19: matched subset is exactly st18's pairs") {
+    val outer = StreamOps.streamStreamOuterJoin(spark, sf).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val inner = StreamOps.streamStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(outer.toSeq === inner.toSeq,
+      "outer's matched rows must be bit-equal to the inner join")
+  }
+
   test("st18: matches span micro-batch boundaries — join state carries") {
     // arrivals are staged as 4 event-time slices consumed 2 per
     // trigger, so the second trigger's purchases must still match
