@@ -346,6 +346,9 @@ object SparkEntry {
       graft.streaming.StreamOps.streamStreamJoin(s, d)),
     "st19_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamStreamOuterJoin(s, d)),
+    "m08_blob_store" -> ((s, d) =>
+      graft.sources.BlobStore.accounting(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3384,5 +3387,21 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
          WHERE c.event_type = 'click'
            AND c.ts IS NOT NULL AND c.user_id IS NOT NULL""",
+    // m08: per-source CAS accounting — md5 is a real digest both
+    // engines implement bit-identically (m05's argument), and the
+    // (source, digest) → source two-stage fold keeps a NULL source
+    // an ordinary group on both sides.
+    "m08_blob_store" ->
+      """SELECT source,
+                CAST(sum(d_refs) AS BIGINT) AS n_refs,
+                count(*) AS n_blobs,
+                CAST(sum(d_refs * n_bytes) AS BIGINT) AS logical_bytes,
+                CAST(sum(n_bytes) AS BIGINT) AS physical_bytes
+         FROM (SELECT source, md5(text) AS digest,
+                      count(*) AS d_refs,
+                      CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+               FROM documents WHERE text IS NOT NULL
+               GROUP BY 1, 2)
+         GROUP BY source""",
   )
 }
