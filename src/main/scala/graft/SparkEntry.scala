@@ -349,6 +349,9 @@ object SparkEntry {
     "m08_blob_store" -> ((s, d) =>
       graft.sources.BlobStore.accounting(Tables.documents(s, d),
         cacheKey = d)),
+    "k26_partition_evolution" -> ((s, d) =>
+      graft.sources.PartitionEvolution.langFetch(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3403,5 +3406,10 @@ object SparkEntry {
                FROM documents WHERE text IS NOT NULL
                GROUP BY 1, 2)
          GROUP BY source""",
+    // k26: the evolved store is semantically invisible — a lang
+    // fetch through two partition layouts is just the predicate.
+    "k26_partition_evolution" ->
+      """SELECT doc_id, n_chars, lang, source
+         FROM documents WHERE lang = 'en'""",
   )
 }
