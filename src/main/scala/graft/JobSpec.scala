@@ -225,7 +225,23 @@ object JobSpec {
         streaming.StreamOps.streamStreamOuterJoin(s, d,
           horizonHours = j.long("horizonHours", 24L),
           delay = j.str("delay", "1 hour"),
-          statePartitions = j.int("statePartitions", 8))))
+          statePartitions = j.int("statePartitions", 8)))),
+    // k27: the table's invariants ARE the config — rules arrive as
+    // rule.<name> = <boolean SQL> repeated fields (p04's idiom), the
+    // tolerance as a permille dial. Dial-scoped cacheKey: two rule
+    // sets are two landed artifacts.
+    "k27_write_constraints" -> ((s, d, j) =>
+      checkedPrefixed(j, Seq("rule."), "maxRejectPermille")({
+        val rules = j.params.collect {
+          case (k, v) if k.startsWith("rule.") =>
+            sources.WriteConstraints.Rule(k.stripPrefix("rule."), v)
+        }.toSeq
+        sources.WriteConstraints.qualityReport(Tables.documents(s, d),
+          maxRejectPermille = j.int("maxRejectPermille", 200),
+          rules = if (rules.isEmpty) sources.WriteConstraints.DemoRules
+            else rules.sortBy(_.name),
+          cacheKey = dialKey(d, j))
+      }))
   )
 
   /** Memo key for operators with a dial-dependent staged artifact

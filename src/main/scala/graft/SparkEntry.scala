@@ -352,6 +352,11 @@ object SparkEntry {
     "k26_partition_evolution" -> ((s, d) =>
       graft.sources.PartitionEvolution.langFetch(Tables.documents(s, d),
         cacheKey = d)),
+    "k27_write_constraints" -> ((s, d) =>
+      graft.sources.WriteConstraints.qualityReport(Tables.documents(s, d),
+        cacheKey = d)),
+    "st20_stream_deletes" -> ((s, d) =>
+      graft.streaming.StreamOps.streamDeletes(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3411,5 +3416,28 @@ object SparkEntry {
     "k26_partition_evolution" ->
       """SELECT doc_id, n_chars, lang, source
          FROM documents WHERE lang = 'en'""",
+    // k27: the quality report replays each rule's violation count
+    // (NULL-evaluation = violation, coalesce(check, false)) plus the
+    // admitted count; rules with zero violations emit no row (the
+    // quarantine is violation-cardinality).
+    "k27_write_constraints" ->
+      """SELECT rule, n_rows FROM (
+           SELECT 'min_len' AS rule, count(*) AS n_rows
+           FROM documents WHERE NOT coalesce(n_chars >= 100, false)
+           UNION ALL
+           SELECT 'id_known', count(*)
+           FROM documents WHERE NOT coalesce(doc_id IS NOT NULL, false)
+           UNION ALL
+           SELECT '__admitted__', count(*)
+           FROM documents
+           WHERE coalesce(n_chars >= 100, false) AND doc_id IS NOT NULL)
+         WHERE n_rows > 0""",
+    // st20: shares k25's oracle — the streamed delete feed must
+    // converge to exactly the batch merge-on-read state.
+    "st20_stream_deletes" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE doc_id IS NULL
+            OR NOT (doc_id % 97 = 11 OR doc_id % 101 = 13)""",
   )
 }

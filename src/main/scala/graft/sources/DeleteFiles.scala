@@ -62,22 +62,37 @@ object DeleteFiles {
     * file — commits accumulate, they are never merged in place.
     * Memoized per corpus cut like every staged sink.
     */
+  /** The base tree alone — shared by the batch stage and st20's
+    * streaming twin (whose delete commits arrive as a stream).
+    */
+  private[graft] def stageStoreOnly(documents: DataFrame, root: String,
+      writers: Int = 32): Unit =
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(writers, col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(root)
+
+  /** The two demo delete-key sets, derived from the landed store —
+    * ONE definition serving k25's commits and st20's arrival stream,
+    * so the twins cannot drift.
+    */
+  private[graft] def demoDeleteSets(spark: SparkSession,
+      root: String): Seq[DataFrame] = {
+    val base = readBase(spark, root)
+    Seq(
+      base.filter(pmod(col("doc_id"), lit(DelMod1)) === DelRes1),
+      base.filter(pmod(col("doc_id"), lit(DelMod2)) === DelRes2))
+  }
+
   def stage(documents: DataFrame, writers: Int = 32,
       cacheKey: String = ""): String = {
     def fresh(): String = {
       val root = graft.Staging.dir("graft_k25_") + "/store"
-      documents
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .repartition(writers, col("doc_id"))
-        .write.mode(SaveMode.Overwrite).parquet(root)
+      stageStoreOnly(documents, root, writers)
       val spark = documents.sparkSession
-      val base = readBase(spark, root)
-      commitDelete(base
-        .filter(pmod(col("doc_id"), lit(DelMod1)) === DelRes1),
-        s"$root/_deletes/d1")
-      commitDelete(base
-        .filter(pmod(col("doc_id"), lit(DelMod2)) === DelRes2),
-        s"$root/_deletes/d2")
+      demoDeleteSets(spark, root).zipWithIndex.foreach { case (keys, i) =>
+        commitDelete(keys, s"$root/_deletes/d${i + 1}")
+      }
       root
     }
     if (cacheKey.isEmpty) fresh()

@@ -1481,4 +1481,57 @@ object StreamOps {
         (graft.Tables.epochUs(col("p_ts")) -
           graft.Tables.epochUs(col("c_ts"))).as("gap_us"))
   }
+
+  private val stagedDeleteChunks =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** st20_stream_deletes — k25's merge-on-read deletes maintained
+    * LIVE: takedown/erasure requests arrive as a FEED (a compliance
+    * queue is exactly that), and the store must reflect each batch
+    * without rewriting a byte of the base — the property k25's
+    * commit already has, which is what makes this twin almost
+    * state-free: each micro-batch lands its keys as the batch's own
+    * delete commit `_deletes/b<id>` (idempotent overwrite — st09's
+    * replay recipe; a retried batch rewrites the same commit, and
+    * merge-on-read unions commits, so replay can never double-delete
+    * — deletes are idempotent by SEMANTICS too), and the reader's
+    * anti-join picks up each commit the moment it lands. No keyed
+    * streaming state at all: the landed delete files ARE the state
+    * (st11's pattern). Final state ≡ batch k25 under ANY batching of
+    * the feed (spec-pinned; SHARES k25's oracle — the twin
+    * discipline).
+    */
+  def streamDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeleteFiles
+    val (store, chunks) = stagedDeleteChunks.getOrElseUpdate(dir, {
+      val root = graft.Staging.dir("graft_st20_")
+      val store = s"$root/store"
+      DeleteFiles.stageStoreOnly(graft.Tables.documents(spark, dir), store)
+      val chunks = s"$root/feed"
+      // the two demo delete sets land as two arrival files —
+      // sequential writes, consumed one per trigger
+      DeleteFiles.demoDeleteSets(spark, store).zipWithIndex.foreach {
+        case (keys, i) =>
+          keys.select(col("doc_id")).coalesce(1)
+            .write.mode("overwrite").parquet(s"$chunks/a$i")
+      }
+      (store, chunks)
+    })
+    val src = spark.readStream
+      .schema("doc_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$chunks/a*")
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("doc_id")).distinct()
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$store/_deletes/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    DeleteFiles.mergeOnRead(spark, store)
+  }
 }

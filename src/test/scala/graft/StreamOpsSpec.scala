@@ -399,6 +399,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("st20: streamed delete feed converges to batch k25 exactly") {
+    val stream = SparkEntry.queries("st20_stream_deletes")(spark, sf)
+      .collect()
+    val batch = SparkEntry.queries("k25_delete_files")(spark, sf)
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("st20: a replayed delete batch rewrites its commit, never doubles") {
+    // merge-on-read unions delete commits and deletes are idempotent
+    // by semantics; the b<id> overwrite makes the FILES idempotent
+    // too — replay the writer by hand (st09's recipe) and assert the
+    // read is unchanged
+    import graft.sources.DeleteFiles
+    val root = graft.Staging.dir("graft_st20_replay_")
+    val store = s"$root/store"
+    DeleteFiles.stageStoreOnly(Tables.documents(spark, sf), store)
+    val keys = DeleteFiles.demoDeleteSets(spark, store).head
+      .select(col("doc_id"))
+    def writeBatch(): Unit = keys.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$store/_deletes/b0")
+    writeBatch()
+    val once = DeleteFiles.mergeOnRead(spark, store).count()
+    writeBatch() // the retry
+    assert(DeleteFiles.mergeOnRead(spark, store).count() === once)
+    val commits = new java.io.File(s"$store/_deletes")
+      .listFiles().count(_.isDirectory)
+    assert(commits === 1, "a replayed batch must own ONE commit dir")
+  }
+
   test("st19: outer stream-stream join equals the batch LEFT JOIN") {
     val stream = StreamOps.streamStreamOuterJoin(spark, sf).collect()
     val ev = Tables.events(spark, sf)
