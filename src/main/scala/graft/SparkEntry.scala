@@ -357,6 +357,10 @@ object SparkEntry {
         cacheKey = d)),
     "st20_stream_deletes" -> ((s, d) =>
       graft.streaming.StreamOps.streamDeletes(s, d)),
+    "st21_stream_constraints" -> ((s, d) =>
+      graft.streaming.StreamOps.streamConstraints(s, d)),
+    "st22_stream_blob_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamBlobIngest(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3439,5 +3443,33 @@ object SparkEntry {
          FROM documents
          WHERE doc_id IS NULL
             OR NOT (doc_id % 97 = 11 OR doc_id % 101 = 13)""",
+    // st21: shares k27's oracle — the gate is row-local, so any
+    // batching of the feed folds to the same table ∪ quarantine.
+    "st21_stream_constraints" ->
+      """SELECT rule, n_rows FROM (
+           SELECT 'min_len' AS rule, count(*) AS n_rows
+           FROM documents WHERE NOT coalesce(n_chars >= 100, false)
+           UNION ALL
+           SELECT 'id_known', count(*)
+           FROM documents WHERE NOT coalesce(doc_id IS NOT NULL, false)
+           UNION ALL
+           SELECT '__admitted__', count(*)
+           FROM documents
+           WHERE coalesce(n_chars >= 100, false) AND doc_id IS NOT NULL)
+         WHERE n_rows > 0""",
+    // st22: shares m08's oracle — content addressing makes the
+    // admission batching-invariant.
+    "st22_stream_blob_ingest" ->
+      """SELECT source,
+                CAST(sum(d_refs) AS BIGINT) AS n_refs,
+                count(*) AS n_blobs,
+                CAST(sum(d_refs * n_bytes) AS BIGINT) AS logical_bytes,
+                CAST(sum(n_bytes) AS BIGINT) AS physical_bytes
+         FROM (SELECT source, md5(text) AS digest,
+                      count(*) AS d_refs,
+                      CAST(min(strlen(text)) AS BIGINT) AS n_bytes
+               FROM documents WHERE text IS NOT NULL
+               GROUP BY 1, 2)
+         GROUP BY source""",
   )
 }

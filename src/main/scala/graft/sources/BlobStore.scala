@@ -107,22 +107,65 @@ object BlobStore {
     * blob tree (parquet prunes the payload out of the probe); typed
     * empty before the first landing.
     */
+  /** `excludeChild` drops one child of `blobs/` from the probe: a
+    * REPLAYED streaming batch (st22) must compute its novel set
+    * against the OTHER batches' landings, not against its own
+    * possibly-partial prior attempt — probing its own dir would
+    * shrink the rewrite and strand the partial landing's missing
+    * blobs.
+    */
   private[graft] def storedDigests(spark: SparkSession,
-      root: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/blobs")))
-      spark.read.schema(BlobSchema).parquet(s"$root/blobs")
-        .select(col("digest"))
-    else
+      root: String, excludeChild: String = ""): DataFrame = {
+    val blobs = new org.apache.hadoop.fs.Path(s"$root/blobs")
+    val fs = blobs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty =
       spark.emptyDataFrame.select(lit("").as("digest")).filter(lit(false))
+    if (!fs.exists(blobs)) empty
+    else {
+      val children = fs.listStatus(blobs).toIndexedSeq
+        .filterNot(s => excludeChild.nonEmpty &&
+          s.getPath.getName == excludeChild)
+        .map(_.getPath.toString)
+      if (children.isEmpty) empty
+      else spark.read.schema(BlobSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(children: _*)
+        .select(col("digest"))
+    }
   }
 
+  // recursiveFileLookup serves both layouts: m08's flat landing and
+  // st22's per-batch b<id> subdirectories
   private[graft] def readRefs(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(RefSchema).parquet(s"$root/refs")
+    spark.read.schema(RefSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$root/refs")
 
   private[graft] def readBlobs(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema(BlobSchema).parquet(s"$root/blobs")
+    spark.read.schema(BlobSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$root/blobs")
+
+  /** One micro-batch's CAS admission (st22): refs land under the
+    * batch's own `refs/b<id>`, novel blobs — computed against every
+    * OTHER batch's landings — under `blobs/b<id>`; both idempotent
+    * overwrites, so a replayed batch rewrites exactly its own two
+    * dirs and the cross-batch CAS invariant (one landing per digest)
+    * holds under any replay.
+    */
+  private[graft] def ingestBatch(batch: DataFrame, root: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = payloadRows(batch)
+    rows.select(col("doc_id"), col("source"), col("digest"),
+        col("n_bytes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/refs/b$batchId")
+    rows.select(col("digest"), col("payload"))
+      .dropDuplicates("digest")
+      .join(storedDigests(spark, root, excludeChild = s"b$batchId"),
+        Seq("digest"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/blobs/b$batchId")
+  }
 
   /** Reconstruct payload bytes for the given doc_ids: refs ⋈ blobs
     * on the digest — the serving path.
@@ -143,13 +186,18 @@ object BlobStore {
     */
   def accounting(documents: DataFrame, cacheKey: String = ""): DataFrame = {
     val root = stage(documents, cacheKey = cacheKey)
-    val refs = readRefs(documents.sparkSession, root)
-    // one aggregation CHAIN, no self-join: group to (source, digest)
-    // grain first, then fold to source grain — a NULL source is an
-    // ordinary group in both stages (a null-unsafe logical⋈physical
-    // self-join would silently drop it — the k12 lesson), and the
-    // second stage's input is blob-cardinality metadata.
-    refs
+    accountingFor(documents.sparkSession, root)
+  }
+
+  /** One aggregation CHAIN, no self-join: group to (source, digest)
+    * grain first, then fold to source grain — a NULL source is an
+    * ordinary group in both stages (a null-unsafe logical⋈physical
+    * self-join would silently drop it — the k12 lesson), and the
+    * second stage's input is blob-cardinality metadata.
+    */
+  private[graft] def accountingFor(spark: SparkSession,
+      root: String): DataFrame =
+    readRefs(spark, root)
       .groupBy(col("source"), col("digest"))
       .agg(count(lit(1)).as("d_refs"), min(col("n_bytes")).as("n_bytes"))
       .groupBy(col("source"))
@@ -159,5 +207,4 @@ object BlobStore {
         sum(col("n_bytes")).as("physical_bytes"))
       .select(col("source"), col("n_refs"), col("n_blobs"),
         col("logical_bytes"), col("physical_bytes"))
-  }
 }

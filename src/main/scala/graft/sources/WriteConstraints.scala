@@ -107,9 +107,34 @@ object WriteConstraints {
     else staged.getOrElseUpdate(cacheKey, fresh())
   }
 
+  /** One micro-batch through the same gate — k27's split compiled
+    * from the SAME rules, landed under the batch's own `data/b<id>`
+    * and `_rejected/b<id>` (idempotent overwrites — a replayed batch
+    * rewrites its two dirs and the union over batches is exactly one
+    * landing per batch). The tolerance gate refuses the BATCH, the
+    * streaming failure unit.
+    */
+  private[graft] def landBatch(rows: DataFrame, root: String,
+      batchId: Long, maxRejectPermille: Int = 200,
+      rules: Seq[Rule] = DemoRules): Unit = {
+    val (valid, quarantine) = split(rows, rules)
+    val Array(total, bad) = rows.agg(count(lit(1)),
+      count(when(!rules.map(passes).reduce(_ && _), 1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(bad * 1000L <= total * maxRejectPermille,
+      s"batch $batchId REFUSED: $bad of $total rows violate " +
+        s"constraints (> ${maxRejectPermille}‰)")
+    valid.write.mode(SaveMode.Overwrite).parquet(s"$root/data/b$batchId")
+    quarantine.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/_rejected/b$batchId")
+  }
+
+  // recursiveFileLookup serves both layouts: k27's flat landing and
+  // st21's per-batch b<id> subdirectories
   private[graft] def readTable(spark: SparkSession, root: String): DataFrame =
     spark.read
       .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .option("recursiveFileLookup", "true")
       .parquet(s"$root/data")
 
   private[graft] def readQuarantine(spark: SparkSession,
@@ -117,6 +142,7 @@ object WriteConstraints {
     spark.read
       .schema("doc_id BIGINT, lang STRING, source STRING, " +
         "n_chars BIGINT, rule STRING")
+      .option("recursiveFileLookup", "true")
       .parquet(s"$root/_rejected")
 
   /** Registered query: the data-quality REPORT a feed owner reads —

@@ -1534,4 +1534,97 @@ object StreamOps {
     q.awaitTermination()
     DeleteFiles.mergeOnRead(spark, store)
   }
+
+  private val stagedDocChunks =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The document corpus staged as 4 arrival chunks — shared by the
+    * document-feed twins (st21 constraint gate, st22 CAS ingest).
+    */
+  private def docChunkStage(spark: SparkSession, dir: String): String =
+    stagedDocChunks.getOrElseUpdate(dir, {
+      val s = graft.Staging.dir("graft_stdocs_")
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s)
+      s
+    })
+
+  private val DocChunkSchema =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** st21_stream_constraints — k27's CHECK-constraint gate run AT
+    * INGEST: the place a data-quality gate actually lives is the
+    * landing stream, where a feed that starts shipping garbage is
+    * caught on the batch that shipped it, not at the nightly batch
+    * job. Each micro-batch splits under the table's rules through
+    * the SAME shared projection k27 compiles (one code path — the
+    * gate cannot drift between deployment modes); valid rows land in
+    * the batch's own `data/b<id>`, evidence rows in
+    * `_rejected/b<id>` (idempotent overwrites — st09's replay
+    * recipe), and the per-batch tolerance gate refuses the BATCH,
+    * which is the streaming failure unit. No keyed state: the landed
+    * split IS the state (st11's pattern), and the split is
+    * row-local, so any batching of the feed folds to the same table
+    * ∪ quarantine — st21 ≡ k27 row for row (spec-pinned; SHARES
+    * k27's oracle).
+    */
+  def streamConstraints(spark: SparkSession, dir: String,
+      maxRejectPermille: Int = 200): DataFrame = {
+    import graft.sources.WriteConstraints
+    val chunks = docChunkStage(spark, dir)
+    val root = graft.Staging.dir("graft_st21_") + "/table"
+    val src = spark.readStream
+      .schema(DocChunkSchema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(chunks)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        WriteConstraints.landBatch(spread(batch), root, batchId,
+          maxRejectPermille)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    WriteConstraints.reportFor(spark, root)
+  }
+
+  /** st22_stream_blob_ingest — m08's content-addressed admission as
+    * the LIVE ingest it deploys as: media blobs arrive continuously
+    * and the store must admit each batch's NOVEL content only,
+    * without ever scanning payloads it already holds. Per
+    * micro-batch: digest map-side, LEFT ANTI against the stored
+    * digest column (metadata-scale probe), land the batch's novel
+    * blobs under its own `blobs/b<id>` and its refs under
+    * `refs/b<id>` — both idempotent overwrites, and the CAS
+    * admission is idempotent by SEMANTICS too (a replayed batch's
+    * digests are all stored by its own prior landing... and the
+    * anti-join is computed against OTHER batches' dirs, so the
+    * b<id> overwrite alone carries replay safety). Cross-batch
+    * dedup is the content address itself: a re-post arriving ten
+    * batches later probes the same digest column and lands nothing.
+    * Final accounting ≡ batch m08 (spec-pinned; SHARES m08's
+    * oracle), and the blob tree holds each digest exactly once
+    * across every batch (spec-pinned).
+    */
+  def streamBlobIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BlobStore
+    val chunks = docChunkStage(spark, dir)
+    val root = graft.Staging.dir("graft_st22_") + "/cas"
+    val src = spark.readStream
+      .schema(DocChunkSchema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(chunks)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BlobStore.ingestBatch(spread(batch), root, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    BlobStore.accountingFor(spark, root)
+  }
 }

@@ -643,4 +643,45 @@ class PropertySpec extends AnyFunSuite {
       got == ref
     }, n = 6)
   }
+
+  test("p16 property: permutation replays in-memory and stays shuffle-grade") {
+    import spark.implicits._
+    val P = 1000000007L
+    val K = BigInt(2654435761L)
+    def mix(id: Long, salt: Long): Long = {
+      val h = ((BigInt(id).mod(P) + salt).mod(P) * K).mod(P)
+      ((h * h).mod(P) + h).mod(P).toLong
+    }
+    val genIds = for {
+      start <- Gen.choose(0L, 1000000L)
+      n <- Gen.choose(120, 400)
+      stride <- Gen.oneOf(1L, 1L, 7L) // mostly contiguous — the
+      // ingest-order case the decorrelation claim is about
+    } yield (0 until n).map(i => start + i * stride)
+    check("p16", Prop.forAll(genIds) { ids =>
+      val docs = ids.map(id => (id, "x", "s", 1L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      val got = graft.operators.Corpus.shardShuffle(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // in-memory replay: shard + rank under the same arithmetic
+      val ref = ids
+        .map(id => (mix(id, 5711L) % 8, mix(id, 8231L), id))
+        .groupBy(_._1)
+        .flatMap { case (shard, rows) =>
+          rows.sortBy(r => (r._2, r._3)).zipWithIndex
+            .map { case ((_, _, id), i) => (shard, i + 1L, id) }
+        }.toSet
+      val exact = got.toSet == ref && got.length == ids.length
+      // shuffle-grade on contiguous ids: adjacent ascents near 1/2
+      // (bound loose: small shards are noisy; the affine chain this
+      // replaced measured 0.17)
+      val (asc, tot) = got.groupBy(_._1).values.map { sh =>
+        val seq = sh.sortBy(_._2).map(_._3)
+        val pairs = seq.sliding(2).filter(_.length == 2).toSeq
+        (pairs.count(p => p(1) > p(0)), pairs.length)
+      }.foldLeft((0, 0))((a, b) => (a._1 + b._1, a._2 + b._2))
+      val frac = if (tot == 0) 0.5 else asc.toDouble / tot
+      exact && frac > 0.30 && frac < 0.70
+    }, n = 6)
+  }
 }

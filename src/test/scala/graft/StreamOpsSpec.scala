@@ -430,6 +430,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(commits === 1, "a replayed batch must own ONE commit dir")
   }
 
+  test("st21: streamed constraint gate equals batch k27 exactly") {
+    val stream = SparkEntry.queries("st21_stream_constraints")(spark, sf)
+      .collect()
+    val batch = SparkEntry.queries("k27_write_constraints")(spark, sf)
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("st22: streamed CAS ingest equals batch m08; blobs stay unique") {
+    val stream = SparkEntry.queries("st22_stream_blob_ingest")(spark, sf)
+      .collect()
+    val batch = SparkEntry.queries("m08_blob_store")(spark, sf)
+      .collect()
+    assert(stream.nonEmpty)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("st22: a replayed ingest batch rewrites; cross-batch CAS holds") {
+    import graft.sources.BlobStore
+    import spark.implicits._
+    val root = graft.Staging.dir("graft_st22_replay_") + "/cas"
+    val b0 = Seq((1L, "web", "shared"), (2L, "web", "only-b0"))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((3L, "forum", "shared"), (4L, "forum", "only-b1"))
+      .toDF("doc_id", "source", "text")
+    BlobStore.ingestBatch(b0, root, 0L)
+    BlobStore.ingestBatch(b1, root, 1L)
+    val blobs = BlobStore.readBlobs(spark, root)
+    // cross-batch CAS: "shared" landed once (in b0), never in b1
+    assert(blobs.count() === 3L)
+    assert(blobs.count() === blobs.select("digest").distinct().count())
+    // replay batch 1: rewrites its own dirs, store unchanged
+    BlobStore.ingestBatch(b1, root, 1L)
+    val after = BlobStore.readBlobs(spark, root)
+    assert(after.count() === 3L)
+    assert(after.select("digest").distinct().count() === 3L)
+    // and every doc still reconstructs
+    val got = BlobStore.fetch(spark, root, Seq(1L, 2L, 3L, 4L).toDF("doc_id"))
+      .collect().map(r => (r.getLong(0),
+        new String(r.getAs[Array[Byte]](1), "UTF-8"))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "shared"), (2L, "only-b0"),
+      (3L, "shared"), (4L, "only-b1")))
+  }
+
   test("st19: outer stream-stream join equals the batch LEFT JOIN") {
     val stream = StreamOps.streamStreamOuterJoin(spark, sf).collect()
     val ev = Tables.events(spark, sf)
