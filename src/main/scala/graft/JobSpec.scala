@@ -226,6 +226,11 @@ object JobSpec {
           horizonHours = j.long("horizonHours", 24L),
           delay = j.str("delay", "1 hour"),
           statePartitions = j.int("statePartitions", 8)))),
+    "st23_stream_session_timers" -> ((s, d, j) =>
+      checked(j, "gapSeconds", "statePartitions")(
+        streaming.StreamOps.streamSessionTimers(s, d,
+          gapSeconds = j.long("gapSeconds", 1800L),
+          statePartitions = j.int("statePartitions", 8)))),
     // k27: the table's invariants ARE the config — rules arrive as
     // rule.<name> = <boolean SQL> repeated fields (p04's idiom), the
     // tolerance as a permille dial. Dial-scoped cacheKey: two rule

@@ -361,6 +361,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamConstraints(s, d)),
     "st22_stream_blob_ingest" -> ((s, d) =>
       graft.streaming.StreamOps.streamBlobIngest(s, d)),
+    "st23_stream_session_timers" -> ((s, d) =>
+      graft.streaming.StreamOps.streamSessionTimers(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3457,6 +3459,10 @@ object SparkEntry {
            FROM documents
            WHERE coalesce(n_chars >= 100, false) AND doc_id IS NOT NULL)
          WHERE n_rows > 0""",
+    // st23: a projection of q16/st02's shared sessionize CTE — the
+    // timer-driven boundary set must equal the batch session ends.
+    "st23_stream_session_timers" ->
+      s"""SELECT user_id, session_end_us FROM ($sessionizeSql)""",
     // st22: shares m08's oracle — content addressing makes the
     // admission batching-invariant.
     "st22_stream_blob_ingest" ->

@@ -1627,4 +1627,138 @@ object StreamOps {
     q.awaitTermination()
     BlobStore.accountingFor(spark, root)
   }
+
+  /** Typed input/output rows for st23 (the timestamp column stays a
+    * Timestamp through the encoder — the watermark rides it).
+    */
+  final case class EvTs(user_id: Long, ts: java.sql.Timestamp)
+
+  final case class SessionEndRow(user_id: Long, session_end_us: Long)
+
+  /** The st23 processor: one `ValueState` long per user (the open
+    * session's last event time) + ONE registered event-time timer
+    * per user (re-registered as the session extends). Session ends
+    * are emitted from BOTH edges of the same rule: inline, when an
+    * arriving event observes a gap > gapUs against the carried last
+    * (mid-stream ends), and from `handleExpiredTimer`, when the
+    * WATERMARK passes last+gap (the session that ends because the
+    * user went quiet — the edge no arriving row ever observes). A
+    * fired timer validates itself against the current state
+    * (expiry == last+gap) so a timer made stale by a session
+    * extension or an inline end is ignored, never double-emitted.
+    */
+  private class SessionEndProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvTs, SessionEndRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var lastTs: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    // timers live in WATERMARK ms; session times in event us. Ceil
+    // to the next ms so a timer can never fire before its session's
+    // true expiry.
+    private def expiryMs(tsUs: Long): Long = (tsUs + gapUs) / 1000L + 1L
+    private def usOf(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    override def handleInputRows(user: Long, rows: Iterator[EvTs],
+        tv: TimerValues): Iterator[SessionEndRow] = {
+      val sorted = rows.map(e => usOf(e.ts)).toArray.sorted
+      if (sorted.isEmpty) return Iterator.empty
+      val prev = if (lastTs.exists()) Some(lastTs.get()) else None
+      var last = prev.getOrElse(Long.MinValue)
+      val out = Vector.newBuilder[SessionEndRow]
+      sorted.foreach { ts =>
+        if (last != Long.MinValue && ts - last > gapUs)
+          out += SessionEndRow(user, last) // q16's strict-gap rule
+        if (ts > last) last = ts
+      }
+      if (prev.forall(_ != last)) {
+        prev.foreach(p => getHandle.deleteTimer(expiryMs(p)))
+        getHandle.registerTimer(expiryMs(last))
+        lastTs.update(last)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionEndRow] = {
+      if (lastTs.exists() &&
+        expiryMs(lastTs.get()) == info.getExpiryTimeInMs) {
+        val endUs = lastTs.get()
+        lastTs.clear()
+        Iterator.single(SessionEndRow(user, endUs))
+      } else Iterator.empty // stale: the session moved on
+    }
+  }
+
+  /** st23_stream_session_timers — q16's session BOUNDARIES detected
+    * live with Spark 4's `transformWithState`, the modern
+    * arbitrary-state API (typed `ValueState` + REGISTERED EVENT-TIME
+    * TIMERS, RocksDB-backed): the "user went quiet" alert that
+    * st02's batch-flush sessionizer cannot emit mid-stream, because
+    * no arriving row ever witnesses the last session's gap — only
+    * the watermark does, and timers are how an operator asks the
+    * watermark to call back. st02 keeps the full session aggregate;
+    * st23 deliberately keeps ONE long per user and emits the
+    * boundary the moment it is knowable: inline when a later event
+    * reveals the gap, by timer when silence does. The union of both
+    * edges is exactly q16's (user, session_end) set, so the oracle
+    * is a projection of the shared sessionize CTE (spec pins the
+    * equality; the far-future sentinel flushes the final timers on
+    * the finite harness — st02's move, st19's staging).
+    *
+    * Scale: state is 8 bytes + one timer per ACTIVE user (RocksDB
+    * keeps it off-heap); each batch touches only arriving users;
+    * timers fire in bulk as the watermark sweeps — a 24/7 inactivity
+    * monitor over any user cardinality a state store holds.
+    */
+  def streamSessionTimers(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val schema = graft.Tables.events(spark, dir).schema
+    val stage = sentinelEventStage(spark, dir, "click", "purchase")
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(s"$stage/f*")
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[EvTs]
+    val ends = src
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionEndProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val sink = s"st23_mem_${System.nanoTime()}"
+    // transformWithState requires the RocksDB state store; the
+    // partition sizing is st18's dial. Both confs are captured by
+    // the stream's cloned session at start and restored for the
+    // rest of the engine immediately.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val q =
+      try ends.toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(p) => spark.conf.set(provKey, p)
+          case None => spark.conf.unset(provKey)
+        }
+      }
+    q.awaitTermination()
+    spark.table(sink)
+      .filter(col("user_id") >= 0) // drop the sentinel's open session
+      .select(col("user_id"), col("session_end_us"))
+  }
 }

@@ -430,6 +430,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(commits === 1, "a replayed batch must own ONE commit dir")
   }
 
+  test("st23: timer-driven session ends equal batch q16's boundaries") {
+    val stream = StreamOps.streamSessionTimers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = SparkEntry.queries("q16_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_end_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq,
+      "inline + timer emissions must union to exactly the batch ends")
+    // both emission edges fired: every user has a final (timer-only)
+    // session, and mid-stream gaps exist in this corpus, so the end
+    // count must exceed the user count
+    val users = stream.map(_._1).distinct.length
+    assert(stream.length > users,
+      "expected inline (mid-stream) ends beyond the per-user timer end")
+  }
+
   test("st21: streamed constraint gate equals batch k27 exactly") {
     val stream = SparkEntry.queries("st21_stream_constraints")(spark, sf)
       .collect()
