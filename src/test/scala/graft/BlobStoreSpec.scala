@@ -37,7 +37,12 @@ class BlobStoreSpec extends AnyFunSuite {
   test("m08: re-ingesting the whole corpus lands ZERO new blobs") {
     import org.apache.spark.sql.DataFrame
     val docs = Tables.documents(spark, sf)
-    val root = BlobStore.stage(docs, cacheKey = sf)
+    // own root, NOT the cacheKey-memoized one: this test MUTATES the
+    // store (the replay appends a refs landing), and the memoized
+    // artifact is the registered m08 query's — poisoning it here
+    // breaks any later spec that compares against m08 (st22's twin
+    // equality did exactly that in the full-suite order)
+    val root = BlobStore.stage(docs)
     val before = BlobStore.readBlobs(spark, root).count()
     val rows: DataFrame = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
