@@ -58,13 +58,18 @@ object PartitionEvolution {
       val root = graft.Staging.dir("graft_k26_") + "/store"
       val rows = documents
         .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
-      rows.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
+      // NULL doc_id must land in exactly one generation: a bare
+      // pmod(null) =!= 0 / === 0 pair satisfies NEITHER predicate and
+      // silently drops the row from the store (k12's null-key lesson
+      // at routing time) — coalesce pins null keys to g2.
+      val gen = coalesce(pmod(col("doc_id"), lit(3L)), lit(0L))
+      rows.filter(gen =!= 0L)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("lang")
         .parquet(s"$root/g1")
       writeSpec(spark, root, 1, Seq("lang"))
       // ---- evolution: zero data files touched ----
-      rows.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      rows.filter(gen === 0L)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("lang", "source")
         .parquet(s"$root/g2")

@@ -1365,34 +1365,52 @@ object StreamOps {
     * partitions × 4, and the partitioning is baked into the
     * checkpoint at first start (measured: the inherited 32 cost 3×
     * the sized 8 at sf0.1 — pure state-commit floor, not join work;
-    * a 100 TB 24/7 job sizes it to its executor cores). The stream
-    * clones the session at start, so the conf flip is scoped to the
-    * clone and restored immediately for everyone else.
+    * a 100 TB 24/7 job sizes it to its executor cores). The conf
+    * flip happens on an isolated CHILD session (childSession), never
+    * set-then-restored on the caller's — a query planned concurrently
+    * on the shared session must not inherit the stream's sizing.
     */
-  private def runJoinStream(spark: SparkSession, joined: DataFrame,
+  private def runJoinStream(spark: SparkSession,
+      mkJoined: SparkSession => DataFrame,
       sinkPrefix: String, statePartitions: Int): DataFrame = {
     val sink = s"${sinkPrefix}_${System.nanoTime()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    val q =
-      try joined.writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val child = childSession(spark)
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val q = mkJoined(child).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(sink)
+    child.table(sink)
+  }
+
+  /** An isolated session for per-stream conf flips: shares the
+    * SparkContext (and thus all staged files and the memory-sink
+    * catalog reachability through the returned DataFrame), starts
+    * from `newSession`'s SparkConf defaults, then copies the
+    * parent's MODIFIABLE runtime confs so a spec's session-scoped
+    * settings (timezone, broadcast threshold) carry over. The child
+    * is where a stream sizes its state partitioning or swaps the
+    * state-store provider — the shared session never sees either.
+    */
+  private def childSession(spark: SparkSession): SparkSession = {
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (child.conf.isModifiable(k)) child.conf.set(k, v)
+    }
+    child
   }
 
   def streamStreamJoin(spark: SparkSession, dir: String,
       horizonHours: Long = 24L, delay: String = "1 hour",
       clickType: String = "click", purchaseType: String = "purchase",
       statePartitions: Int = 8): DataFrame = {
-    val joined = streamJoinSides(spark, dir, horizonHours, delay,
-      clickType, purchaseType, "inner")
-    runJoinStream(spark, joined, "st18_mem", statePartitions).select(
+    runJoinStream(spark,
+      s => streamJoinSides(s, dir, horizonHours, delay,
+        clickType, purchaseType, "inner"),
+      "st18_mem", statePartitions).select(
       col("p_id").as("purchase_id"),
       col("c_id").as("click_id"),
       col("p_user").as("user_id"),
@@ -1421,7 +1439,12 @@ object StreamOps {
     */
   private def sentinelEventStage(spark: SparkSession, dir: String,
       clickType: String, purchaseType: String): String =
-    stagedSentinelEvents.getOrElseUpdate(dir, {
+    // keyed on the full parameterization (dialKey's discipline): the
+    // sentinel rows carry the event TYPES, so a stage memoized by dir
+    // alone would hand a ('click','purchase') sentinel to a join over
+    // different types — that side's watermark would stall at its last
+    // real event and the final horizon's unmatched rows never emit
+    stagedSentinelEvents.getOrElseUpdate(s"$dir|$clickType|$purchaseType", {
       val ordered = orderedEventStage(spark, dir)
       val s = graft.Staging.dir("graft_st19_")
       val fs = new org.apache.hadoop.fs.Path(s)
@@ -1469,9 +1492,10 @@ object StreamOps {
       horizonHours: Long = 24L, delay: String = "1 hour",
       clickType: String = "click", purchaseType: String = "purchase",
       statePartitions: Int = 8): DataFrame = {
-    val joined = streamJoinSides(spark, dir, horizonHours, delay,
-      clickType, purchaseType, "left_outer", sentinel = true)
-    runJoinStream(spark, joined, "st19_mem", statePartitions)
+    runJoinStream(spark,
+      s => streamJoinSides(s, dir, horizonHours, delay,
+        clickType, purchaseType, "left_outer", sentinel = true),
+      "st19_mem", statePartitions)
       .filter(col("c_user") >= 0 &&
         (col("p_user").isNull || col("p_user") >= 0))
       .select(
@@ -1716,11 +1740,20 @@ object StreamOps {
     */
   def streamSessionTimers(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val schema = graft.Tables.events(spark, dir).schema
     val stage = sentinelEventStage(spark, dir, "click", "purchase")
-    val src = spark.readStream
+    // transformWithState requires the RocksDB state store; the
+    // partition sizing is st18's dial. Both confs live on an
+    // isolated child session (childSession) so nothing planned
+    // concurrently on the shared session inherits them.
+    val child = childSession(spark)
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    import child.implicits._
+    val src = child.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(s"$stage/f*")
@@ -1732,32 +1765,14 @@ object StreamOps {
       .transformWithState(new SessionEndProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
     val sink = s"st23_mem_${System.nanoTime()}"
-    // transformWithState requires the RocksDB state store; the
-    // partition sizing is st18's dial. Both confs are captured by
-    // the stream's cloned session at start and restored for the
-    // rest of the engine immediately.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    val q =
-      try ends.toDF().writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(sink)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevProv match {
-          case Some(p) => spark.conf.set(provKey, p)
-          case None => spark.conf.unset(provKey)
-        }
-      }
+    val q = ends.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
-    spark.table(sink)
+    child.table(sink)
       .filter(col("user_id") >= 0) // drop the sentinel's open session
       .select(col("user_id"), col("session_end_us"))
   }
