@@ -31,6 +31,8 @@ object JobSpec {
     def long(key: String, default: Long): Long = get(key, default)(_.toLong)
     def double(key: String, default: Double): Double =
       get(key, default)(_.toDouble)
+    def bool(key: String, default: Boolean): Boolean =
+      get(key, default)(_.toBoolean)
   }
 
   /** Parse a JSONL job spec. Columns beyond (op, params) are ignored;
@@ -61,17 +63,24 @@ object JobSpec {
       checked(j, "binSeconds")(operators.Pipeline.peakDetect(
         Tables.events(s, d),
         binSeconds = j.long("binSeconds", 3600L)))),
+    // perType=false is the legacy whole-store caller (one __all__
+    // group — the single-partition window cost becomes the dial's
+    // explicit choice)
     "q21_peak_local" -> ((s, d, j) =>
-      checked(j, "binSeconds", "k", "z")(operators.Pipeline.peakDetectLocal(
-        Tables.events(s, d),
-        binSeconds = j.long("binSeconds", 3600L),
-        k = j.int("k", 12), z = j.double("z", 2.0)))),
+      checked(j, "binSeconds", "k", "z", "perType")(
+        operators.Pipeline.peakDetectLocal(
+          Tables.events(s, d),
+          binSeconds = j.long("binSeconds", 3600L),
+          k = j.int("k", 12), z = j.double("z", 2.0),
+          perType = j.bool("perType", true)))),
     // the macs2-q analog: the FDR ceiling is the headline dial
     "q24_peak_fdr" -> ((s, d, j) =>
-      checked(j, "binSeconds", "k", "qMax")(operators.Pipeline.peakFdr(
-        Tables.events(s, d),
-        binSeconds = j.long("binSeconds", 3600L),
-        k = j.int("k", 12), qMax = j.double("qMax", 0.01)))),
+      checked(j, "binSeconds", "k", "qMax", "perType")(
+        operators.Pipeline.peakFdr(
+          Tables.events(s, d),
+          binSeconds = j.long("binSeconds", 3600L),
+          k = j.int("k", 12), qMax = j.double("qMax", 0.01),
+          perType = j.bool("perType", true)))),
     "q06_range_filter" -> ((s, d, j) =>
       checked(j, "lo", "hi")(operators.Relational.rangeFilter(
         Tables.lineitem(s, d),

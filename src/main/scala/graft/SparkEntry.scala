@@ -363,6 +363,9 @@ object SparkEntry {
       graft.streaming.StreamOps.streamBlobIngest(s, d)),
     "st23_stream_session_timers" -> ((s, d) =>
       graft.streaming.StreamOps.streamSessionTimers(s, d)),
+    "k28_change_feed" -> ((s, d) =>
+      graft.sources.TimeTravel.changeFeed(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -517,6 +520,31 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_upserted
          FROM vs GROUP BY 1, 2"""
+
+  /** k28: the v1→v2 change feed — the engine derives it from the
+    * manifest diff + the two changed trees; the oracle states the
+    * CONTRACT as the full relational diff of the two states (the
+    * outer-join d11 shape): rows present on one side only are
+    * inserts/deletes, rows whose text differs are updates, equal
+    * rows never appear. −1 encodes "no row on this side" (keeps the
+    * length columns integer-typed through the compare).
+    */
+  private val k28Sql: String =
+    s"""WITH $k12Ctes
+       SELECT CASE WHEN b.doc_id IS NULL THEN 'insert'
+                   WHEN m.doc_id IS NULL THEN 'delete'
+                   ELSE 'update' END AS op,
+              coalesce(b.doc_id, m.doc_id) AS doc_id,
+              coalesce(b.lang, m.lang) AS lang,
+              CAST(coalesce(length(b.text), -1) AS BIGINT)
+                AS chars_before,
+              CAST(coalesce(length(m.text), -1) AS BIGINT)
+                AS chars_after
+       FROM base b FULL OUTER JOIN merged m
+         ON b.doc_id = m.doc_id
+        AND b.lang IS NOT DISTINCT FROM m.lang
+       WHERE b.doc_id IS NULL OR m.doc_id IS NULL
+          OR b.text IS DISTINCT FROM m.text"""
 
   /** k21: v1 = the pre-image, v2 = the bad commit (k12's post-apply
     * state), v3 = the RESTORE — which must summarize identically to
@@ -1662,25 +1690,33 @@ object SparkEntry {
                 max(CASE WHEN rk = 1 THEN bin_id END) - min(bin_id)
                   AS summit_offset
          FROM rk GROUP BY island""",
+    // q21 runs PER event_type (round 14: q40's per-type recipe, so
+    // the local-λ/rank windows are partitioned — no one-task funnel
+    // on a multi-year bin table); the oracle partitions identically.
     "q21_peak_local" ->
       """WITH bins AS (
-           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
+           SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
                   count(*) AS n
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
          loc AS (
-           SELECT bin_id, n,
-                  avg(n) OVER (ORDER BY bin_id
+           SELECT event_type, bin_id, n,
+                  avg(n) OVER (PARTITION BY event_type ORDER BY bin_id
                     RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS lam
            FROM bins),
          enriched AS (
-           SELECT bin_id, n FROM loc WHERE n > lam + 2 * sqrt(lam)),
+           SELECT event_type, bin_id, n
+           FROM loc WHERE n > lam + 2 * sqrt(lam)),
          islands AS (
-           SELECT bin_id, n,
-                  bin_id - row_number() OVER (ORDER BY bin_id) AS island
+           SELECT event_type, bin_id, n,
+                  bin_id - row_number() OVER (
+                    PARTITION BY event_type ORDER BY bin_id) AS island
            FROM enriched)
-         SELECT min(bin_id) AS peak_start, max(bin_id) AS peak_end,
+         SELECT event_type, min(bin_id) AS peak_start,
+                max(bin_id) AS peak_end,
                 count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS total_events
-         FROM islands GROUP BY island""",
+         FROM islands GROUP BY event_type, island""",
     // q24: the recursive CTE replays the ENGINE's exact Poisson-CDF
     // term recurrence (one multiply, divide, add per step, ascending
     // i, 4096-term cap) so the p-values agree bit-for-bit except for
@@ -1690,47 +1726,62 @@ object SparkEntry {
     // spec-tested on a planted burst; on the Poisson-null events
     // tables it rightly calls zero peaks, which would be a vacuous
     // oracle row set).
+    // Round 14: FDR is controlled PER event_type (per-chromosome
+    // convention), so λ/rank/BH windows all partition by it and the
+    // top-25 board is per type; the type joins in the recursive CTE
+    // are null-safe (a NULL event_type is a legitimate group).
     "q24_peak_fdr" ->
       """WITH RECURSIVE bins AS (
-           SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
+           SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bin_id,
                   count(*) AS n
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
          lam_bins AS (
-           SELECT bin_id, n,
-                  greatest(avg(n) OVER (),
-                           avg(n) OVER (ORDER BY bin_id
+           SELECT event_type, bin_id, n,
+                  greatest(avg(n) OVER (PARTITION BY event_type),
+                           avg(n) OVER (PARTITION BY event_type
+                             ORDER BY bin_id
                              RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING))
                     AS lam,
                   least(n - 1, 4096) AS imax
            FROM bins),
-         cdf(bin_id, i, term, acc) AS (
-           SELECT bin_id, CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE),
-                  CAST(1.0 AS DOUBLE)
+         cdf(event_type, bin_id, i, term, acc) AS (
+           SELECT event_type, bin_id, CAST(1 AS BIGINT),
+                  CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
            FROM lam_bins
            UNION ALL
-           SELECT c.bin_id, c.i + 1, c.term * b.lam / c.i,
+           SELECT c.event_type, c.bin_id, c.i + 1, c.term * b.lam / c.i,
                   c.acc + c.term * b.lam / c.i
-           FROM cdf c JOIN lam_bins b USING (bin_id)
+           FROM cdf c JOIN lam_bins b
+             ON b.event_type IS NOT DISTINCT FROM c.event_type
+            AND b.bin_id = c.bin_id
            WHERE c.i <= b.imax),
          pvals AS (
-           SELECT b.bin_id, b.n, 1.0 - exp(-b.lam) * c.acc AS p
+           SELECT b.event_type, b.bin_id, b.n,
+                  1.0 - exp(-b.lam) * c.acc AS p
            FROM lam_bins b JOIN cdf c
-             ON c.bin_id = b.bin_id AND c.i = b.imax + 1),
+             ON c.event_type IS NOT DISTINCT FROM b.event_type
+            AND c.bin_id = b.bin_id AND c.i = b.imax + 1),
          ranked AS (
-           SELECT bin_id, n, p,
-                  row_number() OVER (ORDER BY p, bin_id) AS rnk,
-                  count(*) OVER () AS m
+           SELECT event_type, bin_id, n, p,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY p, bin_id) AS rnk,
+                  count(*) OVER (PARTITION BY event_type) AS m
            FROM pvals),
          bh AS (
-           SELECT bin_id, n,
-                  min(p * m / rnk) OVER (ORDER BY rnk
+           SELECT event_type, bin_id, n,
+                  min(p * m / rnk) OVER (PARTITION BY event_type
+                    ORDER BY rnk
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
            FROM ranked),
          sel AS (
-           SELECT row_number() OVER (ORDER BY q, bin_id) AS sig_rank,
+           SELECT event_type,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY q, bin_id) AS sig_rank,
                   bin_id, n, q
            FROM bh)
-         SELECT sig_rank, bin_id, n, round(q, 4) AS qval
+         SELECT event_type, sig_rank, bin_id, n, round(q, 4) AS qval
          FROM sel WHERE sig_rank <= 25""",
     "q22_incremental" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
@@ -3041,6 +3092,11 @@ object SparkEntry {
     // k24: schema is commit-log state — v3 carries quality exactly on
     // its rewritten partitions, older versions not at all.
     "k24_schema_evolution" -> k24Sql,
+    // k28: the engine reads ONLY the manifest-diffed partitions; the
+    // oracle replays the contract as the full base⋈merged outer-join
+    // diff — identical rows (and untouched partitions) appear in
+    // neither.
+    "k28_change_feed" -> k28Sql,
     // k11: the oracle recomputes BOTH manifest sides from the
     // original table — the delivered side replays the simulated
     // drop predicates (pure arithmetic on source/doc_id), so

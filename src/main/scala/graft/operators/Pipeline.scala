@@ -337,28 +337,40 @@ object Pipeline {
     *
     * At 100× data with regional baseline drift this keeps calling the
     * same local spikes where the global mean+2σ threshold would call
-    * entire elevated regions. The windows run on #bins rows
-    * (post-aggregation, bounded by time-range/binSeconds), so the
-    * single-partition frame is safe at any event count — same
-    * argument as q12.
+    * entire elevated regions.
+    *
+    * The caller runs PER event_type (the chromosome analog — q40's
+    * recipe), so every window is PARTITIONED: the bin table is
+    * #types × (time-range/binSeconds) rows, and per-type it is the
+    * bounded post-aggregation cardinality q12 argues from — but a
+    * multi-year event store at fine bins grows the GLOBAL bin count
+    * without bound, and a partition-less window would funnel all of
+    * it through one task. `perType = false` is the legacy
+    * whole-store dial (all rows under one `__all__` key — the
+    * single-partition cost is then the dial's explicit choice).
     */
   def peakDetectLocal(events: DataFrame, binSeconds: Long = 3600L,
-      k: Int = 12, z: Double = 2.0): DataFrame = {
+      k: Int = 12, z: Double = 2.0, perType: Boolean = true): DataFrame = {
+    val typ = if (perType) col("event_type")
+      else lit("__all__").as("event_type")
     val bins = events
-      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
-        .cast("long").as("bin_id"))
-      .groupBy(col("bin_id"))
+      .select(typ.as("event_type"),
+        floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+          .cast("long").as("bin_id"))
+      .groupBy(col("event_type"), col("bin_id"))
       .agg(count(lit(1)).as("n"))
-    val local = Window.orderBy(col("bin_id")).rangeBetween(-k, k)
+    val local = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin_id")).rangeBetween(-k, k)
     // lambda is an exact-int-sum / count double on both engines, and
     // sqrt is IEEE — the enrichment compare is bit-deterministic.
     val enriched = bins
       .withColumn("lam", avg(col("n")).over(local))
       .filter(col("n") > col("lam") + lit(z) * sqrt(col("lam")))
-    val byBin = Window.partitionBy().orderBy(col("bin_id"))
+    val byBin = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin_id"))
     enriched
       .withColumn("island", col("bin_id") - row_number().over(byBin))
-      .groupBy(col("island"))
+      .groupBy(col("event_type"), col("island"))
       .agg(
         min(col("bin_id")).as("peak_start"),
         max(col("bin_id")).as("peak_end"),
@@ -396,22 +408,28 @@ object Pipeline {
     * as q12/q21.
     *
     * BH: rank bins by (p, bin_id), q = running min of p·m/rank from
-    * the tail (the standard step-up), keep q ≤ qMax. The windows are
-    * single-partition but #bins-sized, bounded by
-    * time-range/binSeconds.
+    * the tail (the standard step-up), keep q ≤ qMax. FDR is
+    * controlled PER event_type (the per-chromosome convention) so
+    * every rank/BH window is partitioned — the whole-store variant
+    * is the `perType = false` dial (see peakDetectLocal's scale
+    * note; the partition-less funnel is then an explicit choice).
     */
   /** Per-bin BH q-values — the shared Poisson+FDR core of
-    * peakFdr/peakFdrCandidates. Returns (bin_id, n, qv).
+    * peakFdr/peakFdrCandidates. Returns (event_type, bin_id, n, qv).
     */
   private def binQvals(events: DataFrame, binSeconds: Long,
-      k: Int): DataFrame = {
+      k: Int, perType: Boolean): DataFrame = {
+    val typ = if (perType) col("event_type")
+      else lit("__all__").as("event_type")
     val bins = events
-      .select(floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
-        .cast("long").as("bin_id"))
-      .groupBy(col("bin_id"))
+      .select(typ.as("event_type"),
+        floor(graft.Tables.epochUs(col("ts")) / (binSeconds * 1000000L))
+          .cast("long").as("bin_id"))
+      .groupBy(col("event_type"), col("bin_id"))
       .agg(count(lit(1)).as("n"))
-    val all = Window.partitionBy()
-    val local = Window.orderBy(col("bin_id")).rangeBetween(-k, k)
+    val all = Window.partitionBy(col("event_type"))
+    val local = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin_id")).rangeBetween(-k, k)
     val withLam = bins.withColumn("lam",
       greatest(avg(col("n")).over(all), avg(col("n")).over(local)))
     val cdfSum = when(col("n") >= 2,
@@ -423,24 +441,27 @@ object Pipeline {
           (s.getField("acc") + s.getField("term") * col("lam") / i)
             .as("acc")),
         s => s.getField("acc"))).otherwise(lit(1.0))
-    val rankW = Window.orderBy(col("p").asc, col("bin_id").asc)
-    val bhW = Window.orderBy(col("rnk"))
+    val rankW = Window.partitionBy(col("event_type"))
+      .orderBy(col("p").asc, col("bin_id").asc)
+    val bhW = Window.partitionBy(col("event_type")).orderBy(col("rnk"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     withLam
       .withColumn("p", lit(1.0) - exp(-col("lam")) * cdfSum)
       .withColumn("rnk", row_number().over(rankW))
       .withColumn("m", count(lit(1)).over(all))
       .withColumn("qv", min(col("p") * col("m") / col("rnk")).over(bhW))
-      .select(col("bin_id"), col("n"), col("qv"))
+      .select(col("event_type"), col("bin_id"), col("n"), col("qv"))
   }
 
   def peakFdr(events: DataFrame, binSeconds: Long = 3600L,
-      k: Int = 12, qMax: Double = 0.01): DataFrame = {
-    val byBin = Window.partitionBy().orderBy(col("bin_id"))
-    binQvals(events, binSeconds, k)
+      k: Int = 12, qMax: Double = 0.01,
+      perType: Boolean = true): DataFrame = {
+    val byBin = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin_id"))
+    binQvals(events, binSeconds, k, perType)
       .filter(col("qv") <= qMax)
       .withColumn("island", col("bin_id") - row_number().over(byBin))
-      .groupBy(col("island"))
+      .groupBy(col("event_type"), col("island"))
       .agg(
         min(col("bin_id")).as("peak_start"),
         max(col("bin_id")).as("peak_end"),
@@ -461,13 +482,15 @@ object Pipeline {
     * on a planted burst where the peak provably exists.
     */
   def peakFdrCandidates(events: DataFrame, binSeconds: Long = 3600L,
-      k: Int = 12, topN: Int = 25): DataFrame = {
-    val sigW = Window.orderBy(col("qv").asc, col("bin_id").asc)
-    binQvals(events, binSeconds, k)
+      k: Int = 12, topN: Int = 25,
+      perType: Boolean = true): DataFrame = {
+    val sigW = Window.partitionBy(col("event_type"))
+      .orderBy(col("qv").asc, col("bin_id").asc)
+    binQvals(events, binSeconds, k, perType)
       .withColumn("sig_rank", row_number().over(sigW).cast("long"))
       .filter(col("sig_rank") <= topN)
-      .select(col("sig_rank"), col("bin_id"), col("n"),
-        round(col("qv"), 4).as("qval"))
+      .select(col("event_type"), col("sig_rank"), col("bin_id"),
+        col("n"), round(col("qv"), 4).as("qval"))
   }
 
   /** q23_interval_file — q11's interval count with the annotation

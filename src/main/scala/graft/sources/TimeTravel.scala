@@ -169,12 +169,21 @@ object TimeTravel {
     * an evolved column surface it as NULL.
     */
   def readAt(spark: SparkSession, dir: String,
-      version: Int): DataFrame = {
-    val ddl = schemaAt(spark, dir, version)
-    val manifest = readManifest(spark, dir, version)
-    manifest.groupBy(r => (Option(r.base).getOrElse(dir), r.commit))
-      .toSeq.sortBy(_._1).map { case ((root, commit), rows) =>
-      val paths = rows.map(r => s"$root/$commit/${langDir(r.lang)}")
+      version: Int): DataFrame =
+    readManifestRows(spark, dir, readManifest(spark, dir, version),
+      schemaAt(spark, dir, version))
+
+  /** Scan exactly the partition trees `rows` reference, under `ddl`
+    * — readAt's body, factored so the change feed can scan a
+    * manifest SUBSET (the changed partitions) with the same
+    * explicit-path discipline: the file index lists only the listed
+    * directories, nothing else is even stat'ed.
+    */
+  private def readManifestRows(spark: SparkSession, dir: String,
+      rows: Seq[ManifestRow], ddl: String): DataFrame =
+    rows.groupBy(r => (Option(r.base).getOrElse(dir), r.commit))
+      .toSeq.sortBy(_._1).map { case ((root, commit), rs) =>
+      val paths = rs.map(r => s"$root/$commit/${langDir(r.lang)}")
       spark.read
         .option("basePath", s"$root/$commit")
         .schema(ddl)
@@ -184,7 +193,6 @@ object TimeTravel {
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-  }
 
   /** Commit 1: the demo base tree (corpus + NULL-lang shadows, see
     * PartitionUpsert.demoBase) + its manifest.
@@ -597,6 +605,122 @@ object TimeTravel {
     }
     if (cacheKey.isEmpty) fresh()
     else staged.getOrElseUpdate(cacheKey + "#k24", fresh())
+  }
+
+  // ---- k28: change-data-feed (O(delta) version-to-version read) ---
+
+  /** The change feed's output DDL: one row per key whose state
+    * differs between the two versions. chars_before/chars_after are
+    * the pre-/post-image text lengths with −1 standing for "no row
+    * on this side" (a genuine NULL would drift the oracle compare's
+    * integer dtype to float) — insert = (−1, len), delete =
+    * (len, −1), update = (len, len').
+    */
+  private[graft] val ChangeFeedSchema =
+    "op STRING, doc_id BIGINT, lang STRING, " +
+      "chars_before BIGINT, chars_after BIGINT"
+
+  /** k28_change_feed — "what changed between v_from and v_to" as an
+    * O(delta) MANIFEST-DRIVEN read: the Delta CDF / Iceberg
+    * incremental-read surface. d11 answers the same question by
+    * scanning BOTH full snapshots; but the k14 catalog already KNOWS
+    * which partitions differ — a version is a set of (lang → tree)
+    * pointers, and a partition whose pointer is identical at both
+    * versions cannot have changed (trees are immutable), so the diff
+    * never opens it. The feed's cost is the CHANGED partitions' two
+    * tree scans plus a manifest read — at 100 TB, a 2-of-40-language
+    * commit diffs in minutes-of-delta, not hours-of-table (the spec
+    * pins the scan set on actual input files: no unchanged
+    * partition's file ever enters either side).
+    *
+    * Mechanics: diff the two manifests by partition value — a lang
+    * present on one side only is a whole-partition insert/delete; a
+    * lang whose (owner, commit) tree identity changed is scanned on
+    * both sides (each under its OWN version's schema — k24) and
+    * full-outer joined on the key with the `<=>` lang discipline
+    * (k12's NULL-partition lesson). Rows equal on both sides are
+    * filtered BEFORE materialization (null-safe text compare), so
+    * the feed emits exactly the insert/update/delete set. Row
+    * identity is (doc_id, lang); change is detected on the text
+    * payload (the catalog's mutable column — latest-wins merges
+    * never rewrite `source`).
+    *
+    * Composition (spec-pinned): a k22 clone's feed scans only the
+    * diverged partitions (the pre-image side reads the source's
+    * immutable trees IN PLACE — never an unchanged source
+    * partition); a k21 restore's feed is the bad commit's feed with
+    * insert↔delete swapped and the images transposed — the rollback
+    * as one logical delta.
+    *
+    * Reference analog: the redo-vs-skip state compare
+    * (tools.py:28-56) — consume the log to learn what moved, don't
+    * rescan outputs.
+    */
+  def changesBetween(spark: SparkSession, dir: String, vFrom: Int,
+      vTo: Int): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.contains(vFrom) && vs.contains(vTo),
+      s"changesBetween($vFrom, $vTo): $dir has versions $vs")
+    // tree identity = (owning root, commit name): a clone manifest
+    // row pointing at its source's tree is the SAME tree as the
+    // source's own row for it (k22's no-nesting rule makes this a
+    // flat compare, no chain walk)
+    def treeId(r: ManifestRow): (String, String) =
+      (Option(r.base).getOrElse(dir), r.commit)
+    val from = readManifest(spark, dir, vFrom)
+    val to = readManifest(spark, dir, vTo)
+    val fromBy = from.map(r => Option(r.lang) -> r).toMap
+    val toBy = to.map(r => Option(r.lang) -> r).toMap
+    // the manifest diff: partitions whose serving tree differs —
+    // metadata-cardinality, decided without opening a single file
+    val changed = (fromBy.keySet ++ toBy.keySet).filter { k =>
+      (fromBy.get(k), toBy.get(k)) match {
+        case (Some(a), Some(b)) => treeId(a) != treeId(b)
+        case _ => true // present on one side only
+      }
+    }
+    val pre = readManifestRows(spark, dir,
+      from.filter(r => changed.contains(Option(r.lang))),
+      schemaAt(spark, dir, vFrom))
+      .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("text").as("b_text"))
+    val post = readManifestRows(spark, dir,
+      to.filter(r => changed.contains(Option(r.lang))),
+      schemaAt(spark, dir, vTo))
+      .select(col("doc_id").as("t_id"), col("lang").as("t_lang"),
+        col("text").as("t_text"))
+    pre.join(post,
+        col("b_id") === col("t_id") && (col("b_lang") <=> col("t_lang")),
+        "full_outer")
+      // unchanged rows inside a rewritten partition drop here, before
+      // anything materializes — the feed is the true delta, not the
+      // rewritten-partition contents
+      .filter(col("b_id").isNull || col("t_id").isNull ||
+        !(col("b_text") <=> col("t_text")))
+      .select(
+        when(col("b_id").isNull, lit("insert"))
+          .when(col("t_id").isNull, lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        coalesce(col("b_id"), col("t_id")).as("doc_id"),
+        coalesce(col("b_lang"), col("t_lang")).as("lang"),
+        coalesce(length(col("b_text")).cast("long"), lit(-1L))
+          .as("chars_before"),
+        coalesce(length(col("t_text")).cast("long"), lit(-1L))
+          .as("chars_after"))
+  }
+
+  /** Registered k28 query: the v1→v2 feed of the SHARED k14 catalog
+    * — exactly the demo changelog's effect (updates carry the ' v2'
+    * post-image, deletes the pre-image only), derived from the
+    * manifests + the two changed trees, never a full-table scan. The
+    * oracle replays the same delta relationally as the base⋈merged
+    * outer-join diff.
+    */
+  def changeFeed(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = stageVersions(documents, cacheKey)
+    changesBetween(spark, dir, 1, 2)
   }
 
   /** Registered k24 query: all three versions under their OWN

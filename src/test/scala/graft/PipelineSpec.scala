@@ -37,27 +37,37 @@ class PipelineSpec extends AnyFunSuite {
   test("q21_peak_local: peaks exceed their local background, islands merged") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q21_peak_local")(spark, sf)
-    val rows = df.collect().map(r => (r.getAs[Long]("peak_start"),
-      r.getAs[Long]("peak_end"))).sorted
-    assert(rows.nonEmpty, "planted event stream should contain local spikes")
-    assert(rows.forall { case (s, e) => s <= e })
-    rows.sliding(2).foreach {
-      case Array((_, e1), (s2, _)) => assert(e1 + 1 < s2)
-      case _ =>
+    val rows = df.collect().map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("peak_start"), r.getAs[Long]("peak_end")))
+    // per-type thinning makes sf0.001 legitimately spike-free (each
+    // type's own λ tracks its own counts); the driver's sf0.01 gate
+    // sees 85 peaks, and the planted two-type stream below pins the
+    // semantics — here we only require structural sanity
+    assert(rows.forall { case (_, s, e) => s <= e })
+    // adjacency (merged-islands) holds WITHIN each type
+    rows.groupBy(_._1).values.foreach { tr =>
+      tr.map(r => (r._2, r._3)).sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 + 1 < s2)
+        case _ =>
+      }
     }
     // a LOCALIZED spike inside an elevated-baseline region: the local
     // caller isolates exactly the spike bin — the elevated region
-    // raises its own lambda, so it does not flood the caller
+    // raises its own lambda, so it does not flood the caller. Two
+    // types share the stream: the flat 'bg' type must contribute NO
+    // peak and must not dilute 'x's local lambda (per-type windows).
     import spark.implicits._
     val elevated = (0L until 200L).flatMap { b =>
       val n = if (b == 100L) 60 else if (b >= 80L && b < 120L) 20 else 19
-      (0 until n).map(_ => b)
-    }.toDF("bin")
+      ((0 until n).map(_ => (b, "x"))) ++ (0 until 19).map(_ => (b, "bg"))
+    }.toDF("bin", "event_type")
     val ev = elevated.select(
-      timestamp_micros((col("bin") * 3600L * 1000000L)).as("ts"))
+      timestamp_micros((col("bin") * 3600L * 1000000L)).as("ts"),
+      col("event_type"))
     val local = graft.operators.Pipeline.peakDetectLocal(ev)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(local === Set((100L, 100L)),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(local === Set(("x", 100L, 100L)),
       s"local-background caller should isolate the planted spike: $local")
   }
 
@@ -67,34 +77,55 @@ class PipelineSpec extends AnyFunSuite {
     // 200 hour-bins of 5 background events, two adjacent 60-event
     // burst bins: P(Pois(λ≈7) ≥ 60) is ~1e-38, so BH keeps exactly
     // the burst bins and the island merge joins them into one peak.
+    // A second flat type rides along: per-type FDR must call ZERO
+    // peaks for it while still calling x's burst.
     val ev = (0L until 200L).flatMap { b =>
       val n = if (b == 100L || b == 101L) 60 else 5
-      (0 until n).map(_ => b)
-    }.toDF("bin")
-      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+      ((0 until n).map(_ => (b, "x"))) ++ (0 until 5).map(_ => (b, "bg"))
+    }.toDF("bin", "event_type")
+      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"),
+        col("event_type"))
     val peaks = graft.operators.Pipeline.peakFdr(ev)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(peaks.toSeq === Seq((100L, 101L, 2L, 120L)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(peaks.toSeq === Seq(("x", 100L, 101L, 2L, 120L)))
     // A flat background has p ≈ 0.56 everywhere — the FDR caller must
     // report NO peaks on null data (q12's mean+2σ z-test is the one
     // that can't make that guarantee).
     val flat = (0L until 200L).flatMap(b => (0 until 5).map(_ => b))
       .toDF("bin")
-      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"))
+      .select(timestamp_micros(col("bin") * 3600L * 1000000L).as("ts"),
+        lit("x").as("event_type"))
     assert(graft.operators.Pipeline.peakFdr(flat).count() === 0)
   }
 
-  test("q24 candidates: dense sig_rank, qval monotone in rank") {
+  test("q24 candidates: dense sig_rank and monotone qval PER type; plan partitioned") {
     val df = SparkEntry.queries("q24_peak_fdr")(spark, sf)
-    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(4)))
     assert(rows.nonEmpty)
-    val sorted = rows.sortBy(_._1)
-    assert(sorted.map(_._1).toSeq === (1L to sorted.length).toSeq)
-    assert(sorted.sliding(2).forall {
-      case Array(a, b) => a._2 <= b._2
-      case _ => true
-    }, "BH q-values must be nondecreasing in significance rank")
+    rows.groupBy(_._1).values.foreach { tr =>
+      val sorted = tr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 <= b._3
+        case _ => true
+      }, "BH q-values must be nondecreasing in significance rank")
+    }
+    // the round-14 point: NO partition-less window anywhere in q21 or
+    // q24 — a multi-year bin table never funnels through one task
+    // (PlanAuditSpec enforces this fleet-wide; asserted here at the
+    // operator for locality)
+    Seq("q21_peak_local", "q24_peak_fdr").foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$k still plans a partition-less window")
+    }
   }
 
   test("q23_interval_file: file-backed intervals ≡ literal bands, hash join") {

@@ -92,8 +92,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q34_evenness" -> "post-aggregation #bins rows",
     // per-bucket metadata ranks: ≤ `buckets` rows
     "p05_batch_assembly" -> "bucket metadata rows",
-    // BH running-min over the top-25 candidate bins
-    "q24_peak_fdr" -> "post-limit candidate bins",
+    // (q24 left this list in round 14: its λ/rank/BH windows are now
+    // partitioned per event_type — q40's recipe)
     // drift ranks over the per-slice bin table (q24's justification)
     "q33_dist_drift" -> "post-aggregation #bins rows",
     // gaps-and-islands over the aggregated bin table: ≤ #bins rows
@@ -103,8 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q13_metrics" -> "post-aggregation #statuses rows",
     // cumulative share over the fixed-bin histogram: ≤ #bins rows
     "q07_histogram" -> "post-aggregation #bins rows",
-    // q12's island windows over the local-background bin table
-    "q21_peak_local" -> "post-aggregation #bins rows",
+    // (q21 likewise left in round 14: per-type partitioned windows)
     // q12's islands + per-island argmax rank, same bounded bin table
     "q36_peak_summits" -> "post-aggregation #bins rows",
     // q41's consensus side IS q12's global islands — same bin table
