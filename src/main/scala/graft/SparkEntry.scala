@@ -366,6 +366,8 @@ object SparkEntry {
     "k28_change_feed" -> ((s, d) =>
       graft.sources.TimeTravel.changeFeed(Tables.documents(s, d),
         cacheKey = d)),
+    "st24_state_census" -> ((s, d) =>
+      graft.streaming.StreamOps.stateCensus(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3519,6 +3521,22 @@ object SparkEntry {
     // timer-driven boundary set must equal the batch session ends.
     "st23_stream_session_timers" ->
       s"""SELECT user_id, session_end_us FROM ($sessionizeSql)""",
+    // st24: the held/fired split is exact integer arithmetic
+    // (probe-pinned): final watermark = floor(max_us/1000) ms at 0 s
+    // delay, a timer fires iff expiry ms <= watermark, expiry =
+    // (last_us+gap_us)/1000+1 — so the open set is every user whose
+    // last event leaves its session-expiry strictly past the
+    // watermark. 1800000000 us = the registered gapSeconds.
+    "st24_state_census" ->
+      """WITH src AS (
+           SELECT user_id, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         per_user AS (
+           SELECT user_id, max(us) AS open_last_us FROM src GROUP BY 1),
+         wm AS (SELECT max(us) // 1000 AS wm_ms FROM src)
+         SELECT user_id, open_last_us
+         FROM per_user, wm
+         WHERE (open_last_us + 1800000000) // 1000 + 1 > wm_ms""",
     // st22: shares m08's oracle — content addressing makes the
     // admission batching-invariant.
     "st22_stream_blob_ingest" ->

@@ -1738,6 +1738,107 @@ object StreamOps {
     * timers fire in bulk as the watermark sweeps — a 24/7 inactivity
     * monitor over any user cardinality a state store holds.
     */
+  private val stagedOpenSessionCkpt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Drain st23's TWS sessionizer WITHOUT the sentinel flush against
+    * an EXPLICIT checkpoint and return that checkpoint's path. No
+    * sentinel means the finite drain ends with the watermark at the
+    * corpus's last event: every user whose session-expiry timer is
+    * still ahead of that watermark keeps state — the live "open
+    * session" population a 24/7 deployment holds at any instant,
+    * frozen for inspection. Memoized per dial set (the checkpoint is
+    * the artifact st24 reads).
+    */
+  private[graft] def openSessionCheckpoint(spark: SparkSession,
+      dir: String, gapSeconds: Long, statePartitions: Int): String =
+    stagedOpenSessionCkpt.getOrElseUpdate(
+      s"$dir|$gapSeconds|$statePartitions",
+      drainOpenSessions(spark,
+        s"${orderedEventStage(spark, dir)}/f*",
+        graft.Tables.events(spark, dir).schema,
+        gapSeconds * 1000000L, statePartitions))
+
+  /** The core st24 drain over an arbitrary staged file glob —
+    * factored so the boundary-pinning specs can run it over PLANTED
+    * slices. Returns the checkpoint path the statestore source
+    * reads.
+    */
+  private[graft] def drainOpenSessions(spark: SparkSession,
+      stageGlob: String, schema: org.apache.spark.sql.types.StructType,
+      gapUs: Long, statePartitions: Int): String = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val ckpt = graft.Staging.dir("graft_st24_ckpt_")
+    val child = childSession(spark)
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    import child.implicits._
+    val src = child.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
+      .parquet(stageGlob)
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[EvTs]
+    val ends = src
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionEndProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+    val sink = s"st24_mem_${System.nanoTime()}"
+    val q = ends.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ckpt
+  }
+
+  /** st24_state_census — CHECKPOINT STATE INTROSPECTION via Spark 4's
+    * state data source (`spark.read.format("statestore")`): the ops
+    * answer to "what is the stream holding and WHY is state
+    * growing", read straight off the checkpoint a live query commits
+    * — no code inside the stream, no debug rebuild, works on a
+    * checkpoint whose job is down (the post-mortem case). Here it
+    * reads the st23 sessionizer's `lastTs` ValueState: the OPEN
+    * sessions — every user the deployment is still waiting on — with
+    * the drain stopped at the corpus's natural end (no sentinel
+    * flush), which is exactly the instant snapshot a 24/7 monitor
+    * would show.
+    *
+    * The census is oracle-checkable because the held/fired split is
+    * pure arithmetic (probe-pinned, St24Probe + planted spec): the
+    * final watermark is floor(max_event_us/1000) ms (0 s delay), a
+    * timer fires iff its expiry ms ≤ that watermark, and the
+    * processor registers expiry = (last_us+gap_us)/1000+1 — so a
+    * user is HELD iff (last_us+gap_us)/1000+1 > max_us/1000, i.e.
+    * the users whose session the corpus end leaves genuinely open.
+    *
+    * Scale: the read is partition-parallel over the state store's
+    * own layout (one task per state partition), touches only the
+    * last committed snapshot, and the result is open-session
+    * cardinality — the 100 TB deployment's "state census" dashboard
+    * query. Reference analog: inspecting the sqlite progress DB to
+    * see which samples a crashed run was still mid-flight on
+    * (tools.py:8-56) — here the progress store is the checkpoint
+    * itself.
+    */
+  def stateCensus(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
+    val ckpt = openSessionCheckpoint(spark, dir, gapSeconds,
+      statePartitions)
+    spark.read.format("statestore")
+      .option("stateVarName", "lastTs")
+      .load(ckpt)
+      .select(col("key.value").as("user_id"),
+        col("value.value").as("open_last_us"))
+  }
+
   def streamSessionTimers(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
