@@ -368,6 +368,8 @@ object SparkEntry {
         cacheKey = d)),
     "st24_state_census" -> ((s, d) =>
       graft.streaming.StreamOps.stateCensus(s, d)),
+    "t18_pii_validate" -> ((s, d) =>
+      TextAnalysis.piiValidate(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -522,6 +524,56 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_upserted
          FROM vs GROUP BY 1, 2"""
+
+  /** DuckDB Luhn checksum mod 10 of a digit-string expression —
+    * the exact doubling-map sum the engine's `aggregate` computes.
+    */
+  private def duckLuhnMod(c: String): String =
+    s"""list_sum(list_transform(range(0, length($c)),
+        i -> CASE WHEN i % 2 = 1
+               THEN CASE WHEN 2*(ascii(substr(reverse($c), i+1, 1))-48) > 9
+                         THEN 2*(ascii(substr(reverse($c), i+1, 1))-48) - 9
+                         ELSE 2*(ascii(substr(reverse($c), i+1, 1))-48) END
+               ELSE ascii(substr(reverse($c), i+1, 1))-48 END)) % 10"""
+
+  /** DuckDB IBAN mod-97 remainder — the engine's per-char fold with a
+    * prepended 0 sentinel (list_reduce seeds from the first element).
+    */
+  private def duckIbanRem(c: String): String =
+    s"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length($c)+1),
+            i -> CAST(ascii(substr(substr($c, 5) || substr($c, 1, 4),
+                            i, 1)) AS BIGINT))),
+        (acc, x) -> CASE WHEN x <= 57 THEN (acc*10 + (x-48)) % 97
+                         ELSE (acc*100 + (x-55)) % 97 END)"""
+
+  private val t18Sql: String =
+    s"""WITH base AS (
+         SELECT doc_id,
+                regexp_extract_all(coalesce(text, ''),
+                  '${graft.operators.TextAnalysis.CardRe}') AS cards,
+                regexp_extract_all(coalesce(text, ''),
+                  '${graft.operators.TextAnalysis.IbanRe}') AS ibans,
+                lpad(CAST((doc_id * 2654435761) % 1000000000000000
+                  AS VARCHAR), 16, '0') AS cd,
+                'DE' || lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') ||
+                  lpad(CAST((doc_id * 48271) % 10000000000 AS VARCHAR),
+                    10, '0') AS ibd
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(cards) AS BIGINT) AS n_cards,
+              CAST(len(list_filter(cards,
+                c -> ${duckLuhnMod("c")} = 0)) AS BIGINT) AS n_cards_valid,
+              CAST(len(ibans) AS BIGINT) AS n_ibans,
+              CAST(len(list_filter(ibans,
+                c -> ${duckIbanRem("c")} = 1)) AS BIGINT) AS n_ibans_valid,
+              CAST(CASE WHEN ${duckLuhnMod("cd")} = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS card_demo_ok,
+              CAST(${duckIbanRem("ibd")} AS BIGINT) AS iban_demo_rem,
+              CAST(CASE WHEN ${duckIbanRem("ibd")} = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS iban_demo_ok
+       FROM base"""
 
   /** k28: the v1→v2 change feed — the engine derives it from the
     * manifest diff + the two changed trees; the oracle states the
@@ -3521,6 +3573,12 @@ object SparkEntry {
     // timer-driven boundary set must equal the batch session ends.
     "st23_stream_session_timers" ->
       s"""SELECT user_id, session_end_us FROM ($sessionizeSql)""",
+    // t18: both checksums replayed digit-for-digit in DuckDB —
+    // Luhn as a list_sum over the doubling map, IBAN mod-97 as a
+    // list_reduce fold over a 0-sentinel (DuckDB's reduce seeds from
+    // the first element); the demo legs re-derive the candidates
+    // from the same doc_id arithmetic.
+    "t18_pii_validate" -> t18Sql,
     // st24: the held/fired split is exact integer arithmetic
     // (probe-pinned): final watermark = floor(max_us/1000) ms at 0 s
     // delay, a timer fires iff expiry ms <= watermark, expiry =

@@ -452,6 +452,92 @@ object TextAnalysis {
         numRe, "<NUM>").as("redacted"))
   }
 
+  /** Luhn checksum (ISO/IEC 7812) over a digit-run column: sum the
+    * digits right-to-left doubling every second one (9-subtract on
+    * overflow), valid iff ≡ 0 mod 10. Exact integer arithmetic via
+    * the `aggregate` higher-order function — no UDF, no float — so
+    * the oracle replays it digit for digit (DuckDB list_sum over the
+    * same doubling map).
+    */
+  private[graft] def luhnValid(cand: Column): Column = {
+    val ds = reverse(cand)
+    val total = aggregate(
+      sequence(lit(0), length(cand) - 1),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(ds.substr(i + lit(1), lit(1))) - lit(48))
+          .cast("long")
+        acc + when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** ISO 13616 IBAN remainder: move the first four chars to the end,
+    * map letters to 10–35, take the resulting number mod 97 —
+    * computed as a left fold ((acc·10+digit) or (acc·100+letter))
+    * mod 97 per char, so the value never leaves a long. Valid iff 1.
+    * Oracle replays the fold with list_reduce over a 0-sentinel.
+    */
+  private[graft] def ibanRem(cand: Column): Column = {
+    val r = concat(cand.substr(lit(5), length(cand) - 4),
+      cand.substr(lit(1), lit(4)))
+    aggregate(
+      sequence(lit(1), length(r)),
+      lit(0L),
+      (acc, i) => {
+        val x = ascii(r.substr(i, lit(1))).cast("long")
+        when(x <= 57, (acc * 10 + (x - 48)) % 97)
+          .otherwise((acc * 100 + (x - 55)) % 97)
+      })
+  }
+
+  private[graft] val CardRe = "[0-9]{13,19}"
+  private[graft] val IbanRe = "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}"
+
+  /** t18_pii_validate — CHECKSUM-VALIDATED PII detection: t06's
+    * digit-run regex flags every long number, but at corpus scale
+    * the false-positive rate on arbitrary digit runs (timestamps,
+    * ids, hashes printed in decimal) is what decides whether a
+    * redaction pass is usable — a random 13–19-digit run passes Luhn
+    * ~10% of the time and an IBAN-shaped token passes mod-97 ~1% of
+    * the time, so validation drops ~90–99% of the noise while
+    * keeping every real instrument (checksums are part of the
+    * number's definition). Both checks are pure integer arithmetic
+    * inside built-in higher-order functions — one map-side scan, no
+    * UDF, fully oracle-replayable.
+    *
+    * The corpus's synthetic prose contains no digit runs (measured),
+    * so alongside the text-extraction leg the registered query
+    * carries a DERIVED demo leg — a per-doc candidate card/IBAN
+    * built from doc_id arithmetic — exercising the full checksum
+    * machinery non-vacuously on every row (card_demo_ok splits
+    * ~10/90, iban_demo_rem spreads over 0..96). The text leg stays
+    * live for real corpora and the hostile gate.
+    */
+  def piiValidate(documents: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val cards = regexp_extract_all(txt, lit(CardRe), lit(0))
+    val ibans = regexp_extract_all(txt, lit(IbanRe), lit(0))
+    val cardDemo = lpad(pmod(col("doc_id") * lit(2654435761L),
+      lit(1000000000000000L)).cast("string"), 16, "0")
+    val ibanDemo = concat(lit("DE"),
+      lpad(pmod(col("doc_id"), lit(97L)).cast("string"), 2, "0"),
+      lpad(pmod(col("doc_id") * lit(48271L), lit(10000000000L))
+        .cast("string"), 10, "0"))
+    documents.select(
+      col("doc_id"),
+      size(cards).cast("long").as("n_cards"),
+      size(filter(cards, c => luhnValid(c))).cast("long")
+        .as("n_cards_valid"),
+      size(ibans).cast("long").as("n_ibans"),
+      size(filter(ibans, c => ibanRem(c) === 1L)).cast("long")
+        .as("n_ibans_valid"),
+      luhnValid(cardDemo).cast("long").as("card_demo_ok"),
+      ibanRem(ibanDemo).as("iban_demo_rem"),
+      (ibanRem(ibanDemo) === 1L).cast("long").as("iban_demo_ok"))
+  }
+
   /** t04_fingerprint — rolling min-window polynomial hash per
     * document via the native RollingMinHash Expression (codegen'd;
     * see functions/RollingHash.scala). Window 16 bytes, B=31,

@@ -102,6 +102,58 @@ class TextAnalysisSpec extends AnyFunSuite {
       "clean text with short 123 number")
   }
 
+  test("t18: checksums accept real instruments and reject neighbors") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN; the
+      // trailing-digit neighbor must fail; GB82WEST... is the ISO
+      // 13616 example IBAN, its neighbor fails mod-97
+      (1L, "pay 4111111111111111 or 4111111111111112 now"),
+      (2L, "wire GB82WEST12345698765432 not GB82WEST12345698765431"),
+      (3L, "also valid: DE89370400440532013000 and card 79927398713x"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "timestamps 1706657176220708 and ids 99999999999999 only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiValidate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_cards") === 2L)
+    assert(out(1L).getAs[Long]("n_cards_valid") === 1L)
+    assert(out(2L).getAs[Long]("n_ibans") === 2L)
+    assert(out(2L).getAs[Long]("n_ibans_valid") === 1L)
+    assert(out(3L).getAs[Long]("n_ibans_valid") === 1L)
+    // 79927398713 is Luhn-valid but 11 digits — below the card
+    // length floor, so it is not even a candidate; the IBAN's own
+    // 20-digit tail DOES yield a (greedy 19-digit) card candidate,
+    // and Luhn correctly rejects it (checksum 8)
+    assert(out(3L).getAs[Long]("n_cards") === 1L)
+    assert(out(3L).getAs[Long]("n_cards_valid") === 0L)
+    // NULL text is zero candidates, never a null row
+    assert(out(4L).getAs[Long]("n_cards") === 0L &&
+      out(4L).getAs[Long]("n_ibans") === 0L)
+    // the point of validation: t06 would flag both of doc 5's digit
+    // runs; the checksum drops the ones that are not instruments
+    assert(out(5L).getAs[Long]("n_cards") === 2L)
+    assert(out(5L).getAs[Long]("n_cards_valid") === 0L)
+  }
+
+  test("t18: demo legs are non-vacuous and distribution-sane") {
+    val rows = SparkEntry.queries("t18_pii_validate")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toDouble
+    val cardOk = rows.count(_.getAs[Long]("card_demo_ok") == 1L) / n
+    // Luhn accepts ~1/10 random numbers; allow a wide band
+    assert(cardOk > 0.02 && cardOk < 0.25, s"card_demo_ok rate $cardOk")
+    val rems = rows.map(_.getAs[Long]("iban_demo_rem")).distinct
+    assert(rems.forall(r => r >= 0 && r <= 96))
+    assert(rems.length > 20, "mod-97 remainders should spread")
+    // ok flags are exactly the rem==1 rows
+    rows.foreach { r =>
+      assert((r.getAs[Long]("iban_demo_rem") == 1L) ===
+        (r.getAs[Long]("iban_demo_ok") == 1L))
+    }
+  }
+
   test("t04: codegen output equals the interpreted kernel") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
