@@ -370,6 +370,12 @@ object SparkEntry {
       graft.streaming.StreamOps.stateCensus(s, d)),
     "t18_pii_validate" -> ((s, d) =>
       TextAnalysis.piiValidate(Tables.documents(s, d))),
+    // the IVF-PQ engine at its lossless dials: probe every cluster,
+    // rerank the whole candidate set exactly — ≡ s01 bit-for-bit
+    // (rerankDepth is a rank bound, so MaxValue is "keep all")
+    "s06_ann_exact" -> ((s, d) =>
+      Similarity.annIvfPq(Tables.embeddings(s, d), nprobe = 10,
+        rerankDepth = Int.MaxValue, cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -524,6 +530,31 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_upserted
          FROM vs GROUP BY 1, 2"""
+
+  /** s01's exact top-k — shared verbatim by s06_ann_exact, whose
+    * lossless dials make the full IVF-PQ path reproduce it
+    * bit-for-bit (spec-pinned; round 14 registers the identity as a
+    * driver-visible oracle row).
+    */
+  private val s01Sql: String =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_inner_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+             FROM e WHERE vec_id % 50 = 0),
+       scored AS (
+         SELECT q_id, e.vec_id AS n_id,
+                list_inner_product(qv, e.v) / (qn * e.nrm) AS c
+         FROM q JOIN e ON e.vec_id <> q.q_id),
+       ranked AS (
+         SELECT q_id, n_id, c,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY c DESC, n_id ASC) AS rnk
+         FROM scored)
+       SELECT q_id, n_id, rnk, round(c, 4) AS cosine
+       FROM ranked WHERE rnk <= 5"""
 
   /** DuckDB Luhn checksum mod 10 of a digit-string expression —
     * the exact doubling-map sum the engine's `aggregate` computes.
@@ -2089,25 +2120,14 @@ object SparkEntry {
                   AS cosine
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
-    "s01_ann_bruteforce" ->
-      """WITH e AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_inner_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
-               FROM e WHERE vec_id % 50 = 0),
-         scored AS (
-           SELECT q_id, e.vec_id AS n_id,
-                  list_inner_product(qv, e.v) / (qn * e.nrm) AS c
-           FROM q JOIN e ON e.vec_id <> q.q_id),
-         ranked AS (
-           SELECT q_id, n_id, c,
-                  row_number() OVER (PARTITION BY q_id
-                    ORDER BY c DESC, n_id ASC) AS rnk
-           FROM scored)
-         SELECT q_id, n_id, rnk, round(c, 4) AS cosine
-         FROM ranked WHERE rnk <= 5""",
+    "s01_ann_bruteforce" -> s01Sql,
+    // s06: the IVF-PQ engine at its LOSSLESS dials (nprobe = all
+    // clusters, rerankDepth ≥ corpus) — the identity the specs pin
+    // bit-for-bit against s01, registered so the ANN family carries
+    // a hash-checked CORRECTNESS anchor through the FULL IVF-PQ code
+    // path (probe → ADC → exact rerank), not just the brute-force
+    // baseline. Shares s01's oracle verbatim (the twin discipline).
+    "s06_ann_exact" -> s01Sql,
     "t01_lang_id" ->
       """WITH h AS (
            SELECT doc_id, lang,

@@ -192,6 +192,13 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._3)).toSeq
     assert(full === s01, "nprobe=all x rerank>=corpus must equal s01")
+    // round 14: the identity is REGISTERED as s06_ann_exact — pin
+    // the registered wiring too, not just the direct call
+    val reg6 = SparkEntry.queries("s06_ann_exact")(spark, sf)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq)
+    val reg1 = SparkEntry.queries("s01_ann_bruteforce")(spark, sf)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq)
+    assert(reg6 === reg1, "registered s06 must equal registered s01")
     // bit-deterministic rerun (hash seeds + decimal Lloyd means)
     val a = Similarity.annIvfPq(e).collect().map(_.toSeq).toSet
     val b = Similarity.annIvfPq(e).collect().map(_.toSeq).toSet
