@@ -145,6 +145,12 @@ object JobSpec {
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
           rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
+    "s07_range_search" -> ((s, d, j) =>
+      checked(j, "tau", "queryStride", "kClusters", "lloydIters")(
+        operators.Similarity.rangeSearch(Tables.embeddings(s, d),
+          tau = j.double("tau", 0.3), queryStride = j.int("queryStride", 50),
+          kClusters = j.int("kClusters", 10),
+          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j)))),
     "d03_dedup_simhash" -> ((s, d, j) =>
       checked(j, "maxHamming", "chunks")(operators.Dedup.dedupSimhash(
         Tables.documents(s, d),

@@ -376,6 +376,9 @@ object SparkEntry {
     "s06_ann_exact" -> ((s, d) =>
       Similarity.annIvfPq(Tables.embeddings(s, d), nprobe = 10,
         rerankDepth = Int.MaxValue, cacheKey = d)),
+    // exact radius search with lossless angular-bound cluster pruning
+    "s07_range_search" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d), cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2128,6 +2131,22 @@ object SparkEntry {
     // path (probe → ADC → exact rerank), not just the brute-force
     // baseline. Shares s01's oracle verbatim (the twin discipline).
     "s06_ann_exact" -> s01Sql,
+    // s07: exact radius search — the oracle is the brute-force range
+    // join; the engine's cluster pruning is provably lossless (the
+    // angular triangle-inequality bound), so the sets hash-match.
+    "s07_range_search" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+               FROM e WHERE vec_id % 50 = 0)
+         SELECT q_id, e.vec_id AS n_id,
+                round(list_inner_product(qv, e.v) / (qn * e.nrm), 4)
+                  AS cosine
+         FROM q JOIN e ON e.vec_id <> q.q_id
+         WHERE list_inner_product(qv, e.v) / (qn * e.nrm) >= 0.3""",
     "t01_lang_id" ->
       """WITH h AS (
            SELECT doc_id, lang,

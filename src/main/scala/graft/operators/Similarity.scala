@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -640,5 +640,106 @@ object Similarity {
     topK(inCluster, k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
         col("probe_cluster"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** s07_range_search — EXACT radius similarity search: every corpus
+    * vector with cosine ≥ `tau` of each query, with a provably
+    * lossless cluster-pruning scale path (the reference's
+    * all-neighbors-within-threshold retrieval shape, as opposed to
+    * the top-k family s01–s06 — radius queries are how dedup
+    * candidate generation and contamination sweeps consume an
+    * embedding index).
+    *
+    * Pruning is the spherical triangle inequality, not a heuristic:
+    * for unit-direction vectors, θ(q,x) ≥ θ(q,c) − θ(x,c) ≥
+    * θ(q,c) − θmax(c), where θmax(c) is the cluster's angular radius
+    * (widest member-centroid angle, one number per cluster computed
+    * in the same pass that assigns members). A cluster is scanned
+    * for q only if θ(q,c) − θmax(c) ≤ acos(tau) — otherwise NO
+    * member can reach tau, so skipping it cannot change the answer.
+    * Unlike the IVF family's nprobe (fixed probe budget, recall <
+    * 1), the admission set here adapts per query and the result is
+    * EXACT — the oracle replays brute force and hash-matches. A
+    * 1e-6 rad slack absorbs float error in the bound (acos amplifies
+    * dot-product error near ±1); slack only ever ADMITS marginal
+    * clusters, whose members then fail the exact filter — it can
+    * widen the scan, never the result.
+    *
+    * Scale shape: centroids, per-cluster radii, and the admitted
+    * (query, cluster) pairs are all ≤ #queries × #clusters rows and
+    * ride broadcasts; the corpus is scanned once to assign (memoized
+    * with the learned quantizer) and then only admitted clusters'
+    * rows are scored. On a corpus that clusters, the scan fraction
+    * per query approaches nprobe-like cost at exact recall; on an
+    * adversarially uniform corpus it degrades to brute force —
+    * correctly, because there every cluster genuinely can contain a
+    * neighbor. The spec pins both: result ≡ brute force, and a
+    * planted tight-cluster corpus prunes most (q, cluster) pairs.
+    */
+  def rangeSearch(embeddings: DataFrame, tau: Double = 0.3,
+      queryStride: Int = 50, kClusters: Int = 10, lloydIters: Int = 3,
+      cacheKey: String = ""): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1): $tau")
+    val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+    val e = normed(embeddings).repartition(col("vec_id"))
+    val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
+    val assigned = assignTo(e, cent)
+    // per-cluster angular radius — k rows, computed from one pass
+    // over the assignments (broadcast centroid re-join, map-side)
+    val bounds = assigned
+      .join(broadcast(cent), "cluster_id")
+      .withColumn("m_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .groupBy(col("cluster_id"))
+      .agg(max(acos(clamp1(col("m_cos")))).as("theta_max"))
+    val q = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // admission: #queries × #clusters candidate pairs, filtered by
+    // the angular bound — everything here is broadcast-sized
+    val admit = q.crossJoin(broadcast(cent))
+      .withColumn("qc_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .join(broadcast(bounds), "cluster_id")
+      .filter(acos(clamp1(col("qc_cos"))) - col("theta_max") <=
+        lit(math.acos(tau) + 1e-6))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cluster_id").as("probe_cluster"))
+    assigned
+      .join(broadcast(admit), col("cluster_id") === col("probe_cluster") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("qv")), col("nrm"), col("qn")))
+      .filter(col("cosine") >= tau)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** The admitted (query, cluster) probe set s07 scans — exposed for
+    * the spec's pruning assertion (count < #queries × #clusters on a
+    * corpus with genuine cluster structure).
+    */
+  private[graft] def rangeAdmitted(embeddings: DataFrame, tau: Double,
+      queryStride: Int = 50, kClusters: Int = 10,
+      lloydIters: Int = 3): Long = {
+    val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
+    val e = normed(embeddings).repartition(col("vec_id"))
+    val cent = learnedCentroids(e, kClusters, lloydIters, "")
+    val bounds = assignTo(e, cent)
+      .join(broadcast(cent), "cluster_id")
+      .withColumn("m_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .groupBy(col("cluster_id"))
+      .agg(max(acos(clamp1(col("m_cos")))).as("theta_max"))
+    e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("qc_cos", VectorOps.cosineFrom(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .join(broadcast(bounds), "cluster_id")
+      .filter(acos(clamp1(col("qc_cos"))) - col("theta_max") <=
+        lit(math.acos(tau) + 1e-6))
+      .count()
   }
 }

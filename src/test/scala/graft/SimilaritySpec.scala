@@ -205,6 +205,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("s07: cluster-pruned range search is exact on the real corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val pruned = Similarity.rangeSearch(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // kClusters=1 puts every vector in one always-admitted cluster —
+    // the pruning path degenerates to brute force by construction
+    val brute = Similarity.rangeSearch(e, kClusters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned.nonEmpty)
+    assert(pruned === brute, "angular-bound pruning must be lossless")
+    assert(!pruned.exists(p => p._1 == p._2), "no self matches")
+    // a tighter radius is a strict subset (same corpus, higher bar)
+    val keys = pruned.map(p => (p._1, p._2))
+    val tight = Similarity.rangeSearch(e, tau = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(keys))
+    assert(tight.size < keys.size)
+  }
+
+  test("s07: planted tight clusters prune most (query, cluster) probes") {
+    import spark.implicits._
+    val dim = 8
+    // four orthogonal tight clusters with deterministic jitter: the
+    // shape cluster pruning exists for
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.01f * ((i % 7) - 3)
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val admitted = Similarity.rangeAdmitted(df, tau = 0.9, kClusters = 4)
+    // 4 queries (ids 0/50/100/150) x 4 clusters = 16 probe pairs;
+    // orthogonal tight clusters must prune the cross-cluster ones
+    assert(admitted < 16L,
+      s"pruning admitted all $admitted of 16 probe pairs on tight clusters")
+    val a = Similarity.rangeSearch(df, tau = 0.9, kClusters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.rangeSearch(df, tau = 0.9, kClusters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "pruned result must equal brute force on planted data")
+    assert(a.nonEmpty, "within-cluster neighbors must clear tau=0.9")
+  }
+
   test("s05: index side enters hash joins; scan carries codes, not vectors") {
     val df = Similarity.annIvfPq(Tables.embeddings(spark, sf))
     val plan = df.queryExecution.executedPlan.toString
