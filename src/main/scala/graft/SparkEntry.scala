@@ -379,6 +379,10 @@ object SparkEntry {
     // exact radius search with lossless angular-bound cluster pruning
     "s07_range_search" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), cacheKey = d)),
+    // incremental ANALYZE: exact per-partition stats, O(delta) upkeep
+    "k29_column_stats" -> ((s, d) =>
+      graft.sources.ColumnStats.columnStats(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -532,6 +536,27 @@ object SparkEntry {
                 CAST(sum(length(text)) AS BIGINT) AS chars_checksum,
                 CAST(sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_upserted
+         FROM vs GROUP BY 1, 2"""
+
+  /** k29: the stats pipeline's numbers replayed exactly over the
+    * relationally rebuilt v1/v2 states (k12Ctes) — wrong stats fail
+    * the hash compare, not just a spec.
+    */
+  private val k29Sql: String =
+    s"""WITH $k12Ctes,
+         vs AS (
+           SELECT 1 AS version, lang, doc_id, text FROM base
+           UNION ALL
+           SELECT 2 AS version, lang, doc_id, text FROM merged)
+         SELECT CAST(version AS BIGINT) AS version, lang,
+                count(*) AS n_rows,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv_doc_id,
+                CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+                CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+                  AS chars_sum,
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_text_null
          FROM vs GROUP BY 1, 2"""
 
   /** s01's exact top-k — shared verbatim by s06_ann_exact, whose
@@ -3173,6 +3198,7 @@ object SparkEntry {
     // version 2 as k12's post-apply state; built from the SHARED
     // k12Ctes replay (see k14Sql).
     "k14_time_travel" -> k14Sql,
+    "k29_column_stats" -> k29Sql,
     // k21: the restore (v3) must read as the pre-image verbatim while
     // the bad commit (v2) stays readable — same shared replay.
     "k21_restore" -> k21Sql,

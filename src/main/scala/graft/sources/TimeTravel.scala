@@ -179,7 +179,7 @@ object TimeTravel {
     * explicit-path discipline: the file index lists only the listed
     * directories, nothing else is even stat'ed.
     */
-  private def readManifestRows(spark: SparkSession, dir: String,
+  private[graft] def readManifestRows(spark: SparkSession, dir: String,
       rows: Seq[ManifestRow], ddl: String): DataFrame =
     rows.groupBy(r => (Option(r.base).getOrElse(dir), r.commit))
       .toSeq.sortBy(_._1).map { case ((root, commit), rs) =>
