@@ -145,6 +145,19 @@ object JobSpec {
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
           rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
+    "t19_quality_rules" -> ((s, d, j) =>
+      checked(j, "minWords", "maxWords", "minMeanWordLen",
+        "maxMeanWordLen", "minAlphaWordRatio", "maxSymbolRatio",
+        "maxBulletRatio", "minStopHits")(
+        operators.TextAnalysis.qualityRules(Tables.documents(s, d),
+          minWords = j.int("minWords", 20),
+          maxWords = j.int("maxWords", 80),
+          minMeanWordLen = j.double("minMeanWordLen", 2.0),
+          maxMeanWordLen = j.double("maxMeanWordLen", 12.0),
+          minAlphaWordRatio = j.double("minAlphaWordRatio", 0.6),
+          maxSymbolRatio = j.double("maxSymbolRatio", 0.1),
+          maxBulletRatio = j.double("maxBulletRatio", 0.5),
+          minStopHits = j.int("minStopHits", 1)))),
     "s07_range_search" -> ((s, d, j) =>
       checked(j, "tau", "queryStride", "kClusters", "lloydIters")(
         operators.Similarity.rangeSearch(Tables.embeddings(s, d),

@@ -383,6 +383,9 @@ object SparkEntry {
     "k29_column_stats" -> ((s, d) =>
       graft.sources.ColumnStats.columnStats(Tables.documents(s, d),
         cacheKey = d)),
+    // Gopher/C4 rule gate with per-rule violation attribution
+    "t19_quality_rules" -> ((s, d) =>
+      TextAnalysis.qualityRules(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3644,6 +3647,72 @@ object SparkEntry {
     // the first element); the demo legs re-derive the candidates
     // from the same doc_id arithmetic.
     "t18_pii_validate" -> t18Sql,
+    // t19: the rule-gate census — metrics share t02/t03's proven
+    // Spark↔DuckDB definitions (string_split_regex parity, nullif
+    // divisors); "cannot evaluate" is FAIL on both sides
+    // (coalesce(cond, FALSE)), so NULL-text rows land identically.
+    "t19_quality_rules" ->
+      """WITH m AS (
+           SELECT
+             len(string_split_regex(lower(trim(text)), '\s+'))
+               AS n_words,
+             length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+               AS n_wchars,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+             length(lower(trim(text)))
+               - length(replace(lower(trim(text)), '#', ''))
+               + len(regexp_extract_all(lower(trim(text)), '\.\.\.'))
+               AS n_symbols,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+               l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is'], x)))
+               AS n_stop
+           FROM documents),
+         p AS (
+           SELECT
+             coalesce(n_words >= 20, FALSE) AS min_words,
+             coalesce(n_words <= 80, FALSE) AS max_words,
+             coalesce(n_wchars * 1.0 / nullif(n_words, 0)
+               BETWEEN 2.0 AND 12.0, FALSE) AS mean_word_len,
+             coalesce(n_alpha_words * 1.0 / nullif(n_words, 0) >= 0.6,
+               FALSE) AS alpha_words,
+             coalesce(n_symbols * 1.0 / nullif(n_words, 0) <= 0.1,
+               FALSE) AS symbol_ratio,
+             coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.5,
+               FALSE) AS bullet_lines,
+             coalesce(n_stop >= 1, FALSE) AS stopwords
+           FROM m),
+         f AS (
+           SELECT
+             CAST(sum(CASE WHEN min_words AND max_words AND mean_word_len
+                AND alpha_words AND symbol_ratio AND bullet_lines
+                AND stopwords THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(CASE WHEN NOT min_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_min_words,
+             CAST(sum(CASE WHEN NOT max_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_max_words,
+             CAST(sum(CASE WHEN NOT mean_word_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_mean_word_len,
+             CAST(sum(CASE WHEN NOT alpha_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_alpha_words,
+             CAST(sum(CASE WHEN NOT symbol_ratio THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_symbol_ratio,
+             CAST(sum(CASE WHEN NOT bullet_lines THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_bullet_lines,
+             CAST(sum(CASE WHEN NOT stopwords THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_stopwords
+           FROM p)
+         SELECT 'min_words' AS rule, f_min_words AS n_docs FROM f
+         UNION ALL SELECT 'max_words', f_max_words FROM f
+         UNION ALL SELECT 'mean_word_len', f_mean_word_len FROM f
+         UNION ALL SELECT 'alpha_words', f_alpha_words FROM f
+         UNION ALL SELECT 'symbol_ratio', f_symbol_ratio FROM f
+         UNION ALL SELECT 'bullet_lines', f_bullet_lines FROM f
+         UNION ALL SELECT 'stopwords', f_stopwords FROM f
+         UNION ALL SELECT '__kept__', kept FROM f""",
     // st24: the held/fired split is exact integer arithmetic
     // (probe-pinned): final watermark = floor(max_us/1000) ms at 0 s
     // delay, a timer fires iff expiry ms <= watermark, expiry =

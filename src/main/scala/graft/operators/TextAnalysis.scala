@@ -538,6 +538,86 @@ object TextAnalysis {
       (ibanRem(ibanDemo) === 1L).cast("long").as("iban_demo_ok"))
   }
 
+  /** t19_quality_rules — the Gopher/C4-style RULE GATE with per-rule
+    * attribution: every document is tested against the standard
+    * composite quality rules (word-count bounds, mean word length,
+    * alphabetic-word share, symbol share, bullet-line share, minimum
+    * stopword evidence), and the output is the corpus-level CENSUS —
+    * one row per rule with its violation count, plus the `__kept__`
+    * row counting documents that pass every rule. Per-rule
+    * attribution is how these thresholds are actually tuned in a
+    * training-data pipeline ("which rule is killing how many docs"):
+    * t02 scores and p01 filters, but neither says WHY a document
+    * died. Thresholds are caller dials; the defaults split the
+    * synthetic corpus non-trivially on the word-count and stopword
+    * rules, and the hostile corpus exercises the alphabetic/symbol
+    * legs (CJK and punctuation rows) plus the NULL branch.
+    *
+    * NULL discipline: a NULL text yields NULL metrics; every rule
+    * treats "cannot evaluate" as FAIL (coalesce(cond, false) — the
+    * SQL replay uses the same coalesce), so a null-text document
+    * fails all rules and is never kept.
+    *
+    * Shape: ONE documents scan computes all metrics in a single
+    * codegen'd projection (the token array is shared via let-binding
+    * exactly like t02); the rule flags aggregate to a SINGLE row of
+    * counters (map-side partial, metadata-size exchange) which
+    * `stack` unpivots driver-free. No window, no per-rule rescan —
+    * at 100 TB the census costs exactly one pass regardless of how
+    * many rules are added.
+    */
+  def qualityRules(documents: DataFrame,
+      minWords: Int = 20, maxWords: Int = 80,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      minAlphaWordRatio: Double = 0.6, maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.5, minStopHits: Int = 1): DataFrame = {
+    val t = lower(trim(col("text")))
+    val toks = TextOps.tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val m = documents.select(
+      size(toks).cast("long").as("n_words"),
+      length(regexp_replace(t, "\\s", "")).cast("long").as("n_wchars"),
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+        .as("n_alpha_words"),
+      (length(t) - length(regexp_replace(t, "#", "")) +
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))))
+        .cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+        .as("n_bullet"),
+      hits(toks, stopwords.toMap.apply("en")).as("n_stop"))
+    // deterministic rule order — the census row order is part of the
+    // operator's contract (the oracle lists the same literals)
+    val rules: Seq[(String, Column)] = Seq(
+      "min_words" -> (col("n_words") >= minWords),
+      "max_words" -> (col("n_words") <= maxWords),
+      "mean_word_len" ->
+        (col("n_wchars") / nullif(col("n_words"), lit(0L)))
+          .between(minMeanWordLen, maxMeanWordLen),
+      "alpha_words" ->
+        (col("n_alpha_words") / nullif(col("n_words"), lit(0L))
+          >= minAlphaWordRatio),
+      "symbol_ratio" ->
+        (col("n_symbols") / nullif(col("n_words"), lit(0L))
+          <= maxSymbolRatio),
+      "bullet_lines" ->
+        (col("n_bullet") / nullif(col("n_lines"), lit(0L))
+          <= maxBulletRatio),
+      "stopwords" -> (col("n_stop") >= minStopHits))
+    val flags = m.select(
+      rules.map { case (name, cond) =>
+        coalesce(cond, lit(false)).as(name) }: _*)
+    val agg = flags.agg(
+      sum(when(rules.map(r => col(r._1)).reduce(_ && _), 1L)
+        .otherwise(0L)).as("kept"),
+      rules.map { case (name, _) =>
+        sum(when(!col(name), 1L).otherwise(0L)).as(s"f_$name") }: _*)
+    val stackArgs = (rules.map(_._1).map(n => s"'$n', f_$n") :+
+      "'__kept__', kept").mkString(", ")
+    agg.select(expr(
+      s"stack(${rules.size + 1}, $stackArgs) AS (rule, n_docs)"))
+  }
+
   /** t04_fingerprint — rolling min-window polynomial hash per
     * document via the native RollingMinHash Expression (codegen'd;
     * see functions/RollingHash.scala). Window 16 bytes, B=31,

@@ -660,5 +660,67 @@ object BpeRef {
     }
     out.toSeq
   }
+}
+
+class QualityRulesSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("t19: each planted pathology fails exactly its rule; clean doc is kept") {
+    import spark.implicits._
+    val good = ("the cat is of the dog and a bird sat on the mat " +
+      "while the sun was up and the day was long and the road was " +
+      "dry so the walk was easy and the air was warm").trim
+    val planted = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "the a of and to in is short"),          // < 20 words
+      (3L, ("the word " * 60).trim),                // > 80 words
+      (4L, ("a " * 20).trim + " " +                 // mean word len 17.5
+        ("supercalifragilisticexpialidocious " * 20).trim),
+      (5L, ("the 123 456 789 " * 8).trim),          // digits: alpha share low
+      (6L, ("the ### ... ## " * 8).trim),           // symbol-heavy
+      (7L, (1 to 15).map(i => s"- bullet line the").mkString("\n")),
+      (8L, ("lorem ipsum dolor sit amet word " * 5).trim), // no stopwords
+      (9L, null.asInstanceOf[String]))              // NULL: fails all
+    val docs = planted.toDF("doc_id", "text")
+    val census = graft.operators.TextAnalysis.qualityRules(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census("__kept__") === 1L, s"only doc 1 passes: $census")
+    // every rule's violation count includes the NULL doc plus its
+    // own planted pathology (some pathologies trip a second rule —
+    // the doc-4 long words also sink mean length and alpha share is
+    // unaffected; assert the targeted minimum per rule)
+    assert(census("min_words") >= 2L)   // doc 2 + null
+    assert(census("max_words") >= 2L)   // doc 3 + null
+    assert(census("mean_word_len") >= 2L) // doc 4 + null
+    assert(census("alpha_words") >= 2L) // doc 5 + null
+    assert(census("symbol_ratio") >= 2L) // doc 6 + null
+    assert(census("bullet_lines") >= 2L) // doc 7 + null
+    assert(census("stopwords") >= 2L)   // doc 8 + null
+    // the NULL doc fails every rule (coalesce-to-fail discipline):
+    // census totals with doc 9 removed must each drop by exactly 1
+    val noNull = graft.operators.TextAnalysis
+      .qualityRules(docs.filter(col("doc_id") =!= 9L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    noNull.keys.filterNot(_ == "__kept__").foreach { rule =>
+      assert(census(rule) - noNull(rule) === 1L,
+        s"null doc must count against $rule")
+    }
+  }
+
+  test("t19: census is one scan and one metadata-size exchange") {
+    val df = graft.operators.TextAnalysis.qualityRules(
+      Tables.documents(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    // one documents scan, no window, no join: scan -> partial agg ->
+    // single-row final agg -> stack generate
+    assert(!plan.contains("WindowExec") && !plan.contains("Join"),
+      plan.linesIterator.take(12).mkString("\n"))
+    assert(plan.split("FileScan parquet").length - 1 === 1,
+      "census must cost exactly one corpus scan")
+    val rows = df.collect()
+    assert(rows.length === 8, "7 rules + __kept__")
+    assert(rows.map(_.getLong(1)).forall(_ >= 0L))
+  }
 
 }
