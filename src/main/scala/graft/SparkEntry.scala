@@ -386,6 +386,9 @@ object SparkEntry {
     // Gopher/C4 rule gate with per-rule violation attribution
     "t19_quality_rules" -> ((s, d) =>
       TextAnalysis.qualityRules(Tables.documents(s, d))),
+    // streaming CDF consumer: snapshot bootstrap + additive deltas
+    "st25_stream_change_feed" -> ((s, d) =>
+      graft.streaming.StreamOps.streamChangeFeed(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -719,6 +722,34 @@ object SparkEntry {
                 CAST(sum(CASE WHEN text LIKE '% v3' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_v3
          FROM sides GROUP BY 1, 2"""
+
+  /** st25: the CDF consumer's maintained summary after draining the
+    * two-delta feed must equal the LATEST head aggregated directly —
+    * and commit 3 reuses the clone changelog's arithmetic, so the
+    * head IS k22's merged2 state.
+    */
+  private val st25Sql: String =
+    s"""WITH $k12Ctes,
+         latest2 AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 13 = 1 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM merged
+           WHERE (lang IN ('en', 'fr') OR lang IS NULL)
+             AND (doc_id % 7 = 2 OR doc_id % 13 = 1)),
+         merged2 AS (
+           SELECT m.doc_id, m.lang,
+                  CASE WHEN l.op = 'upsert' THEN m.text || ' v3'
+                       ELSE m.text END AS text
+           FROM merged m LEFT JOIN latest2 l
+             ON m.doc_id = l.doc_id
+            AND m.lang IS NOT DISTINCT FROM l.lang
+           WHERE coalesce(l.op, 'keep') <> 'delete')
+       SELECT lang, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+              CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+                AS chars_checksum
+       FROM merged2 GROUP BY 1"""
 
   /** k23: the serialized head after two CONCURRENT writers — A on
     * en + the NULL partition (upsert ' vA' for doc_id ≡ 0 mod 3 at
@@ -3719,6 +3750,7 @@ object SparkEntry {
     // (last_us+gap_us)/1000+1 — so the open set is every user whose
     // last event leaves its session-expiry strictly past the
     // watermark. 1800000000 us = the registered gapSeconds.
+    "st25_stream_change_feed" -> st25Sql,
     "st24_state_census" ->
       """WITH src AS (
            SELECT user_id, epoch_us(ts) AS us
