@@ -145,6 +145,9 @@ object JobSpec {
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
           rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
+    "d17_edit_distance_join" -> ((s, d, j) =>
+      checked(j, "maxDist")(operators.Dedup.editDistanceJoin(
+        Tables.documents(s, d), maxDist = j.int("maxDist", 8)))),
     "t19_quality_rules" -> ((s, d, j) =>
       checked(j, "minWords", "maxWords", "minMeanWordLen",
         "maxMeanWordLen", "minAlphaWordRatio", "maxSymbolRatio",

@@ -389,6 +389,9 @@ object SparkEntry {
     // streaming CDF consumer: snapshot bootstrap + additive deltas
     "st25_stream_change_feed" -> ((s, d) =>
       graft.streaming.StreamOps.streamChangeFeed(s, d)),
+    // char-level fuzzy join, lossless length-band blocking
+    "d17_edit_distance_join" -> ((s, d) =>
+      Dedup.editDistanceJoin(Tables.documents(s, d))),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2091,6 +2094,19 @@ object SparkEntry {
            AND xb.chunk_id = xa.chunk_id
          GROUP BY 1, 2
          HAVING sum(bit_count(xor(xa.cv, xb.cv))) <= 3""",
+    // d17: the length-band blocking is lossless (lev >= |len diff|),
+    // so the oracle replays plain brute force over normalized text;
+    // DuckDB's levenshtein counts code points like Spark's.
+    "d17_edit_distance_join" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.doc_id < b.doc_id
+         WHERE abs(length(a.t) - length(b.t)) <= 8
+           AND levenshtein(a.t, b.t) <= 8""",
     "d04_ngram_jaccard" ->
       """WITH sets AS (
            SELECT doc_id,

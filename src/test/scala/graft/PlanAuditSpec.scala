@@ -57,7 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljByDesign =
     Set("s01_ann_bruteforce", "s02_ann_ivf", "d08_dedup_embedding_auto",
       "t08_vocab", "s04_ann_pq", "s05_ann_ivfpq", "p13_token_mixture",
-      "p14_training_build")
+      "p14_training_build",
+      // s06 is s05's machinery at lossless dials — same tiny probe
+      // cross; s07's only nested loop is the #queries × #clusters
+      // admission cross (both broadcast-sized); each one's corpus
+      // side enters a hash join (SimilaritySpec pins it)
+      "s06_ann_exact", "s07_range_search")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
