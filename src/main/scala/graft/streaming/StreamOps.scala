@@ -1853,6 +1853,16 @@ object StreamOps {
     child.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
+    // changelog checkpointing: each batch commits its state CHANGES;
+    // full RocksDB snapshots amortize in the background instead of
+    // being taken synchronously per store per batch. On the sf10
+    // harness it measured NEUTRAL (32.2 vs 32.9 s — the r13 WATCH
+    // item's cost is the per-batch timer sweep + the finite
+    // harness's memory-sink collect, NOT snapshotting), but it is
+    // the production-correct durability mode at this state
+    // cardinality, so it stays on.
+    child.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
     import child.implicits._
     val src = child.readStream
       .schema(schema)
