@@ -392,6 +392,10 @@ object SparkEntry {
     // char-level fuzzy join, lossless length-band blocking
     "d17_edit_distance_join" -> ((s, d) =>
       Dedup.editDistanceJoin(Tables.documents(s, d))),
+    // snapshot expiry + orphan vacuum, read back through the oracle
+    "k30_retention" -> ((s, d) =>
+      graft.sources.TimeTravel.retentionSummary(Tables.documents(s, d),
+        cacheKey = d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -3249,6 +3253,9 @@ object SparkEntry {
     // k12Ctes replay (see k14Sql).
     "k14_time_travel" -> k14Sql,
     "k29_column_stats" -> k29Sql,
+    // k30: the post-expire head must read exactly k12's merged state
+    // — a vacuum that touched one live byte breaks the hash
+    "k30_retention" -> k12Sql,
     // k21: the restore (v3) must read as the pre-image verbatim while
     // the bad commit (v2) stays readable — same shared replay.
     "k21_restore" -> k21Sql,

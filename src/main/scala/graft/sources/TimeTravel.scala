@@ -490,6 +490,44 @@ object TimeTravel {
     (srcDir, dstDir)
   }
 
+  /** k30_retention — the snapshot lifecycle's RECLAIM half exercised
+    * through the driver's hash gate: stage the two-commit catalog in
+    * its OWN directory, EXPIRE v1 (manifest delete + orphan vacuum of
+    * every tree no retained manifest references), then read the
+    * retained head back. Registering the post-expire read makes
+    * vacuum correctness a CORRECTNESS row, not only a spec: a vacuum
+    * that deletes one live file (or a manifest walk that misses a
+    * reference and keeps the head pointing at deleted bytes) fails
+    * the hash compare against k12's merged-state oracle. The expire
+    * itself runs once with the staging (memoized); the registered
+    * read prices exactly what a post-retention reader pays. Specs
+    * additionally bracket the file-level effects (v1's exclusive
+    * trees gone, shared trees byte-identical).
+    *
+    * Reference analog: the `clean` step (tools.py:677-736) deleting
+    * intermediates once the durable result landed — here with a
+    * manifest to prove what must survive.
+    */
+  def retentionSummary(documents: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val spark = documents.sparkSession
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k30_")
+      stageBase(documents, dir)
+      commitChanges(documents, dir)
+      expire(spark, dir, retainFrom = 2)
+      dir
+    }
+    val dir =
+      if (cacheKey.isEmpty) fresh()
+      else staged.getOrElseUpdate(cacheKey + "#k30", fresh())
+    require(versions(spark, dir) == Seq(2),
+      s"expire must leave exactly v2 in $dir")
+    PartitionUpsert.summarize(readAt(spark, dir, 2))
+      .select(col("lang"), col("n_docs"), col("key_checksum"),
+        col("chars_checksum"), col("n_upserted"))
+  }
+
   /** Registered k22 query: source head and clone head side by side —
     * the source must still read EXACTLY k12's post-apply state (no
     * ' v3' anywhere) while the clone reads the divergent merge; the

@@ -129,4 +129,15 @@ class TimeTravelSpec extends AnyFunSuite {
       TimeTravel.expire(spark, dir, retainFrom = 99)
     }
   }
+
+  test("k30: registered post-expire read equals the k12 head exactly") {
+    val docs = Tables.documents(spark, sf)
+    val got = TimeTravel.retentionSummary(docs)
+      .collect().map(_.toSeq).toSet
+    val want = graft.sources.PartitionUpsert.upsertSummary(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "the retained head after expire+vacuum must read as the merged state")
+    assert(got.nonEmpty)
+  }
 }
