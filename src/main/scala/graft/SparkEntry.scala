@@ -572,19 +572,25 @@ object SparkEntry {
                   AS BIGINT) AS n_text_null
          FROM vs GROUP BY 1, 2"""
 
-  /** s01's exact top-k — shared verbatim by s06_ann_exact, whose
-    * lossless dials make the full IVF-PQ path reproduce it
-    * bit-for-bit (spec-pinned; round 14 registers the identity as a
-    * driver-visible oracle row).
+  /** s01's exact top-k, parameterized on the query predicate. s06
+    * (the lossless IVF-PQ path) shares the whole replay but restricts
+    * queries to POSITIVE NORM: cosine is undefined for a zero-norm
+    * query, s01 degenerately emits its all-NULL-cosine rows (ranked
+    * by the vec_id tiebreak — the oracle's NULLS LAST replays it
+    * exactly), while the IVF machinery correctly never assigns or
+    * probes an undefined vector. The two paths agree bit-for-bit on
+    * every DEFINED query (spec-pinned), so s06's oracle states
+    * exactly that; the hostile corpus (which plants zero vectors on
+    * the query stride) is what forced the distinction.
     */
-  private val s01Sql: String =
-    """WITH e AS (
+  private def annExactSql(queryPred: String): String =
+    s"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v,
                 sqrt(list_inner_product(embedding::DOUBLE[],
                                         embedding::DOUBLE[])) AS nrm
          FROM embeddings),
        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
-             FROM e WHERE vec_id % 50 = 0),
+             FROM e WHERE $queryPred),
        scored AS (
          SELECT q_id, e.vec_id AS n_id,
                 list_inner_product(qv, e.v) / (qn * e.nrm) AS c
@@ -596,6 +602,8 @@ object SparkEntry {
          FROM scored)
        SELECT q_id, n_id, rnk, round(c, 4) AS cosine
        FROM ranked WHERE rnk <= 5"""
+
+  private val s01Sql: String = annExactSql("vec_id % 50 = 0")
 
   /** DuckDB Luhn checksum mod 10 of a digit-string expression —
     * the exact doubling-map sum the engine's `aggregate` computes.
@@ -2208,8 +2216,9 @@ object SparkEntry {
     // bit-for-bit against s01, registered so the ANN family carries
     // a hash-checked CORRECTNESS anchor through the FULL IVF-PQ code
     // path (probe → ADC → exact rerank), not just the brute-force
-    // baseline. Shares s01's oracle verbatim (the twin discipline).
-    "s06_ann_exact" -> s01Sql,
+    // baseline. The oracle is s01's restricted to DEFINED
+    // (positive-norm) queries — see annExactSql.
+    "s06_ann_exact" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
     // s07: exact radius search — the oracle is the brute-force range
     // join; the engine's cluster pruning is provably lossless (the
     // angular triangle-inequality bound), so the sets hash-match.

@@ -205,6 +205,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("s06: zero-norm query is undefined — IVF drops it, s01 degenerately ranks") {
+    import spark.implicits._
+    // id 50 sits on the query stride and is the zero vector: cosine
+    // against it is undefined (the hostile corpus plants exactly
+    // this). s01 emits its all-NULL-cosine rows (vec_id tiebreak,
+    // matching the oracle's NULLS LAST); the IVF path never assigns
+    // or probes an undefined vector — the two agree on every DEFINED
+    // query, which is what s06's oracle states.
+    val dim = 8
+    val rows = (0L until 200L).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      if (i != 50L) v((i % dim).toInt) = 1.0f + (i % 5)
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val s6 = Similarity.annIvfPq(df, nprobe = 10,
+      rerankDepth = Int.MaxValue).collect()
+    assert(!s6.exists(_.getAs[Long]("q_id") == 50L),
+      "IVF must drop the undefined query")
+    val s1 = Similarity.annBruteForce(df).collect()
+    val zero = s1.filter(_.getAs[Long]("q_id") == 50L)
+    assert(zero.length === 5 && zero.forall(_.isNullAt(3)),
+      "s01 degenerately ranks the undefined query with NULL cosines")
+    // on defined queries the two paths agree exactly
+    val defined1 = s1.filter(_.getAs[Long]("q_id") != 50L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val defined6 = s6
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rnk"))).toSet
+    assert(defined6 === defined1)
+  }
+
   test("s07: cluster-pruned range search is exact on the real corpus") {
     val e = Tables.embeddings(spark, sf)
     val pruned = Similarity.rangeSearch(e).collect()
