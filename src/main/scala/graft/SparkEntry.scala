@@ -635,11 +635,12 @@ object SparkEntry {
                   '${graft.operators.TextAnalysis.CardRe}') AS cards,
                 regexp_extract_all(coalesce(text, ''),
                   '${graft.operators.TextAnalysis.IbanRe}') AS ibans,
-                lpad(CAST((doc_id * 2654435761) % 1000000000000000
-                  AS VARCHAR), 16, '0') AS cd,
-                'DE' || lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') ||
-                  lpad(CAST((doc_id * 48271) % 10000000000 AS VARCHAR),
-                    10, '0') AS ibd
+                lpad(CAST((coalesce(doc_id, 0) * 2654435761)
+                  % 1000000000000000 AS VARCHAR), 16, '0') AS cd,
+                'DE' || lpad(CAST(coalesce(doc_id, 0) % 97 AS VARCHAR),
+                    2, '0') ||
+                  lpad(CAST((coalesce(doc_id, 0) * 48271) % 10000000000
+                    AS VARCHAR), 10, '0') AS ibd
          FROM documents)
        SELECT doc_id,
               CAST(len(cards) AS BIGINT) AS n_cards,
@@ -664,20 +665,24 @@ object SparkEntry {
     * length columns integer-typed through the compare).
     */
   private val k28Sql: String =
-    s"""WITH $k12Ctes
-       SELECT CASE WHEN b.doc_id IS NULL THEN 'insert'
-                   WHEN m.doc_id IS NULL THEN 'delete'
+    s"""WITH $k12Ctes,
+         bp AS (SELECT base.*, 1 AS b_here FROM base),
+         mp AS (SELECT merged.*, 1 AS m_here FROM merged)
+       SELECT CASE WHEN b_here IS NULL THEN 'insert'
+                   WHEN m_here IS NULL THEN 'delete'
                    ELSE 'update' END AS op,
               coalesce(b.doc_id, m.doc_id) AS doc_id,
               coalesce(b.lang, m.lang) AS lang,
-              CAST(coalesce(length(b.text), -1) AS BIGINT)
+              CAST(CASE WHEN b_here IS NULL THEN -1
+                   ELSE coalesce(length(b.text), -1) END AS BIGINT)
                 AS chars_before,
-              CAST(coalesce(length(m.text), -1) AS BIGINT)
+              CAST(CASE WHEN m_here IS NULL THEN -1
+                   ELSE coalesce(length(m.text), -1) END AS BIGINT)
                 AS chars_after
-       FROM base b FULL OUTER JOIN merged m
+       FROM bp b FULL OUTER JOIN mp m
          ON b.doc_id = m.doc_id
         AND b.lang IS NOT DISTINCT FROM m.lang
-       WHERE b.doc_id IS NULL OR m.doc_id IS NULL
+       WHERE b_here IS NULL OR m_here IS NULL
           OR b.text IS DISTINCT FROM m.text"""
 
   /** k21: v1 = the pre-image, v2 = the bad commit (k12's post-apply
@@ -2416,7 +2421,8 @@ object SparkEntry {
     "m02_image_features" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
          nib AS (
            SELECT doc_id, n,
                   strpos('123456789ABCDEF',
@@ -2437,11 +2443,13 @@ object SparkEntry {
            16 + strlen(text) % 624 AS width,
            16 + (strlen(text) * 7) % 464 AS height,
            1 + strlen(text) % 9 AS n_frames
-         FROM documents WHERE text IS NOT NULL""",
+         FROM documents
+         WHERE text IS NOT NULL AND doc_id IS NOT NULL""",
     "m03_resize" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
          bv AS (
            SELECT doc_id, n, (n + 63) // 64 AS stride, t,
                   strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
@@ -2459,7 +2467,7 @@ object SparkEntry {
     "m04_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          bv AS (
            SELECT doc_id, t,
                   strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16
@@ -2748,7 +2756,8 @@ object SparkEntry {
     // round trip through 4-line text and the positional reassembly.
     "k04_fastq_ingest" ->
       """WITH d AS (
-           SELECT doc_id, n_chars % 80 + 20 AS len FROM documents),
+           SELECT doc_id, n_chars % 80 + 20 AS len FROM documents
+           WHERE doc_id IS NOT NULL),
          pos AS (
            SELECT doc_id, len, unnest(range(len)) AS p FROM d)
          SELECT doc_id AS read_id,
@@ -3083,7 +3092,8 @@ object SparkEntry {
            SELECT doc_id, hex(encode(text)) AS hx,
                   octet_length(encode(text)) AS n
            FROM documents
-           WHERE text IS NOT NULL AND octet_length(encode(text)) >= 64),
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL
+             AND octet_length(encode(text)) >= 64),
          bv AS (
            SELECT doc_id, n, t,
                   strpos('123456789ABCDEF', hx[CAST(2*t+1 AS INT)]) * 16

@@ -32,7 +32,11 @@ object Corpus {
       .agg(min_by(
         struct(col("lang"), col("source"), col("n_tokens"),
           col("quality_score")),
-        col("doc_id")).as("r"))
+        // NULLS LAST, not dropped: a keyless doc still represents its
+        // group when it is the only member (min_by ignores null
+        // ordering values — the oracle's row_number ORDER BY doc_id
+        // keeps it, so coalesce to the sort's +infinity)
+        coalesce(col("doc_id"), lit(Long.MaxValue))).as("r"))
     reps
       .groupBy(col("r.lang").as("lang"), col("r.source").as("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -145,9 +149,13 @@ object Corpus {
       xxhash64(TextOps.normText(col("text"))).as("nh"),
       ShingleExprs.shingleHashSet(col("text"), 3).as("sh"))
     val surv = Window.partitionBy(col("nh"))
+    // NULLS-LAST survivor pick: a keyless doc must still survive when
+    // it is its group's only member (the oracle's min(doc_id) emits
+    // the NULL row; a bare min-over-window would silently drop it)
+    val ord = coalesce(col("doc_id"), lit(Long.MaxValue))
     val sets = enriched
-      .withColumn("_min", min(col("doc_id")).over(surv))
-      .filter(col("doc_id") === col("_min"))
+      .withColumn("_min", min(ord).over(surv))
+      .filter(ord === col("_min"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
     val groups = Dedup.dedupGroups(Dedup.ngramJaccardFromSets(
       sets.filter(col("nsh") > 0)))
@@ -747,16 +755,20 @@ object Corpus {
       .select(col("doc_id"), col("source"))
       .withColumn("priority",
         saltedBucket(col("doc_id"), salt, 1000000L))
+    // NULLS LAST explicitly: a keyless row has a NULL priority, and
+    // Spark's ASC default is nulls-FIRST where SQL engines rank them
+    // last — the hostile NULL-key row would otherwise take rank 1
+    // here and rank |source| in the oracle
     val localW = Window
       .partitionBy(col("source"), col("_b"))
-      .orderBy(col("priority"), col("doc_id"))
+      .orderBy(col("priority").asc_nulls_last, col("doc_id").asc_nulls_last)
     val local = pri
       .withColumn("_b", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
       .withColumn("_lr", row_number().over(localW))
       .filter(col("_lr") <= cap)
       .drop("_b", "_lr")
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("priority"), col("doc_id"))
+      .orderBy(col("priority").asc_nulls_last, col("doc_id").asc_nulls_last)
     local
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= cap)

@@ -32,6 +32,15 @@ object Multimodal {
       .filter(col("text").isNotNull) // a null blob has no bytes to probe
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Payloads for the DOC-KEYED operators (typed records address
+    * media by doc_id): a keyless (NULL doc_id) payload cannot be
+    * addressed and is excluded here — and by the same predicate in
+    * those operators' oracles. The content-keyed ops (m05/m07/m08)
+    * keep keyless rows: content addressing doesn't need the doc key.
+    */
+  private def keyedPayloads(documents: DataFrame) =
+    payloads(documents).filter(col("doc_id").isNotNull)
+
   /** m01_multimodal_meta — per-payload typed metadata: byte size,
     * 4-byte magic (hex), and stub-decoded dimensions. Runs as a
     * partition-batch pass over the binary column: each executor core
@@ -42,7 +51,7 @@ object Multimodal {
   def multimodalMeta(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    payloads(documents).as[(Long, Array[Byte])]
+    keyedPayloads(documents).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val n = bytes.length.toLong
@@ -69,7 +78,7 @@ object Multimodal {
   def imageFeatures(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    payloads(documents).as[(Long, Array[Byte])]
+    keyedPayloads(documents).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val hist = new Array[Double](16)
@@ -116,7 +125,7 @@ object Multimodal {
   def resize(documents: DataFrame, target: Int = 64): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    payloads(documents).as[(Long, Array[Byte])]
+    keyedPayloads(documents).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val n = bytes.length
@@ -153,7 +162,7 @@ object Multimodal {
       every: Int = 4): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    payloads(documents).as[(Long, Array[Byte])]
+    keyedPayloads(documents).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, bytes) =>
           val n = bytes.length
@@ -254,7 +263,7 @@ object Multimodal {
   def phashChunks(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    payloads(documents).as[(Long, Array[Byte])]
+    keyedPayloads(documents).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, bytes) =>
           val n = bytes.length

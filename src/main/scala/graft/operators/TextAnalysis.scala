@@ -519,11 +519,16 @@ object TextAnalysis {
     val txt = coalesce(col("text"), lit(""))
     val cards = regexp_extract_all(txt, lit(CardRe), lit(0))
     val ibans = regexp_extract_all(txt, lit(IbanRe), lit(0))
-    val cardDemo = lpad(pmod(col("doc_id") * lit(2654435761L),
+    // a keyless (NULL doc_id) row still gets a deterministic demo
+    // instrument — coalesce to 0 on BOTH engines, so the checksum
+    // columns stay integer-typed instead of null-propagating on one
+    // side only (the hostile NULL-key row caught exactly that)
+    val demoKey = coalesce(col("doc_id"), lit(0L))
+    val cardDemo = lpad(pmod(demoKey * lit(2654435761L),
       lit(1000000000000000L)).cast("string"), 16, "0")
     val ibanDemo = concat(lit("DE"),
-      lpad(pmod(col("doc_id"), lit(97L)).cast("string"), 2, "0"),
-      lpad(pmod(col("doc_id") * lit(48271L), lit(10000000000L))
+      lpad(pmod(demoKey, lit(97L)).cast("string"), 2, "0"),
+      lpad(pmod(demoKey * lit(48271L), lit(10000000000L))
         .cast("string"), 10, "0"))
     documents.select(
       col("doc_id"),

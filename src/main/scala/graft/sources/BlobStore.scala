@@ -70,10 +70,12 @@ object BlobStore {
     def fresh(): String = {
       val root = graft.Staging.dir("graft_m08_") + "/cas"
       val rows = payloadRows(documents)
-      ingest(documents.sparkSession, root,
-        rows.filter(pmod(col("doc_id"), lit(2L)) === 0L))
-      ingest(documents.sparkSession, root,
-        rows.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      // coalesce: a keyless (NULL doc_id) payload must arrive in
+      // exactly ONE slice, not vanish from both (content addressing
+      // never needed the doc key — the k26 null-routing discipline)
+      val slice = coalesce(pmod(col("doc_id"), lit(2L)), lit(0L))
+      ingest(documents.sparkSession, root, rows.filter(slice === 0L))
+      ingest(documents.sparkSession, root, rows.filter(slice === 1L))
       root
     }
     if (cacheKey.isEmpty) fresh()

@@ -189,9 +189,15 @@ object Formats {
     val outDir = treeFor("graft_k10_evo_", cacheKey)
     val legacy = documents.filter(col("doc_id") < splitId)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val current = documents.filter(col("doc_id") >= splitId)
+    // coalesce: a keyless (NULL doc_id) row must land in exactly ONE
+    // generation (k26's null-routing discipline) — it arrives under
+    // the CURRENT schema with rev 0 ("unknown revision", distinct
+    // from the legacy files' missing column), matching the oracle's
+    // CASE arithmetic where NULL keys fall to both ELSE legs
+    val current = documents
+      .filter(coalesce(col("doc_id") >= splitId, lit(true)))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        (pmod(col("doc_id"), lit(5L)) + 1L).as("rev"))
+        coalesce(pmod(col("doc_id"), lit(5L)) + 1L, lit(0L)).as("rev"))
     saltedByLang(legacy, writers = 2)
       .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(outDir)
     // Append lands the new-schema files NEXT TO the legacy ones —

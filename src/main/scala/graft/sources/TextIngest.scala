@@ -206,6 +206,12 @@ object TextIngest {
     def stage(): String = {
       val dir = graft.Staging.dir("graft_fastq_")
       documents
+        // a FASTQ read NEEDS its id — a keyless (NULL doc_id) row has
+        // no derivable read name and is dropped at staging, mirroring
+        // the oracle's doc_id IS NOT NULL (a NULL would otherwise
+        // concat the whole record to NULL and corrupt the 4-line
+        // framing of its neighbors)
+        .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("n_chars"),
           (pmod(col("n_chars"), lit(80L)) + 20L).as("len"))
         .select(col("doc_id"),
@@ -228,8 +234,10 @@ object TextIngest {
       else stagedFastq.getOrElseUpdate(cacheKey, stage())
     readFastq(spark, dir)
       .select(
-        regexp_extract(col("read_id"), "^r(\\d+)$", 1).cast("long")
-          .as("read_id"),
+        // nullif: an unparseable read name must surface as NULL, not
+        // abort the scan with an ANSI cast error on ''
+        nullif(regexp_extract(col("read_id"), "^r(\\d+)$", 1), lit(""))
+          .cast("long").as("read_id"),
         col("read_len"),
         length(regexp_replace(col("sequence"), "[^CG]", ""))
           .cast("long").as("gc_count"),

@@ -717,34 +717,43 @@ object TimeTravel {
         case _ => true // present on one side only
       }
     }
+    // presence MARKERS, not key-nullness: a row whose KEY is null is
+    // still PRESENT on its side — classifying by b_id/t_id nullness
+    // would read both images of a keyless row as 'insert' (the
+    // hostile NULL-key row caught exactly that; a keyless row cannot
+    // be identity-tracked, so its rewrite legitimately feeds as one
+    // delete + one insert, which downstream additive consumers
+    // net to zero — st25's contract)
     val pre = readManifestRows(spark, dir,
       from.filter(r => changed.contains(Option(r.lang))),
       schemaAt(spark, dir, vFrom))
       .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("text").as("b_text"))
+        col("text").as("b_text"), lit(1).as("b_here"))
     val post = readManifestRows(spark, dir,
       to.filter(r => changed.contains(Option(r.lang))),
       schemaAt(spark, dir, vTo))
       .select(col("doc_id").as("t_id"), col("lang").as("t_lang"),
-        col("text").as("t_text"))
+        col("text").as("t_text"), lit(1).as("t_here"))
     pre.join(post,
         col("b_id") === col("t_id") && (col("b_lang") <=> col("t_lang")),
         "full_outer")
       // unchanged rows inside a rewritten partition drop here, before
       // anything materializes — the feed is the true delta, not the
       // rewritten-partition contents
-      .filter(col("b_id").isNull || col("t_id").isNull ||
+      .filter(col("b_here").isNull || col("t_here").isNull ||
         !(col("b_text") <=> col("t_text")))
       .select(
-        when(col("b_id").isNull, lit("insert"))
-          .when(col("t_id").isNull, lit("delete"))
+        when(col("b_here").isNull, lit("insert"))
+          .when(col("t_here").isNull, lit("delete"))
           .otherwise(lit("update")).as("op"),
         coalesce(col("b_id"), col("t_id")).as("doc_id"),
         coalesce(col("b_lang"), col("t_lang")).as("lang"),
-        coalesce(length(col("b_text")).cast("long"), lit(-1L))
-          .as("chars_before"),
-        coalesce(length(col("t_text")).cast("long"), lit(-1L))
-          .as("chars_after"))
+        when(col("b_here").isNull, lit(-1L))
+          .otherwise(coalesce(length(col("b_text")).cast("long"),
+            lit(-1L))).as("chars_before"),
+        when(col("t_here").isNull, lit(-1L))
+          .otherwise(coalesce(length(col("t_text")).cast("long"),
+            lit(-1L))).as("chars_after"))
   }
 
   /** Registered k28 query: the v1→v2 feed of the SHARED k14 catalog

@@ -24,6 +24,13 @@ HOSTILE = [
     # when/otherwise vs oracle CASE must agree on where these land
     # (p15's round-12 NULL-source bug is the class this row catches).
     (90006, "metadata free text with several plain tokens", None, None, 44),
+    # NULL doc_id (round 14): a keyless row. Key-driven routing must
+    # land it in exactly ONE place, never silently drop it from both
+    # legs (the k26 generation-routing class the r13 advice flagged);
+    # joins/dedup on the key must exclude it exactly like the
+    # oracle's SQL three-valued logic does.
+    (None, "a row that arrived without its key but still counts", "en",
+     "hostile", 46),
 ]
 
 # Zero vectors = failed/padding embeddings. 90050 is divisible by the
@@ -55,8 +62,9 @@ def main():
     def s_or_null(v):
         return "NULL" if v is None else "'%s'" % v
     rows = ", ".join(
-        "(%d, %s, %s, %s, %d)"
-        % (d, s_or_null(t), s_or_null(l), s_or_null(s), n)
+        "(%s, %s, %s, %s, %d)"
+        % ("NULL::BIGINT" if d is None else str(d),
+           s_or_null(t), s_or_null(l), s_or_null(s), n)
         for d, t, l, s, n in HOSTILE)
     con.execute(f"""
         COPY (
