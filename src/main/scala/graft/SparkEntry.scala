@@ -635,11 +635,13 @@ object SparkEntry {
                   '${graft.operators.TextAnalysis.CardRe}') AS cards,
                 regexp_extract_all(coalesce(text, ''),
                   '${graft.operators.TextAnalysis.IbanRe}') AS ibans,
-                lpad(CAST((coalesce(doc_id, 0) * 2654435761)
+                lpad(CAST(((coalesce(doc_id, 0) % 1000000000)
+                    * 2654435761)
                   % 1000000000000000 AS VARCHAR), 16, '0') AS cd,
                 'DE' || lpad(CAST(coalesce(doc_id, 0) % 97 AS VARCHAR),
                     2, '0') ||
-                  lpad(CAST((coalesce(doc_id, 0) * 48271) % 10000000000
+                  lpad(CAST(((coalesce(doc_id, 0) % 1000000000) * 48271)
+                    % 10000000000
                     AS VARCHAR), 10, '0') AS ibd
          FROM documents)
        SELECT doc_id,

@@ -1172,15 +1172,20 @@ object Dedup {
     * Blocking is the band join on length buckets of width
     * maxDist+1: levenshtein(a,b) ≥ |len(a)−len(b)|, so any
     * qualifying pair's buckets differ by at most 1 — one side
-    * replicates to its three neighboring buckets (3× metadata-cheap
-    * replication of (id, text, len)), the other probes its own, and
-    * NO qualifying pair can escape the join: the blocking is exact,
-    * so the DuckDB oracle replays plain brute force and
-    * hash-matches. Within a bucket the cheap |Δlen| filter runs
-    * before the O(len²) distance, and the distance itself uses
-    * Spark's THRESHOLDED levenshtein (early-exits the DP row once
-    * the band exceeds maxDist — O(len·maxDist), the standard
-    * banded-DP trick).
+    * replicates its FULL (id, normalized text, len) row to its three
+    * neighboring buckets (3× the corpus text volume shuffled, not
+    * metadata — the price of losslessness), the other probes its
+    * own, and NO qualifying pair can escape the join: the blocking
+    * is exact, so the DuckDB oracle replays plain brute force and
+    * hash-matches. The |Δlen| ≤ maxDist band and the id ordering
+    * ride IN the join condition (not a post-filter), so a
+    * same-bucket pair outside the band dies during the hash-join
+    * probe before any output row materializes; the distance itself
+    * uses Spark's THRESHOLDED levenshtein (early-exits the DP row
+    * once the band exceeds maxDist — O(len·maxDist), the standard
+    * banded-DP trick). Even so, every surviving same-bucket pair
+    * pays a probe: within one length bucket the pairing is
+    * quadratic — see the scale note below.
     *
     * Scale: the exchange is keyed on the length bucket; length alone
     * under-blocks a 100 TB corpus (too many same-length documents),
@@ -1202,10 +1207,13 @@ object Dedup {
       col("len").as("la"),
       explode(array(base - 1, base, base + 1)).as("bucket"))
     val right = n.select(col("doc_id").as("id_b"), col("t").as("tb"),
-      col("len").as("lb"), base.as("bucket"))
-    left.join(right, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(col("la") - col("lb")) <= maxDist)
+      col("len").as("lb"), base.as("bucket_b"))
+    // band + ordering inside the join condition: the equi-key keeps
+    // the hash join, the extra conjuncts run at probe time
+    left.join(right,
+        col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
       .withColumn("d", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("d") >= 0) // thresholded form returns -1 past the cap
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))

@@ -524,11 +524,17 @@ object TextAnalysis {
     // columns stay integer-typed instead of null-propagating on one
     // side only (the hostile NULL-key row caught exactly that)
     val demoKey = coalesce(col("doc_id"), lit(0L))
-    val cardDemo = lpad(pmod(demoKey * lit(2654435761L),
+    // reduce the key BEFORE the multipliers: 2654435761 * a key above
+    // ~3.47e9 overflows int64, which ANSI mode (and DuckDB) turn into
+    // a query-aborting error — pmod to < 1e9 keeps both products in
+    // long range for ANY doc_id, and the oracle applies the identical
+    // reduction
+    val rk = pmod(demoKey, lit(1000000000L))
+    val cardDemo = lpad(pmod(rk * lit(2654435761L),
       lit(1000000000000000L)).cast("string"), 16, "0")
     val ibanDemo = concat(lit("DE"),
       lpad(pmod(demoKey, lit(97L)).cast("string"), 2, "0"),
-      lpad(pmod(demoKey * lit(48271L), lit(10000000000L))
+      lpad(pmod(rk * lit(48271L), lit(10000000000L))
         .cast("string"), 10, "0"))
     documents.select(
       col("doc_id"),

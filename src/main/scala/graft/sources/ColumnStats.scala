@@ -84,8 +84,13 @@ object ColumnStats {
       .map { r =>
         val lang = if (r.isNullAt(0)) None else Some(r.getString(0))
         val (root, commit) = treeOf(lang)
+        // min/max over an all-NULL doc_id partition are NULL —
+        // record them as such (the stats columns are nullable)
+        // instead of NPE-ing on getLong
+        def longOrNull(i: Int): Any =
+          if (r.isNullAt(i)) null else r.getLong(i)
         Row(lang.orNull, root, commit, r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+          longOrNull(3), longOrNull(4), r.getLong(5), r.getLong(6))
       }
   }
 

@@ -1947,8 +1947,9 @@ object StreamOps {
     })
     val sumRun = graft.Staging.dir("graft_st25_sum_")
     val src = spark.readStream
-      .schema("op STRING, doc_id BIGINT, lang STRING, " +
-        "chars_before BIGINT, chars_after BIGINT")
+      // the producer's own schema constant — a feed-schema change
+      // cannot silently desynchronize this consumer
+      .schema(graft.sources.TimeTravel.ChangeFeedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$feed/a*")
     val q = src.writeStream

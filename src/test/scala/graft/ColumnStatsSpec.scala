@@ -82,4 +82,29 @@ class ColumnStatsSpec extends AnyFunSuite {
       assert(r.getLong(4) <= r.getLong(5), "min <= max")
     }
   }
+
+  test("k29: an all-NULL-doc_id partition records NULL min/max") {
+    import spark.implicits._
+    // one healthy partition plus one whose every key is NULL — the
+    // min/max aggregates come back NULL and ANALYZE must record
+    // them as such, not NPE on getLong (r15 ADVICE regression)
+    val docs = (Seq((Some(1L), "s", "alpha beta", "en"),
+        (Some(2L), "s", "gamma", "en")) ++
+      Seq.fill(3)((None: Option[Long], "s", "orphan row", "qq")))
+      .toDF("doc_id", "source", "text", "lang")
+    val dir = graft.Staging.dir("graft_k29null_")
+    TimeTravel.stageBase(docs, dir)
+    val scanned = ColumnStats.analyze(spark, dir, 1)
+    assert(scanned.contains("qq"))
+    val stats = spark.read.parquet(s"$dir/meta/stats_v1").collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    val qq = stats(Some("qq"))
+    assert(qq.getAs[Long]("n_rows") === 3L)
+    assert(qq.getAs[Long]("ndv_doc_id") === 0L)
+    assert(qq.isNullAt(qq.fieldIndex("min_doc_id")))
+    assert(qq.isNullAt(qq.fieldIndex("max_doc_id")))
+    val en = stats(Some("en"))
+    assert(en.getAs[Long]("min_doc_id") === 1L &&
+      en.getAs[Long]("max_doc_id") === 2L)
+  }
 }

@@ -154,6 +154,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t18: demo legs survive a doc_id beyond the int64 multiply " +
+      "range") {
+    import spark.implicits._
+    // 2654435761 * anything above ~3.47e9 overflows long; ANSI mode
+    // would abort the query — the reduced-key demo legs must stay in
+    // range for ANY doc_id (r15 ADVICE regression)
+    val docs = Seq((Long.MaxValue, "big id"), (9000000000L, "mid id"),
+      (7L, "small id")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiValidate(docs).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val rem = r.getAs[Long]("iban_demo_rem")
+      assert(rem >= 0 && rem <= 96)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("card_demo_ok")))
+    }
+  }
+
   test("t04: codegen output equals the interpreted kernel") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
