@@ -392,10 +392,21 @@ object SparkEntry {
     // char-level fuzzy join, lossless length-band blocking
     "d17_edit_distance_join" -> ((s, d) =>
       Dedup.editDistanceJoin(Tables.documents(s, d))),
+    // the 100 TB fuzzy-join tier: LSH proposes, levenshtein disposes
+    "d18_edit_distance_blocked" -> ((s, d) =>
+      Dedup.editDistanceJoinBlocked(Tables.documents(s, d))),
     // snapshot expiry + orphan vacuum, read back through the oracle
     "k30_retention" -> ((s, d) =>
       graft.sources.TimeTravel.retentionSummary(Tables.documents(s, d),
         cacheKey = d)),
+    // durable versioned ANN index: incremental append, lossless-dial
+    // fetch through the landed v2 artifacts ≡ exact brute force
+    "k31_ann_index" -> ((s, d) =>
+      graft.sources.AnnIndexStore.annIndexQuery(Tables.embeddings(s, d),
+        cacheKey = d)),
+    // stream-stream join state census off the committed checkpoint
+    "st26_join_state_census" -> ((s, d) =>
+      graft.streaming.StreamOps.joinStateCensus(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -1365,6 +1376,74 @@ object SparkEntry {
       s"strpos('123456789abcdef', $hexCol[${k + 1}]) * ${1L << (4 * (14 - k))}"
     }.mkString("(", " + ", ")")
 
+  /** The MinHash+LSH CANDIDATE pipeline as DuckDB CTEs, shared by
+    * d02 (Jaccard verify) and d18 (edit-distance verify): md5_60
+    * shingle digests, (a·x+b) mod M permutation minima, band
+    * buckets = md5_60 of the comma-joined signature slice, ≤256
+    * hot-bucket guard, distinct (da, db) candidate pairs. Exactly
+    * Dedup.minhashCandidates over the portable basis — permutation
+    * constants regenerate from md5('graft-minhash-{a,b}-' || i),
+    * PortableHash.permA/permB.
+    */
+  private val minhashCandCtes: String =
+    s"""sets AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS sh
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         pm AS (
+           SELECT i, md5('graft-minhash-a-' || i) AS ha,
+                  md5('graft-minhash-b-' || i) AS hb
+           FROM (SELECT CAST(unnest(range(64)) AS INT) AS i)),
+         perms AS (
+           SELECT i, ${h60Sql("ha")} % 1000000006 + 1 AS a,
+                  ${h60Sql("hb")} % 1000000007 AS b
+           FROM pm),
+         sm AS (
+           SELECT doc_id, md5(s) AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sets)),
+         dig AS (
+           SELECT doc_id, ${h60Sql("h")} % 1000000007 AS x FROM sm),
+         sigs AS (
+           SELECT doc_id, i, min((a * x + b) % 1000000007) AS sig
+           FROM dig CROSS JOIN perms GROUP BY 1, 2),
+         bk AS (
+           SELECT doc_id, i // 4 AS band_id,
+                  md5(array_to_string(list(sig ORDER BY i), ',')) AS h
+           FROM sigs GROUP BY 1, 2),
+         buckets AS (
+           SELECT doc_id, band_id, ${h60Sql("h")} AS bucket FROM bk),
+         ok AS (
+           SELECT band_id, bucket FROM buckets
+           GROUP BY 1, 2 HAVING count(*) <= 256),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           FROM buckets x
+           JOIN ok USING (band_id, bucket)
+           JOIN buckets y USING (band_id, bucket)
+           WHERE x.doc_id < y.doc_id)"""
+
+  /** d18: the composed fuzzy join — the candidate CTEs propose, the
+    * length band + levenshtein dispose; the whole pipeline replays,
+    * so the compare is a full hash check despite the approximate
+    * proposal tier.
+    */
+  private val d18Sql: String =
+    s"""WITH $minhashCandCtes,
+         nt AS (
+           SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+           FROM documents WHERE text IS NOT NULL)
+       SELECT da AS id_a, db AS id_b,
+              CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+       FROM cand JOIN nt a ON a.doc_id = cand.da
+                 JOIN nt b ON b.doc_id = cand.db
+       WHERE abs(length(a.t) - length(b.t)) <= 8
+         AND levenshtein(a.t, b.t) <= 8"""
+
   /** Shared by q43 (batch sketch+recount) and st13 (streaming MG fold
     * + the same exact closing recount): both must equal the plain
     * HAVING answer, so one oracle covers both.
@@ -2015,53 +2094,11 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents
          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
-    // d02: the ENTIRE MinHash+LSH pipeline — md5_60 shingle digests,
-    // (a·x+b) mod M permutation minima, band buckets = md5_60 of the
-    // comma-joined signature slice, ≤256 hot-bucket guard, exact
+    // d02: the ENTIRE MinHash+LSH pipeline (minhashCandCtes) + exact
     // string-set Jaccard verify (engine intersects 60-bit digest
-    // sets: d01's probabilistic-gap contract). Permutation constants
-    // regenerate from md5('graft-minhash-{a,b}-' || i), exactly
-    // PortableHash.permA/permB.
+    // sets: d01's probabilistic-gap contract).
     "d02_dedup_minhash" ->
-      s"""WITH sets AS (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS sh
-           FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\\s+') AS t
-                 FROM documents)
-           WHERE len(t) >= 3),
-         pm AS (
-           SELECT i, md5('graft-minhash-a-' || i) AS ha,
-                  md5('graft-minhash-b-' || i) AS hb
-           FROM (SELECT CAST(unnest(range(64)) AS INT) AS i)),
-         perms AS (
-           SELECT i, ${h60Sql("ha")} % 1000000006 + 1 AS a,
-                  ${h60Sql("hb")} % 1000000007 AS b
-           FROM pm),
-         sm AS (
-           SELECT doc_id, md5(s) AS h
-           FROM (SELECT doc_id, unnest(sh) AS s FROM sets)),
-         dig AS (
-           SELECT doc_id, ${h60Sql("h")} % 1000000007 AS x FROM sm),
-         sigs AS (
-           SELECT doc_id, i, min((a * x + b) % 1000000007) AS sig
-           FROM dig CROSS JOIN perms GROUP BY 1, 2),
-         bk AS (
-           SELECT doc_id, i // 4 AS band_id,
-                  md5(array_to_string(list(sig ORDER BY i), ',')) AS h
-           FROM sigs GROUP BY 1, 2),
-         buckets AS (
-           SELECT doc_id, band_id, ${h60Sql("h")} AS bucket FROM bk),
-         ok AS (
-           SELECT band_id, bucket FROM buckets
-           GROUP BY 1, 2 HAVING count(*) <= 256),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-           FROM buckets x
-           JOIN ok USING (band_id, bucket)
-           JOIN buckets y USING (band_id, bucket)
-           WHERE x.doc_id < y.doc_id),
+      s"""WITH $minhashCandCtes,
          pairs AS (
            SELECT da AS doc_a, db AS doc_b,
                   len(list_intersect(a.sh, b.sh)) AS inter,
@@ -2126,6 +2163,7 @@ object SparkEntry {
          FROM n a JOIN n b ON a.doc_id < b.doc_id
          WHERE abs(length(a.t) - length(b.t)) <= 8
            AND levenshtein(a.t, b.t) <= 8""",
+    "d18_edit_distance_blocked" -> d18Sql,
     "d04_ngram_jaccard" ->
       """WITH sets AS (
            SELECT doc_id,
@@ -2226,6 +2264,40 @@ object SparkEntry {
     // baseline. The oracle is s01's restricted to DEFINED
     // (positive-norm) queries — see annExactSql.
     "s06_ann_exact" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    // k31: the lossless-dial anchor again, but the engine path runs
+    // through the LANDED two-version index (manifest → artifact
+    // trees → probe → ADC → rerank) instead of the session memos —
+    // the exactness identity makes the durable read path a
+    // hash-checked row despite the learned artifacts.
+    "k31_ann_index" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    // st26: the engine reads buffered join state off the checkpoint;
+    // the oracle replays the held set from the St26Probe-pinned
+    // watermark arithmetic: W = floor(min(side maxima)/1000)*1000 −
+    // delay, click held iff ts+horizon ≥ W, purchase held iff ts ≥ W.
+    // Null-ts rows never buffer (watermark column) and null-user
+    // rows never buffer (inferred IsNotNull on the equi key) —
+    // planted-probe-pinned, so the ev CTE filters both.
+    "st26_join_state_census" ->
+      """WITH ev AS (
+           SELECT event_type, user_id, epoch_us(ts) AS ts_us
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         w AS (
+           SELECT (least(
+               (SELECT max(ts_us) FROM ev WHERE event_type = 'click'),
+               (SELECT max(ts_us) FROM ev WHERE event_type = 'purchase'))
+             // 1000) * 1000 - 3600000000 AS w_us),
+         held AS (
+           SELECT 'click' AS side, user_id, ts_us FROM ev, w
+           WHERE event_type = 'click'
+             AND ts_us + 86400000000 >= w_us
+           UNION ALL
+           SELECT 'purchase' AS side, user_id, ts_us FROM ev, w
+           WHERE event_type = 'purchase' AND ts_us >= w_us)
+         SELECT side, count(*) AS n_held,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+         FROM held GROUP BY 1""",
     // s07: exact radius search — the oracle is the brute-force range
     // join; the engine's cluster pruning is provably lossless (the
     // angular triangle-inequality bound), so the sets hash-match.

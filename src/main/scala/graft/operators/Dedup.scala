@@ -107,8 +107,6 @@ object Dedup {
   def dedupMinhash(documents: DataFrame, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, tau: Double = 0.6,
       maxBucket: Int = 256): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // One exchange on doc_id reused by all three consumers (signature
     // branch + both sides of the candidate-verify join): without it
     // the tokenize→shingle pipeline runs once per branch. The verify
@@ -126,6 +124,31 @@ object Dedup {
       .select(col("doc_id"), col("sh"))
       .filter(col("doc_id").isNotNull)
       .repartition(col("doc_id"))
+    val candidates = minhashCandidates(sets, numHashes, bands, maxBucket)
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    verified
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The MinHash+LSH CANDIDATE stage shared by d02 (Jaccard verify)
+    * and d18 (edit-distance verify): portable-basis signatures over
+    * `sets` = (doc_id, sh), band buckets, hot-bucket guard, slim
+    * (band, bucket) self-join → distinct (da, db) id pairs with
+    * da < db. See dedupMinhash's doc for the banding math and the
+    * exchange-reuse constraints each step preserves.
+    */
+  private[graft] def minhashCandidates(sets: DataFrame, numHashes: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     // Signature in ONE pass over the shingles (native MinHashSigs
     // kernel, portable mode: each shingle's md5_60 digest re-hashed
     // through 64 (a·x+b) mod M permutations), then band buckets.
@@ -172,24 +195,13 @@ object Dedup {
     // shuffle — carrying the shingle arrays through the 16×-exploded
     // band join would move ~16 copies of every document's shingles.
     // The arrays join back once per surviving candidate pair.
-    val candidates = trimmed.as("a")
+    trimmed.as("a")
       .join(trimmed.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .dropDuplicates("da", "db") // same pair can collide in several bands
-    val verified = candidates
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    verified
-      .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** d03_dedup_simhash — SimHash near-duplicate pairs.
@@ -1217,5 +1229,60 @@ object Dedup {
       .withColumn("d", levenshtein(col("ta"), col("tb"), maxDist))
       .filter(col("d") >= 0) // thresholded form returns -1 past the cap
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+  }
+
+  /** d18_edit_distance_blocked — d17's edit-distance join behind
+    * d02's MinHash-band COARSE tier: LSH proposes, the lossless
+    * length band + thresholded Levenshtein disposes. This is the
+    * 100 TB registration of the fuzzy join — d17's length-bucket
+    * blocking is provably lossless but quadratic within a bucket
+    * (billions of same-length documents pair up), while here the
+    * pair space is the LSH candidate set: bounded by band-bucket
+    * occupancy (maxBucket guard), never by same-length population,
+    * and only CANDIDATE pairs ever pay a text shuffle (d17 replicates
+    * the full corpus text 3×; d18 moves text once per candidate).
+    *
+    * Semantics: pairs within `maxDist` character edits AMONG the
+    * pairs the banded MinHash proposes — deliberately approximate at
+    * the proposal tier (the seeded hashes make it deterministic, so
+    * the DuckDB oracle replays the ENTIRE composed pipeline —
+    * candidates then disposal — and hash-matches; this is d02's
+    * portable-basis dividend). A ≤maxDist pair on documents of
+    * hundreds of tokens differs in at most ~maxDist·n shingles, so
+    * its Jaccard is near 1 and the 16-band × 4-row curve proposes it
+    * with probability ≈ 1 (the planted-typo spec pins exactly that:
+    * every planted ≤maxDist pair is found); docs under n tokens have
+    * no shingles and never enter the proposal tier — that tail is
+    * d17's (cheap there: short-length buckets are small).
+    *
+    * Disposal joins key on the candidate ids; both the |Δlen| band
+    * and the id ordering are already decided at the proposal tier
+    * (da < db from the bucket join), so the text join-back is two
+    * slim equi-joins + the banded-DP levenshtein, exactly d17's
+    * verify arithmetic — same output schema, so callers can dial
+    * between the lossless tier (d17) and the scale tier (d18).
+    */
+  def editDistanceJoinBlocked(documents: DataFrame, maxDist: Int = 8,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 256): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val sets = shingleSets(documents, n, portable = true)
+      .select(col("doc_id"), col("sh"))
+      .filter(col("doc_id").isNotNull)
+    val candidates = minhashCandidates(sets, numHashes, bands, maxBucket)
+    val norm = documents
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+    candidates
+      .join(norm.select(col("doc_id").as("da"), col("t").as("ta"),
+        col("len").as("la")), "da")
+      .join(norm.select(col("doc_id").as("db"), col("t").as("tb"),
+        col("len").as("lb")), "db")
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("d", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("d") >= 0)
+      .select(col("da").as("id_a"), col("db").as("id_b"),
+        col("d").cast("long").as("dist"))
   }
 }

@@ -51,7 +51,7 @@ object Similarity {
     * works on a bare (vec_id, embedding) corpus, the shape a real
     * 100 TB embedding dump actually has.
     */
-  private def normed(embeddings: DataFrame): DataFrame =
+  private[graft] def normed(embeddings: DataFrame): DataFrame =
     embeddings.select(
       col("vec_id"),
       VectorOps.asDouble(col("embedding")).as("v"))
@@ -132,7 +132,7 @@ object Similarity {
     * them, and s01's exact top-k can never rank them either (null
     * cosine sorts last), so nprobe=#clusters still reproduces s01.
     */
-  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("c_cos", VectorOps.cosineFrom(
         VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
@@ -251,7 +251,7 @@ object Similarity {
   /** (vec_id, nrm, sub_id, sv): each vector cut into `subspaces`
     * contiguous `subDim`-wide subvectors — the PQ decomposition.
     */
-  private def subVecs(df: DataFrame, subspaces: Int,
+  private[graft] def subVecs(df: DataFrame, subspaces: Int,
       subDim: Int): DataFrame =
     df.select(col("vec_id"), col("nrm"),
       posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
@@ -268,7 +268,7 @@ object Similarity {
     * in one partition, so partial aggregation completes map-side.
     * Ties break to the smallest code.
     */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), Seq("sub_id"))
       .withColumn("score",
         lit(2.0) * VectorOps.dot(col("sv"), col("cv")) - col("cn2"))
@@ -460,27 +460,42 @@ object Similarity {
     .empty[(SparkSession, String, Int, Int, Int, Int, Int, Int),
       (DataFrame, DataFrame)]
 
+  /** Residuals x−c(x) of `e` against its nearest centroid — the
+    * vectors the PQ codebook trains on and encodes (shared with the
+    * durable index's O(batch) append, which encodes NEW arrivals'
+    * residuals against the LANDED quantizer).
+    */
+  private[graft] def residualsOf(e: DataFrame,
+      cent: DataFrame): DataFrame =
+    assignTo(e, cent)
+      .join(broadcast(cent.select(col("cluster_id"), col("cv"))),
+        "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("nrm"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+
+  /** Encode residuals under a FIXED codebook → one index row per
+    * vector: (vec_id, codes, nrm, cluster_id). Build-time for s05;
+    * per-batch for the durable index's incremental append.
+    */
+  private[graft] def encodeResiduals(resid: DataFrame, cb: DataFrame,
+      subspaces: Int, subDim: Int): DataFrame =
+    pqAssign(subVecs(resid, subspaces, subDim), cb)
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        first(col("nrm")).as("nrm"))
+      .join(resid.select(col("vec_id"), col("cluster_id")), "vec_id")
+
   private def residualPqIndex(e: DataFrame, cent: DataFrame,
       subspaces: Int, subDim: Int, ks: Int, iters: Int,
       cacheKey: String, kClusters: Int, lloydIters: Int)
       : (DataFrame, DataFrame) = {
     def build(): (DataFrame, DataFrame) = {
-      val assigned = assignTo(e, cent)
-      val resid = assigned
-        .join(broadcast(cent.select(col("cluster_id"), col("cv"))),
-          "cluster_id")
-        .select(col("vec_id"), col("cluster_id"), col("nrm"),
-          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      val resid = residualsOf(e, cent)
       val cb = pqCodebook(resid, subspaces, subDim, ks, iters)
-      val codes = pqAssign(subVecs(resid, subspaces, subDim), cb)
-        .groupBy(col("vec_id"))
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("sub_id"), col("code")))),
-            x => x.getField("code")).as("codes"),
-          first(col("nrm")).as("nrm"))
-        .join(resid.select(col("vec_id"), col("cluster_id")), "vec_id")
-      (cb, codes)
+      (cb, encodeResiduals(resid, cb, subspaces, subDim))
     }
     if (cacheKey.isEmpty) build()
     else ivfpqMemo.getOrElseUpdate(
@@ -536,6 +551,23 @@ object Similarity {
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
     val (cb, indexed) = residualPqIndex(e, cent, subspaces, subDim, ks,
       pqIters, cacheKey, kClusters, lloydIters)
+    ivfPqScan(e, cent, cb, indexed, k, queryStride, nprobe,
+      subspaces, subDim, ks, rerankDepth)
+  }
+
+  /** The IVF-PQ QUERY path over given index artifacts (centroids,
+    * codebook, codes): probe → broadcast LUT → probed-clusters-only
+    * ADC scan → exact rerank. Shared by s05/s06 (memoized artifacts)
+    * and the durable index's fetch (landed artifacts) — the landed
+    * path must be THIS code, so fetch ≡ memo is a storage statement,
+    * not a reimplementation risk. `e` is the normed corpus (query
+    * source + exact-rerank float vectors: the index stores codes, the
+    * corpus table keeps the floats — standard IVFADC refine).
+    */
+  private[graft] def ivfPqScan(e: DataFrame, cent: DataFrame,
+      cb: DataFrame, indexed: DataFrame, k: Int, queryStride: Int,
+      nprobe: Int, subspaces: Int, subDim: Int, ks: Int,
+      rerankDepth: Int): DataFrame = {
     val q = e.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))

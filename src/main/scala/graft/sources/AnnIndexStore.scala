@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** k31_ann_index — the ANN index as a DURABLE CATALOG CITIZEN: the
+  * one operator family whose artifacts were session memos until
+  * round 15. At 100 TB the embedding index (IVF centroids, PQ
+  * codebook, per-vector codes) is a versioned on-disk asset
+  * maintained incrementally as batches land — retraining the
+  * quantizer per session is as absurd as re-ANALYZE-ing a table per
+  * query. This applies k14/k18's commit discipline to s02/s05's
+  * artifacts:
+  *
+  *  - v1 (build): train the coarse quantizer + residual codebook on
+  *    the base corpus slice, encode it, land three parquet artifacts
+  *    under content-immutable trees `_ann/c1/{centroids, codebook,
+  *    codes}` + a manifest `_ann/v1` mapping artifact → tree.
+  *  - v2 (incremental append): a NEW batch of vectors assigns to the
+  *    EXISTING centroids and encodes under the EXISTING codebook —
+  *    O(batch) work (one assign + encode pass over the arrivals,
+  *    spec-pinned: no v1 file is rewritten or even read beyond the
+  *    two broadcast-sized artifacts) — landing ONLY a delta codes
+  *    tree `_ann/c2/codes`; the v2 manifest points centroids/codebook
+  *    at c1 and codes at [c1, c2]. This is exactly how a live
+  *    embedding store absorbs a day's crawl: assignment quality
+  *    degrades gradually as the distribution drifts, and retraining
+  *    is a k20-style compaction (new c-tree, new manifest), never an
+  *    in-place mutation.
+  *
+  * The FETCH path reads the manifest's explicit tree list and runs
+  * Similarity.ivfPqScan — the SAME query code s05/s06 run over their
+  * memos, so landed ≡ memoized is a storage statement (spec pins it
+  * row-for-row at s05's registered dials on a single-commit index).
+  * The registered query fetches through the two-version incremental
+  * index at the LOSSLESS dials (probe all clusters, rerank
+  * everything): s06's anchor trick — the result must equal exact
+  * brute force over the whole corpus (base + arrivals), which DuckDB
+  * replays, so the full landed-index read path (manifest → artifact
+  * trees → probe → ADC → rerank) is a hash-checked oracle row even
+  * though the index itself is learned. Zero-norm vectors are never
+  * assigned (cosine undefined — s06's definedness contract), so the
+  * oracle restricts queries to positive norm, exactly annExactSql's
+  * s06 form.
+  *
+  * Reference analog: the reference builds its alignment index once
+  * (`tools.py:336`: STAR --runMode genomeGenerate) and every later
+  * sample run READS the landed index from disk — build-once,
+  * fetch-many, rebuild only when the genome (here: the vector
+  * distribution) changes.
+  */
+object AnnIndexStore {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // the s05 registered dials — the landed index stores artifacts
+  // built at these; fetch-time dials (nprobe, rerankDepth) stay free
+  private val KClusters = 10
+  private val LloydIters = 3
+  private val Subspaces = 8
+  private val SubDim = 8
+  private val Ks = 16
+  private val PqIters = 2
+
+  private def manifestPath(dir: String, v: Int) = s"$dir/_ann/v$v"
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("error").parquet(path)
+
+  /** Land v1 (trained on `base`) and the v2 incremental append of
+    * `arrivals` — arrivals touch ONLY the landed centroids/codebook
+    * (broadcast-sized reads) plus their own rows.
+    */
+  private[graft] def buildAndAppend(base: DataFrame,
+      arrivals: DataFrame, dir: String): Unit = {
+    val spark = base.sparkSession
+    val eb = Similarity.normed(base).repartition(col("vec_id"))
+    val cent = Similarity.kmeansCentroids(eb, KClusters, LloydIters)
+    val resid = Similarity.residualsOf(eb, cent)
+    val cb = Similarity.pqCodebook(resid, Subspaces, SubDim, Ks, PqIters)
+    write(cent, s"$dir/_ann/c1/centroids")
+    write(cb, s"$dir/_ann/c1/codebook")
+    write(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
+      s"$dir/_ann/c1/codes")
+    import spark.implicits._
+    Seq(("centroids", "c1"), ("codebook", "c1"), ("codes", "c1"))
+      .toDF("artifact", "commit")
+      .coalesce(1).write.mode("error").parquet(manifestPath(dir, 1))
+    // v2: O(batch) — assign + encode the arrivals under the LANDED
+    // artifacts (read back, not the in-session tables: the append
+    // path a fresh session runs)
+    val centL = spark.read.parquet(s"$dir/_ann/c1/centroids")
+    val cbL = spark.read.parquet(s"$dir/_ann/c1/codebook")
+    val ea = Similarity.normed(arrivals).repartition(col("vec_id"))
+    write(Similarity.encodeResiduals(
+        Similarity.residualsOf(ea, centL), cbL, Subspaces, SubDim),
+      s"$dir/_ann/c2/codes")
+    Seq(("centroids", "c1"), ("codebook", "c1"), ("codes", "c1"),
+        ("codes", "c2"))
+      .toDF("artifact", "commit")
+      .coalesce(1).write.mode("error").parquet(manifestPath(dir, 2))
+  }
+
+  /** Query version `v` of the landed index: manifest → explicit
+    * artifact trees → the shared ivfPqScan. `embeddings` is the
+    * corpus table (query source + exact-rerank floats); the INDEX
+    * side of the plan reads only the manifest's trees.
+    */
+  def fetch(spark: SparkSession, embeddings: DataFrame, dir: String,
+      version: Int, k: Int = 5, queryStride: Int = 50,
+      nprobe: Int = 5, rerankDepth: Int = 64): DataFrame = {
+    val m = spark.read.parquet(manifestPath(dir, version)).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def trees(artifact: String): Seq[String] =
+      m.collect { case (a, c) if a == artifact =>
+        s"$dir/_ann/$c/$artifact" }.toSeq
+    val cent = spark.read.parquet(trees("centroids"): _*)
+    val cb = spark.read.parquet(trees("codebook"): _*)
+    val codes = spark.read.parquet(trees("codes"): _*)
+    val e = Similarity.normed(embeddings).repartition(col("vec_id"))
+    Similarity.ivfPqScan(e, cent, cb, codes, k, queryStride, nprobe,
+      Subspaces, SubDim, Ks, rerankDepth)
+  }
+
+  /** Stage the two-version demo index for `embeddings`: v1 trains on
+    * the base slice (vec_id % 4 != 3), v2 appends the rest — the
+    * continuous-ingest split. Memoized per cacheKey like every
+    * staged sink.
+    */
+  private[graft] def stageIndex(embeddings: DataFrame,
+      cacheKey: String): String = {
+    def fresh(): String = {
+      val dir = graft.Staging.dir("graft_k31_")
+      buildAndAppend(
+        embeddings.filter(pmod(col("vec_id"), lit(4L)) =!= 3L),
+        embeddings.filter(pmod(col("vec_id"), lit(4L)) === 3L), dir)
+      dir
+    }
+    if (cacheKey.isEmpty) fresh()
+    else staged.getOrElseUpdate(cacheKey, fresh())
+  }
+
+  /** Registered k31 query: the LOSSLESS-dial fetch through the
+    * incrementally-maintained v2 index — probe all clusters, rerank
+    * everything — which must equal exact brute force over the full
+    * corpus (s06's anchor trick, same oracle).
+    */
+  def annIndexQuery(embeddings: DataFrame,
+      cacheKey: String = ""): DataFrame = {
+    val dir = stageIndex(embeddings, cacheKey)
+    fetch(embeddings.sparkSession, embeddings, dir, 2,
+      nprobe = KClusters, rerankDepth = Int.MaxValue)
+  }
+}

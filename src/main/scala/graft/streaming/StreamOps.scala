@@ -1839,6 +1839,98 @@ object StreamOps {
         col("value.value").as("open_last_us"))
   }
 
+  private val stagedJoinCkpt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Drain st18's symmetric join (inner, NO sentinel) against an
+    * EXPLICIT checkpoint and return its path: the drain stops at the
+    * corpus's last real event, so the four join state stores hold
+    * exactly the live population a 24/7 attribution join carries at
+    * any instant — frozen for st26's census. Memoized per dial set
+    * (the checkpoint is the artifact, st24's discipline).
+    */
+  private[graft] def joinStateCheckpoint(spark: SparkSession,
+      dir: String, horizonHours: Long = 24L, delay: String = "1 hour",
+      clickType: String = "click", purchaseType: String = "purchase",
+      statePartitions: Int = 8): String =
+    stagedJoinCkpt.getOrElseUpdate(
+      s"$dir|$horizonHours|$delay|$clickType|$purchaseType|$statePartitions", {
+        val ckpt = graft.Staging.dir("graft_st26_ckpt_")
+        val child = childSession(spark)
+        child.conf.set("spark.sql.shuffle.partitions",
+          statePartitions.toString)
+        val sink = s"st26_mem_${System.nanoTime()}"
+        val q = streamJoinSides(child, dir, horizonHours, delay,
+            clickType, purchaseType, "inner")
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .format("memory")
+          .queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ckpt
+      })
+
+  /** st26_join_state_census — st24's checkpoint introspection over
+    * the state the 100 TB deployment actually worries about: the
+    * SYMMETRIC STREAM-STREAM JOIN's buffered rows (st18/st19 keep
+    * four state stores per shuffle partition; their growth is what
+    * pages an on-call). The state source reads each join side's
+    * buffered rows straight off the committed checkpoint
+    * (`joinSide` = left/right — no code inside the stream, works on
+    * a down job), and the census aggregates them to the dashboard
+    * row: per side, rows held, distinct users, and the held
+    * event-time span.
+    *
+    * Oracle-checkable because the held set is pure watermark
+    * arithmetic, St26Probe-pinned on three corpora (sf0.001, sf0.01
+    * — which gate on OPPOSITE sides — and hostile): each
+    * withWatermark node tracks ITS OWN max event time (ms-floored),
+    * so the global watermark of the final eviction is
+    * W = floor(min(max_click_us, max_purchase_us)/1000)·1000 −
+    * delay_us — the LAGGING side gates, exactly the semantics a
+    * 24/7 deployment lives with when one feed stalls (the census
+    * then shows the other side's state ballooning, which is the
+    * dashboard's whole point). The join condition
+    * p_ts ∈ [c_ts, c_ts + horizon] bounds each side's usefulness: a
+    * click cannot match any future purchase once W > c_ts + horizon,
+    * a purchase once W > p_ts — so held(click) ⟺ c_ts + horizon ≥ W
+    * and held(purchase) ⟺ p_ts ≥ W, which DuckDB replays over the
+    * events table. NULL-ts rows never buffer (the watermark column
+    * drops them); NULL-user rows never buffer either — the inner
+    * join's inferred IsNotNull on the equi key filters them before
+    * the state store (planted-probe-pinned, St26Planted) — so the
+    * oracle's held sets carry `user_id IS NOT NULL` too.
+    *
+    * Scale: the read is partition-parallel over the stores' own
+    * layout, touches the last committed snapshot only, and the
+    * output is #sides rows. Reference analog: tools.py:8-56's
+    * progress DB read on a crashed run — "what was still in flight".
+    */
+  def joinStateCensus(spark: SparkSession, dir: String,
+      horizonHours: Long = 24L, delay: String = "1 hour",
+      clickType: String = "click", purchaseType: String = "purchase",
+      statePartitions: Int = 8): DataFrame = {
+    val ckpt = joinStateCheckpoint(spark, dir, horizonHours, delay,
+      clickType, purchaseType, statePartitions)
+    def side(name: String, pre: String, label: String): DataFrame =
+      spark.read.format("statestore")
+        .option("joinSide", name)
+        .load(ckpt)
+        .select(lit(label).as("side"),
+          col(s"value.${pre}_user").as("user_id"),
+          graft.Tables.epochUs(col(s"value.${pre}_ts")).as("ts_us"))
+    side("left", "c", clickType)
+      .unionByName(side("right", "p", purchaseType))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_held"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+  }
+
   def streamSessionTimers(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.AnnIndexStore
+
+class AnnIndexStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet
+
+  test("k31: landed fetch ≡ the memoized path at s05's dials " +
+      "(single-commit index)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = graft.Staging.dir("graft_k31spec_full_")
+    // one commit over the FULL corpus — same training set as the
+    // memo, so the landed read-back must reproduce s05 row-for-row
+    // (parquet round-trips doubles exactly; the scan is shared code)
+    AnnIndexStore.buildAndAppend(
+      emb.filter(lit(true)), emb.filter(lit(false)), dir)
+    val landed = rows(AnnIndexStore.fetch(spark, emb, dir, 2))
+    val memo = rows(Similarity.annIvfPq(emb))
+    assert(landed === memo,
+      "landed fetch diverged from the in-session memoized path")
+    assert(landed.nonEmpty)
+  }
+
+  test("k31: v2 append is O(batch) and rewrites no v1 file") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = AnnIndexStore.stageIndex(emb, cacheKey = "")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.toString -> f.getLen).toMap
+    }
+    // c1 artifacts exist; c2 holds ONLY a codes tree (no retrain)
+    assert(files("_ann/c1/centroids").nonEmpty)
+    assert(files("_ann/c1/codebook").nonEmpty)
+    assert(files("_ann/c1/codes").nonEmpty)
+    assert(files("_ann/c2/codes").nonEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_ann/c2/centroids")),
+      "an incremental append must not retrain the quantizer")
+    // the delta codes tree indexes exactly the arrival batch's
+    // defined vectors
+    val c2 = spark.read.parquet(s"$dir/_ann/c2/codes")
+    val arrivals = emb.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+    assert(c2.count() === arrivals.count(),
+      "delta tree must hold the arrival batch and nothing else")
+    val c2Ids = c2.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(c2Ids.forall(_ % 4 == 3))
+    // a v1 fetch never lists a c2 file (version isolation)
+    val v1Files = AnnIndexStore.fetch(spark, emb, dir, 1).inputFiles
+      .filter(_.contains("/_ann/"))
+    assert(v1Files.nonEmpty && v1Files.forall(_.contains("/c1/")),
+      s"v1 fetch leaked past its manifest: ${v1Files.toSeq}")
+  }
+
+  test("k31: lossless fetch through the incremental v2 index ≡ " +
+      "brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = rows(SparkEntry.queries("k31_ann_index")(spark, sf))
+    val brute = rows(Similarity.annBruteForce(emb))
+    assert(got === brute,
+      "the landed two-version index at lossless dials must be exact")
+  }
+}

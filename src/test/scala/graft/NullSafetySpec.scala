@@ -90,6 +90,54 @@ class NullSafetySpec extends AnyFunSuite {
       .distinct().count() === 3)
   }
 
+  test("empty-vs-NULL text diverge exactly where the contracts say") {
+    // r15 hostile-sweep pin: '' is a DOCUMENT (zero content, still a
+    // row with defined emptiness) while NULL is ABSENCE — operators
+    // that conflate them silently corrupt dedup groups and token
+    // stats. The hostile gate proves engine ≡ oracle on both; this
+    // pins that the shared behavior is the DOCUMENTED one, not a
+    // shared conflation.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option.empty[String]),   // absent
+      (2L, Option.empty[String]),   // absent (second copy)
+      (3L, Option("")),             // empty document
+      (4L, Option("   ")),          // space-only ≡ empty after norm
+      // (tabs would NOT: Spark and DuckDB trim() strip SPACES only,
+      // so '\t' normalizes to ' ' — a shared, documented contract)
+      (5L, Option("real text here")))
+      .toDF("doc_id", "text")
+    // d01: NULL rows group together but NEVER with '' — xxhash64
+    // skips a null child (seed passthrough) while '' hashes its zero
+    // bytes; whitespace-only normalizes to '' and joins ITS group
+    val groups = Dedup.dedupExact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 2L, "both NULL docs in one group")
+    assert(groups(3L) === 2L, "'' and whitespace-only in one group")
+    assert(groups(5L) === 1L)
+    // t03: NULL null-propagates every count; '' counts zero BPE
+    // tokens (and the ws-split artifact token) with a null ratio
+    val tc = TextAnalysis.tokenCount(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(tc(1L).isNullAt(tc(1L).fieldIndex("n_bpe_tokens")),
+      "NULL text must null-propagate, not count as empty")
+    assert(tc(3L).getAs[Long]("n_bpe_tokens") === 0L,
+      "'' is a document with zero tokens, not an absent row")
+    // d17: NULL never joins; '' pairs with whitespace-only at dist 0
+    val pairs = Dedup.editDistanceJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((3L, 4L, 0L)),
+      "''/whitespace-only must pair at distance 0")
+    assert(!pairs.exists(p => p._1 <= 2L || p._2 <= 2L),
+      "NULL text must never enter the fuzzy join")
+    // d16: NULL dropped at the scan, '' survives as a document row
+    val ld = Dedup.lineDedup(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ld.contains(1L) && !ld.contains(2L),
+      "NULL text must not reach boilerplate reassembly")
+    assert(ld.contains(5L))
+  }
+
   test("zero embedding vectors score null cosine, never throw") {
     import spark.implicits._
     val emb = Seq(

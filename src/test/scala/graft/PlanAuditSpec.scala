@@ -62,7 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // cross; s07's only nested loop is the #queries × #clusters
       // admission cross (both broadcast-sized); each one's corpus
       // side enters a hash join (SimilaritySpec pins it)
-      "s06_ann_exact", "s07_range_search")
+      "s06_ann_exact", "s07_range_search",
+      // k31's fetch runs s05/s06's shared ivfPqScan over the LANDED
+      // artifacts — the identical broadcast probe/LUT crosses
+      "k31_ann_index")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
