@@ -107,17 +107,45 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val focusedReps =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FOCUSED_REPS", "5").toInt
-    val adjudicated: Seq[(String, Double, Double, Double)] =
+    // QUIET-SESSION GATE (VERDICT r14 item 5): the r14 close session
+    // ran ~1.3x above the driver's same-code run and generated 41
+    // flags that ALL adjudicated to environment — burying any real
+    // regression in noise. The artifact now carries the session's
+    // own noise level: the MEDIAN full/pin ratio across every pinned
+    // query (a code regression moves ONE query; contention moves the
+    // median). When the median itself is >= 1.2x the session is
+    // declared noisy in the JSON, and adjudication spends its re-run
+    // budget on the WORST flags by ratio (capped) instead of
+    // focused-re-running dozens of environmental ones — the close
+    // protocol's honest read is then "noisy session, worst N
+    // adjudicated", not 41 exonerations.
+    val ratios = good.flatMap { case (k, v) =>
+      pins.get(k).map(p => v / p) }.sorted
+    val sessionNoise =
+      if (ratios.isEmpty) 1.0
+      else ratios(ratios.size / 2)
+    val noisySession = sessionNoise >= 1.2
+    val flagged = good.collect {
+      case (k, full) if pins.get(k).exists(p => full >= 1.5 * p) =>
+        (k, full, pins(k))
+    }.sortBy { case (_, full, pin) => -(full / pin) }
+    val adjCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_CAP", "10").toInt
+    val toAdjudicate =
       if (only.nonEmpty) Nil
-      else good.collect {
-        case (k, full) if pins.get(k).exists(p => full >= 1.5 * p) =>
-          val fn = SparkEntry.queries(k)
-          val focused = (0 until focusedReps).map { _ =>
-            val t0 = System.nanoTime()
-            try run(fn) catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          (k, full, focused, pins(k))
+      else if (noisySession) flagged.take(adjCap)
+      else flagged
+    val flagsSkipped =
+      if (only.nonEmpty) 0 else flagged.size - toAdjudicate.size
+    val adjudicated: Seq[(String, Double, Double, Double)] =
+      toAdjudicate.map { case (k, full, pin) =>
+        val fn = SparkEntry.queries(k)
+        val focused = (0 until focusedReps).map { _ =>
+          val t0 = System.nanoTime()
+          try run(fn) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (k, full, focused, pin)
       }
     val adjJson = adjudicated.map { case (k, full, focused, pin) =>
       s"\"" + k + s"\":{\"full\":$full,\"focused\":$focused,\"pin\":$pin}"
@@ -127,8 +155,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = good.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val noiseJson = s""""session_noise":${r4(sessionNoise)},""" +
+      s""""noisy_session":$noisySession,"flags_skipped":$flagsSkipped"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"adjudicated":$adjJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"adjudicated":$adjJson,$noiseJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     // STDOUT-TAIL BUDGET (VERDICT r7 #7): the driver keeps only the
     // last ~2000 chars of stdout, and sbt appends a ~66-char
@@ -150,7 +182,7 @@ object Bench {
         r3(focused) + ",\"pin\":" + r3(pin) + "}"
     }.mkString("{", ",", "}")
     val head =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"adjudicated":$adjCompact,"sf":"$sfDir","detail":"$outPath","queries":{"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failedJson,"adjudicated":$adjCompact,$noiseJson,"sf":"$sfDir","detail":"$outPath","queries":{"""
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var len = head.length + 40 // room for the closing "},...} suffix
     slowest.foreach { e =>
