@@ -104,6 +104,33 @@ object AnnIndexStore {
       .coalesce(1).write.mode("error").parquet(manifestPath(dir, 2))
   }
 
+  /** RETRAIN — k20's compaction analog for the learned index: after
+    * enough appends the base-trained quantizer drifts from the
+    * corpus it now serves, so a retrain lands a FRESH generation
+    * (new centroids + codebook + full re-encode under `commit`) and
+    * a new manifest pointing every artifact at it. Prior
+    * generations' files are never touched — a reader holding the v2
+    * manifest keeps a consistent index (k14's immutability), and
+    * retention can reclaim old generations later. Cost is one full
+    * train+encode — scheduled, like OPTIMIZE, not per-batch.
+    */
+  private[graft] def retrain(corpus: DataFrame, dir: String,
+      version: Int, commit: String): Unit = {
+    val spark = corpus.sparkSession
+    val e = Similarity.normed(corpus).repartition(col("vec_id"))
+    val cent = Similarity.kmeansCentroids(e, KClusters, LloydIters)
+    val resid = Similarity.residualsOf(e, cent)
+    val cb = Similarity.pqCodebook(resid, Subspaces, SubDim, Ks, PqIters)
+    write(cent, s"$dir/_ann/$commit/centroids")
+    write(cb, s"$dir/_ann/$commit/codebook")
+    write(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
+      s"$dir/_ann/$commit/codes")
+    import spark.implicits._
+    Seq(("centroids", commit), ("codebook", commit), ("codes", commit))
+      .toDF("artifact", "commit")
+      .coalesce(1).write.mode("error").parquet(manifestPath(dir, version))
+  }
+
   /** Query version `v` of the landed index: manifest → explicit
     * artifact trees → the shared ivfPqScan. `embeddings` is the
     * corpus table (query source + exact-rerank floats); the INDEX

@@ -62,6 +62,30 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       s"v1 fetch leaked past its manifest: ${v1Files.toSeq}")
   }
 
+  test("k31: retrain lands a fresh generation; v3 fetch ≡ the " +
+      "memoized path, prior manifests untouched") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = graft.Staging.dir("graft_k31spec_rt_")
+    AnnIndexStore.buildAndAppend(
+      emb.filter(pmod(col("vec_id"), lit(4L)) =!= 3L),
+      emb.filter(pmod(col("vec_id"), lit(4L)) === 3L), dir)
+    val v2Before = spark.read.parquet(s"$dir/_ann/v2").collect()
+      .map(_.toSeq).toSet
+    // retrain over the FULL corpus = the memo's training set, so the
+    // v3 fetch must reproduce s05's memoized output row-for-row
+    AnnIndexStore.retrain(emb, dir, version = 3, commit = "c3")
+    val v3 = rows(AnnIndexStore.fetch(spark, emb, dir, 3))
+    assert(v3 === rows(graft.operators.Similarity.annIvfPq(emb)))
+    // generation isolation: the v2 manifest is untouched, a v3 fetch
+    // lists only c3 files, and no pre-retrain file was rewritten
+    assert(spark.read.parquet(s"$dir/_ann/v2").collect()
+      .map(_.toSeq).toSet === v2Before)
+    val v3Files = AnnIndexStore.fetch(spark, emb, dir, 3).inputFiles
+      .filter(_.contains("/_ann/"))
+    assert(v3Files.nonEmpty && v3Files.forall(_.contains("/c3/")),
+      s"v3 fetch leaked past its manifest: ${v3Files.toSeq}")
+  }
+
   test("k31: lossless fetch through the incremental v2 index ≡ " +
       "brute force") {
     val emb = Tables.embeddings(spark, sf)
