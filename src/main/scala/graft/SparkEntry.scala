@@ -407,6 +407,9 @@ object SparkEntry {
     // stream-stream join state census off the committed checkpoint
     "st26_join_state_census" -> ((s, d) =>
       graft.streaming.StreamOps.joinStateCensus(s, d)),
+    // live vector feed maintaining the durable ANN index per batch
+    "st27_stream_ann_ingest" -> ((s, d) =>
+      graft.streaming.StreamOps.streamAnnIngest(s, d)),
   )
 
   /** Shared by q16 (batch) and st02 (streaming ≡ batch): the streaming
@@ -2270,6 +2273,10 @@ object SparkEntry {
     // the exactness identity makes the durable read path a
     // hash-checked row despite the learned artifacts.
     "k31_ann_index" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    // st27: the same anchor through the STREAMED index — per-batch
+    // appends land identical codes (same landed quantizer), so the
+    // lossless-dial fetch must still equal exact brute force
+    "st27_stream_ann_ingest" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
     // st26: the engine reads buffered join state off the checkpoint;
     // the oracle replays the held set from the St26Probe-pinned
     // watermark arithmetic: W = floor(min(side maxima)/1000)*1000 −

@@ -58,7 +58,7 @@ object AnnIndexStore {
 
   // the s05 registered dials — the landed index stores artifacts
   // built at these; fetch-time dials (nprobe, rerankDepth) stay free
-  private val KClusters = 10
+  private[graft] val KClusters = 10
   private val LloydIters = 3
   private val Subspaces = 8
   private val SubDim = 8
@@ -76,6 +76,15 @@ object AnnIndexStore {
     */
   private[graft] def buildAndAppend(base: DataFrame,
       arrivals: DataFrame, dir: String): Unit = {
+    buildBase(base, dir)
+    // v2: the O(batch) append primitive below
+    appendBatch(arrivals, dir, "c2", version = 2)
+  }
+
+  /** Land v1: train the quantizer + residual codebook on `base`,
+    * encode it, write the three c1 artifacts + the v1 manifest.
+    */
+  private[graft] def buildBase(base: DataFrame, dir: String): Unit = {
     val spark = base.sparkSession
     val eb = Similarity.normed(base).repartition(col("vec_id"))
     val cent = Similarity.kmeansCentroids(eb, KClusters, LloydIters)
@@ -89,19 +98,33 @@ object AnnIndexStore {
     Seq(("centroids", "c1"), ("codebook", "c1"), ("codes", "c1"))
       .toDF("artifact", "commit")
       .coalesce(1).write.mode("error").parquet(manifestPath(dir, 1))
-    // v2: O(batch) — assign + encode the arrivals under the LANDED
-    // artifacts (read back, not the in-session tables: the append
-    // path a fresh session runs)
+  }
+
+  /** The O(batch) APPEND primitive shared by the k31 demo's v2 and
+    * st27's per-micro-batch ingest: assign + encode `arrivals` under
+    * the LANDED v1 quantizer artifacts (read back, not in-session
+    * tables — the path a fresh session/batch runs), land ONLY the
+    * batch's own codes tree `_ann/<commit>/codes`, and write manifest
+    * `version` = the prior manifest's rows + the new codes row. Both
+    * writes are overwrite-idempotent on the batch's OWN paths (st09's
+    * retry recipe: a replayed batch rewrites its artifacts, touches
+    * nothing else).
+    */
+  private[graft] def appendBatch(arrivals: DataFrame, dir: String,
+      commit: String, version: Int): Unit = {
+    val spark = arrivals.sparkSession
     val centL = spark.read.parquet(s"$dir/_ann/c1/centroids")
     val cbL = spark.read.parquet(s"$dir/_ann/c1/codebook")
     val ea = Similarity.normed(arrivals).repartition(col("vec_id"))
-    write(Similarity.encodeResiduals(
-        Similarity.residualsOf(ea, centL), cbL, Subspaces, SubDim),
-      s"$dir/_ann/c2/codes")
-    Seq(("centroids", "c1"), ("codebook", "c1"), ("codes", "c1"),
-        ("codes", "c2"))
-      .toDF("artifact", "commit")
-      .coalesce(1).write.mode("error").parquet(manifestPath(dir, 2))
+    Similarity.encodeResiduals(
+        Similarity.residualsOf(ea, centL), cbL, Subspaces, SubDim)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_ann/$commit/codes")
+    import spark.implicits._
+    spark.read.parquet(manifestPath(dir, version - 1))
+      .unionByName(Seq(("codes", commit)).toDF("artifact", "commit"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(manifestPath(dir, version))
   }
 
   /** RETRAIN — k20's compaction analog for the learned index: after

@@ -1980,6 +1980,68 @@ object StreamOps {
       .select(col("user_id"), col("session_end_us"))
   }
 
+  private val stagedAnnIngest =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
+  /** st27_stream_ann_ingest — k31's durable ANN index maintained by
+    * a LIVE vector feed: the streaming twin that closes the family
+    * (st16 maintains the bloom index under CDC, st22 admits blobs,
+    * this lands embedding batches). The base slice trains and lands
+    * v1 once (build-once, k31's path); then the arrival slices
+    * stream in one file per trigger and each micro-batch runs the
+    * O(batch) append primitive — assign to the LANDED centroids,
+    * encode under the LANDED codebook, land only the batch's own
+    * codes tree `_ann/b<id>` + manifest v(2+id). Writes are
+    * overwrite-idempotent on the batch's own paths (st09's retry
+    * recipe); versions advance with batch ids, so every intermediate
+    * manifest is a consistent queryable index — the continuous-
+    * ingest contract a 100 TB embedding store actually runs
+    * (per-batch cost ∝ the batch, never the index).
+    *
+    * Registered query: the LOSSLESS-dial fetch through the FINAL
+    * streamed manifest ≡ exact brute force over the whole corpus —
+    * s06/k31's anchor trick, same oracle (the twin discipline:
+    * st11≡k11, k30≡k12). The spec additionally pins stream-built ≡
+    * batch-built at the REGISTERED lossy dials row-for-row (same
+    * landed quantizer ⇒ identical codes ⇒ identical ADC ordering,
+    * regardless of how the arrivals were batched).
+    */
+  def streamAnnIngest(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val (annDir, lastV) = stagedAnnIngest.getOrElseUpdate(s"$dir|$slices", {
+      val annDir = graft.Staging.dir("graft_st27_")
+      graft.sources.AnnIndexStore.buildBase(
+        emb.filter(pmod(col("vec_id"), lit(4L)) =!= 3L), annDir)
+      // arrival slices staged vec_id-ordered, one file per trigger
+      val stage = graft.Staging.dir("graft_st27_stage_")
+      val arrivals = emb.filter(pmod(col("vec_id"), lit(4L)) === 3L)
+      (0 until slices).foreach { i =>
+        arrivals.filter(pmod(expr("vec_id div 4"), lit(slices.toLong))
+            === i.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f$i")
+      }
+      val sink = s"st27_noop_${System.nanoTime()}"
+      val q = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$stage/f*")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.sources.AnnIndexStore.appendBatch(
+            batch, annDir, s"b$bid", version = 2 + bid.toInt)
+        }
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (annDir, 1 + slices)
+    })
+    graft.sources.AnnIndexStore.fetch(spark, emb, annDir, lastV,
+      nprobe = graft.sources.AnnIndexStore.KClusters,
+      rerankDepth = Int.MaxValue)
+  }
+
   private val stagedCdf =
     scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
 

@@ -94,4 +94,34 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(got === brute,
       "the landed two-version index at lossless dials must be exact")
   }
+
+  test("st27: streamed per-batch appends build the same index — " +
+      "lossless fetch exact, lossy fetch ≡ the batch-built index") {
+    val emb = Tables.embeddings(spark, sf)
+    // registered query: lossless dials through the final streamed
+    // manifest ≡ exact brute force (the anchor, shared oracle)
+    val got = rows(SparkEntry.queries("st27_stream_ann_ingest")(spark, sf))
+    assert(got === rows(Similarity.annBruteForce(emb)))
+    // continuity: at s05's REGISTERED lossy dials the streamed index
+    // (4 delta trees) answers row-for-row like k31's batch-built one
+    // (1 delta tree) — same landed quantizer ⇒ identical codes ⇒
+    // identical ADC ordering, independent of arrival batching
+    val k31Dir = AnnIndexStore.stageIndex(emb, cacheKey = "")
+    val k31Lossy = rows(AnnIndexStore.fetch(spark, emb, k31Dir, 2))
+    // rebuild st27's staging fresh to pull its annDir deterministically
+    val st27 = graft.streaming.StreamOps.streamAnnIngest(spark, sf)
+    // same dials as fetch's defaults via a direct lossy fetch on the
+    // memoized streamed catalog: reuse the registered path's artifacts
+    // by fetching v5 at (nprobe=5, rerankDepth=64)
+    val st27Dir = {
+      // the memo keyed on (dir|4) — recover via a second call's
+      // inputFiles (all under one _ann root)
+      val f = st27.inputFiles.find(_.contains("/_ann/"))
+      // registered query fetched lossless; lossy fetch needs the dir
+      f.map(_.split("/_ann/")(0)).get
+    }
+    val st27Lossy = rows(AnnIndexStore.fetch(spark, emb, st27Dir, 5))
+    assert(st27Lossy === k31Lossy,
+      "arrival batching must not change the lossy-dial answers")
+  }
 }

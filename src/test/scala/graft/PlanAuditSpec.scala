@@ -64,8 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // side enters a hash join (SimilaritySpec pins it)
       "s06_ann_exact", "s07_range_search",
       // k31's fetch runs s05/s06's shared ivfPqScan over the LANDED
-      // artifacts — the identical broadcast probe/LUT crosses
-      "k31_ann_index")
+      // artifacts — the identical broadcast probe/LUT crosses; st27
+      // is the same fetch through the STREAMED artifacts
+      "k31_ann_index", "st27_stream_ann_ingest")
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
