@@ -148,6 +148,25 @@ object JobSpec {
     "d17_edit_distance_join" -> ((s, d, j) =>
       checked(j, "maxDist")(operators.Dedup.editDistanceJoin(
         Tables.documents(s, d), maxDist = j.int("maxDist", 8)))),
+    "d18_edit_distance_blocked" -> ((s, d, j) =>
+      checked(j, "maxDist", "n", "numHashes", "bands", "maxBucket")(
+        operators.Dedup.editDistanceJoinBlocked(Tables.documents(s, d),
+          maxDist = j.int("maxDist", 8), n = j.int("n", 3),
+          numHashes = j.int("numHashes", 64), bands = j.int("bands", 16),
+          maxBucket = j.int("maxBucket", 256)))),
+    "st26_join_state_census" -> ((s, d, j) =>
+      checked(j, "horizonHours", "delay", "clickType", "purchaseType",
+        "statePartitions")(
+        graft.streaming.StreamOps.joinStateCensus(s, d,
+          horizonHours = j.long("horizonHours", 24L),
+          delay = j.str("delay", "1 hour"),
+          clickType = j.str("clickType", "click"),
+          purchaseType = j.str("purchaseType", "purchase"),
+          statePartitions = j.int("statePartitions", 8)))),
+    "st27_stream_ann_ingest" -> ((s, d, j) =>
+      checked(j, "slices")(
+        graft.streaming.StreamOps.streamAnnIngest(s, d,
+          slices = j.int("slices", 4)))),
     "t19_quality_rules" -> ((s, d, j) =>
       checked(j, "minWords", "maxWords", "minMeanWordLen",
         "maxMeanWordLen", "minAlphaWordRatio", "maxSymbolRatio",
