@@ -119,8 +119,13 @@ object Bench {
     // focused-re-running dozens of environmental ones — the close
     // protocol's honest read is then "noisy session, worst N
     // adjudicated", not 41 exonerations.
+    // A 0.0 pin (or NaN timing) would make a ratio Infinity/NaN and
+    // r4's BigDecimal conversion below would throw AFTER the whole
+    // bench ran, losing the artifact — keep only finite positive-pin
+    // ratios (ADVICE r15 #1).
     val ratios = good.flatMap { case (k, v) =>
-      pins.get(k).map(p => v / p) }.sorted
+      pins.get(k).collect { case p if p > 0.0 => v / p } }
+      .filter(java.lang.Double.isFinite).sorted
     val sessionNoise =
       if (ratios.isEmpty) 1.0
       else ratios(ratios.size / 2)

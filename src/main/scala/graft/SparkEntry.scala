@@ -95,11 +95,11 @@ object SparkEntry {
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
-      Similarity.annIvf(Tables.embeddings(s, d), cacheKey = d)),
+      Similarity.annIvfExactDial(Tables.embeddings(s, d), cacheKey = d)),
     "s03_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d))),
     "s04_ann_pq" -> ((s, d) =>
-      Similarity.annPq(Tables.embeddings(s, d), cacheKey = d)),
+      Similarity.annPqExactDial(Tables.embeddings(s, d), cacheKey = d)),
     "s05_ann_ivfpq" -> ((s, d) =>
       Similarity.annIvfPq(Tables.embeddings(s, d), cacheKey = d)),
     "t01_lang_id" -> ((s, d) =>
@@ -1396,7 +1396,7 @@ object SparkEntry {
            FROM (SELECT doc_id,
                         string_split_regex(lower(trim(text)), '\\s+') AS t
                  FROM documents)
-           WHERE len(t) >= 3),
+           WHERE len(t) >= 3 AND doc_id IS NOT NULL),
          pm AS (
            SELECT i, md5('graft-minhash-a-' || i) AS ha,
                   md5('graft-minhash-b-' || i) AS hb
@@ -2267,6 +2267,14 @@ object SparkEntry {
     // baseline. The oracle is s01's restricted to DEFINED
     // (positive-norm) queries — see annExactSql.
     "s06_ann_exact" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    // s02/s04 (r15 verdict #6): registered at their LOSSLESS dials —
+    // s02 probes all clusters (candidate set = the defined corpus),
+    // s04 reranks every ADC candidate exactly — so the pure-IVF and
+    // pure-PQ paths carry the same hash-checked anchor oracle as s06,
+    // and the rows-only set shrinks to 10. The approximate production
+    // dials stay pinned by RECALL_r{N}.json's machine-diffed sweep.
+    "s02_ann_ivf" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    "s04_ann_pq" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
     // k31: the lossless-dial anchor again, but the engine path runs
     // through the LANDED two-version index (manifest → artifact
     // trees → probe → ADC → rerank) instead of the session memos —
@@ -2290,17 +2298,27 @@ object SparkEntry {
            FROM events
            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          w AS (
-           SELECT (least(
-               (SELECT max(ts_us) FROM ev WHERE event_type = 'click'),
-               (SELECT max(ts_us) FROM ev WHERE event_type = 'purchase'))
-             // 1000) * 1000 - 3600000000 AS w_us),
+           -- DuckDB least() SKIPS a NULL argument; Spark's watermark
+           -- on a side with no rows stays unset and the global
+           -- watermark stays 0 (nothing evicts). CASE propagates the
+           -- NULL so a single-sided corpus holds everything on both
+           -- engines (ADVICE r15 #2).
+           SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                  ELSE (least(mc, mp) // 1000) * 1000 - 3600000000
+                  END AS w_us
+           FROM (SELECT
+             (SELECT max(ts_us) FROM ev WHERE event_type = 'click')
+               AS mc,
+             (SELECT max(ts_us) FROM ev WHERE event_type = 'purchase')
+               AS mp)),
          held AS (
            SELECT 'click' AS side, user_id, ts_us FROM ev, w
            WHERE event_type = 'click'
-             AND ts_us + 86400000000 >= w_us
+             AND (w_us IS NULL OR ts_us + 86400000000 >= w_us)
            UNION ALL
            SELECT 'purchase' AS side, user_id, ts_us FROM ev, w
-           WHERE event_type = 'purchase' AND ts_us >= w_us)
+           WHERE event_type = 'purchase'
+             AND (w_us IS NULL OR ts_us >= w_us))
          SELECT side, count(*) AS n_held,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                 min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us

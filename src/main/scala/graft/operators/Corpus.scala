@@ -188,19 +188,112 @@ object Corpus {
     * hash-exact.
     */
   def seqPack(documents: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    val toks = documents
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+    // key bounds from the raw table: the branch column-prunes to a
+    // (source, doc_id) metadata scan — text is never read twice
+    stratifiedPrefixSum(toks, Seq("source"), "doc_id", "n_tok",
+        "start_tok",
+        boundsSrc = Some((documents.select(col("source"), col("doc_id")),
+          Seq("source"))))
       .withColumn("seq_id", expr(s"start_tok DIV $budgetTokens"))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("seq_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
+  }
+
+  /** The p05 recipe generalized: an EXCLUSIVE running sum of
+    * `valueCol` over `orderCol` order WITHIN each stratum, without
+    * ever funneling a stratum through one window task (the r15
+    * verdict's last corpus-cardinality funnel — t07/p14's
+    * `Window.partitionBy(stratum)` gave one task per stratum, so a
+    * multi-TB train stratum sorted on a single executor thread).
+    *
+    * Hierarchical encoding, provably equal to the flat window:
+    * RANGE-bucket the order key within each stratum (the bucket index
+    * is a MONOTONE function of the key, so bucket boundaries preserve
+    * the stratum's order — mod-buckets would interleave it), run the
+    * running sum within (stratum, bucket), and add the bucket's start
+    * offset. Three scale-shape commitments:
+    *
+    *  - ONE exchange, ONE pass over the data: the bucket-local
+    *    running sum, the bucket total (whole-partition frame), and a
+    *    row_number all share the (strata, bucket) window spec; the
+    *    per-bucket offset table is the rn=1 REPRESENTATIVE slice of
+    *    that same windowed stream (≤ |strata|·buckets metadata rows),
+    *    so the branch reuses the main exchange instead of replaying
+    *    the (possibly expensive) upstream pipeline, and only the
+    *    bounded metadata ever sees a per-stratum window.
+    *  - Key bounds come from `boundsSrc` (default: `df` itself) —
+    *    pass the RAW table + a coarser key when `df` is an expensive
+    *    derivation: any [lo, hi] ⊇ the stratum's keys keeps the
+    *    bucketization monotone (loose bounds only skew occupancy),
+    *    and the raw aggregate column-prunes to a metadata scan.
+    *  - The bucket index is computed in DOUBLE arithmetic
+    *    (subtraction/division/floor are monotone, so ordering
+    *    survives rounding, and nothing overflows for any int64 key —
+    *    an integer `hi − lo` could).
+    *
+    * NULL semantics match the flat window exactly: NULL order keys
+    * band to bucket −1 (NULLS FIRST), NULL values contribute nothing
+    * to any running sum and their own prefix is NULL (sum − NULL),
+    * and all stratum-key joins are null-safe (`<=>`) — a NULL-source
+    * document packs in its own stratum, it doesn't vanish in a join.
+    */
+  private[graft] def stratifiedPrefixSum(df: DataFrame,
+      strata: Seq[String], orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 64,
+      boundsSrc: Option[(DataFrame, Seq[String])] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sCols = strata.map(col)
+    val (bSrc, bKeys) = boundsSrc.getOrElse((df, strata))
+    val bounds = bSrc.groupBy(bKeys.map(col): _*)
+      .agg(min(col(orderCol)).as("_lo"), max(col(orderCol)).as("_hi"))
+      .select(bKeys.map(k => col(k).as(s"_b_$k")) ++
+        Seq(col("_lo"), col("_hi")): _*)
+    val span = col("_hi").cast("double") - col("_lo").cast("double") + 1.0
+    val bkt = when(col(orderCol).isNull, lit(-1L))
+      .when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(((col(orderCol).cast("double") -
+        col("_lo").cast("double")) / span * buckets).cast("long"))
+    val bCond = bKeys.map(k => col(k) <=> col(s"_b_$k")).reduce(_ && _)
+    val withB = df.join(broadcast(bounds), bCond)
+      .withColumn("_bkt", bkt)
+      .drop(bKeys.map(k => s"_b_$k") ++ Seq("_lo", "_hi"): _*)
+    val bCols = sCols :+ col("_bkt")
+    val localW = Window.partitionBy(bCols: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wholeW = Window.partitionBy(bCols: _*)
+    val windowed = withB
+      .withColumn("_loc", sum(col(valueCol)).over(localW))
+      .withColumn("_btot", sum(col(valueCol)).over(wholeW))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(bCols: _*).orderBy(col(orderCol))))
+    // bucket representatives: metadata cardinality off the SAME
+    // exchange; the per-stratum offsets window runs on ≤
+    // |strata|·buckets rows. An all-NULL bucket's _btot is NULL —
+    // coalesce so it adds 0 downstream, exactly as its rows add
+    // nothing to the flat running sum.
+    val offW = Window.partitionBy(sCols: _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = windowed.filter(col("_rn") === 1)
+      .select(bCols :+ col("_btot"): _*)
+      .withColumn("_off",
+        coalesce(sum(col("_btot")).over(offW), lit(0L)) -
+          coalesce(col("_btot"), lit(0L)))
+      .select(strata.map(k => col(k).as(s"_o_$k")) ++
+        Seq(col("_bkt").as("_o_bkt"), col("_off")): _*)
+    val oCond = strata.map(k => col(k) <=> col(s"_o_$k"))
+      .reduce(_ && _) && col("_bkt") === col("_o_bkt")
+    windowed.join(broadcast(offsets), oCond)
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(col("_off") + col("_loc") - col(valueCol)))
+      .drop(strata.map(k => s"_o_$k") ++
+        Seq("_bkt", "_loc", "_btot", "_rn", "_o_bkt", "_off"): _*)
   }
 
   /** Salted bucket hash for INDEPENDENT sampling/splitting layers:
@@ -940,14 +1033,18 @@ object Corpus {
         lit(0L).as("epoch"))
     // packing (t07) per (split, source, epoch): strata pack
     // independently, replicas of different epochs never share a
-    // sequence
-    val packW = Window
-      .partitionBy(col("split"), col("source"), col("epoch"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = trainRep.unionByName(heldOut)
-      .withColumn("start_tok",
-        sum(col("n_tokens")).over(packW) - col("n_tokens"))
+    // sequence; the running sum is the hierarchical bucket-offset
+    // encoding (stratifiedPrefixSum), so no stratum funnels through
+    // one window task
+    // key bounds per SOURCE from the raw table (a superset of every
+    // (split, source, epoch) stratum's doc_id range — loose bounds
+    // keep the bucketization monotone), so the bounds branch prunes
+    // to a (source, doc_id) scan and the text pipeline runs ONCE
+    val packed = stratifiedPrefixSum(trainRep.unionByName(heldOut),
+        Seq("split", "source", "epoch"), "doc_id", "n_tokens",
+        "start_tok",
+        boundsSrc = Some((documents.select(col("source"), col("doc_id")),
+          Seq("source"))))
       .withColumn("seq_id", expr(s"start_tok DIV $BuildBudgetTokens"))
     // manifest rollup (k09 grain): two algebraic aggregates on
     // post-window cardinality

@@ -674,6 +674,44 @@ object Similarity {
         col("probe_cluster"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** s02's registered LOSSLESS dial (r15 verdict #6, s06's anchor
+    * trick): probe EVERY cluster — each corpus vector lives in
+    * exactly one cluster, so the candidate set is the whole defined
+    * corpus and the result equals s01 bit-for-bit (spec-pinned at
+    * set level since round 13; the hash-checked oracle row is
+    * annExactSql, the same one s06/k31/st27 carry). This puts the
+    * pure-IVF code path (learned quantizer → probe → cluster-hash
+    * join → topK) under the HARD correctness gate; the production
+    * approximate dial (nprobe=3) stays measured by the per-round
+    * RecallProbe sweep and the recall-monotonicity spec.
+    *
+    * Definedness: a zero-norm query has no cosine (cosineFrom is
+    * NULL-on-zero) — the ADC family drops such queries at the
+    * approx_cos filter; the plain-IVF path must drop them here, or
+    * the hostile corpus's planted zero vector would emit NULL-cosine
+    * rows no SQL oracle reproduces. The learned probe_cluster column
+    * is internal (not SQL-replayable) and stays off the registered
+    * output.
+    */
+  def annIvfExactDial(embeddings: DataFrame,
+      cacheKey: String = ""): DataFrame =
+    annIvf(embeddings, nprobe = 10, cacheKey = cacheKey)
+      .filter(col("cosine").isNotNull)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cosine"))
+
+  /** s04's registered LOSSLESS dial (r15 verdict #6): rerank depth ≥
+    * corpus keeps every ADC candidate, and the exact rerank then
+    * reproduces s01 bit-for-bit (spec-pinned, rounded cosines
+    * included) — the full PQ path (codebook → codes → ADC kernel →
+    * shard/global rank → exact rerank) becomes a hash-checked oracle
+    * row. The production approximate dial (rerankDepth=64) stays
+    * measured by RecallProbe's depth sweep and the
+    * recall-vs-depth spec.
+    */
+  def annPqExactDial(embeddings: DataFrame,
+      cacheKey: String = ""): DataFrame =
+    annPq(embeddings, rerankDepth = Int.MaxValue, cacheKey = cacheKey)
+
   /** s07_range_search — EXACT radius similarity search: every corpus
     * vector with cosine ≥ `tau` of each query, with a provably
     * lossless cluster-pruning scale path (the reference's

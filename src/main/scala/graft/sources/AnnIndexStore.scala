@@ -70,6 +70,19 @@ object AnnIndexStore {
   private def write(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("error").parquet(path)
 
+  /** The codes tree is the one O(corpus) artifact — a 1e9-vector
+    * build or retrain must not serialize tens of GB through a single
+    * writer task. It keeps the upstream vec_id hash partitioning
+    * (the encode already runs post-`repartition(vec_id)`), so the
+    * write stage is corpus-partitioned; `fetch` reads trees via the
+    * manifest and is layout-agnostic (AnnIndexStoreSpec pins a
+    * multi-file codes tree reading identically). Centroids/codebook/
+    * manifest stay `coalesce(1)` — broadcast-sized by construction —
+    * as do per-batch append deltas (O(batch)).
+    */
+  private def writeCodes(df: DataFrame, path: String): Unit =
+    df.write.mode("error").parquet(path)
+
   /** Land v1 (trained on `base`) and the v2 incremental append of
     * `arrivals` — arrivals touch ONLY the landed centroids/codebook
     * (broadcast-sized reads) plus their own rows.
@@ -92,7 +105,7 @@ object AnnIndexStore {
     val cb = Similarity.pqCodebook(resid, Subspaces, SubDim, Ks, PqIters)
     write(cent, s"$dir/_ann/c1/centroids")
     write(cb, s"$dir/_ann/c1/codebook")
-    write(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
+    writeCodes(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
       s"$dir/_ann/c1/codes")
     import spark.implicits._
     Seq(("centroids", "c1"), ("codebook", "c1"), ("codes", "c1"))
@@ -146,7 +159,7 @@ object AnnIndexStore {
     val cb = Similarity.pqCodebook(resid, Subspaces, SubDim, Ks, PqIters)
     write(cent, s"$dir/_ann/$commit/centroids")
     write(cb, s"$dir/_ann/$commit/codebook")
-    write(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
+    writeCodes(Similarity.encodeResiduals(resid, cb, Subspaces, SubDim),
       s"$dir/_ann/$commit/codes")
     import spark.implicits._
     Seq(("centroids", commit), ("codebook", commit), ("codes", commit))

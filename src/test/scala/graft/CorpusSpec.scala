@@ -573,11 +573,22 @@ class CorpusSpec extends AnyFunSuite {
       df.collect() // AQE reuse is decided at stage materialization
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      val scans = plan.linesIterator
-        .count(l => l.contains("Scan parquet") && l.contains("documents"))
-      assert(scans === 1,
-        s"p14: the corpus text pipeline must run exactly once " +
-          s"(found $scans documents scans):\n$plan")
+      val scanLines = plan.linesIterator
+        .filter(l => l.contains("Scan parquet") && l.contains("documents"))
+        .toSeq
+      // the EXPENSIVE claim: the text pipeline (quality, hash,
+      // shingles, token count) runs exactly once — one scan reads text
+      val textScans = scanLines.count(_.contains("text"))
+      assert(textScans === 1,
+        s"p14: the corpus TEXT pipeline must run exactly once " +
+          s"(found $textScans text-reading documents scans):\n$plan")
+      // the packing stage's bucket-bound branch (stratifiedPrefixSum)
+      // is allowed ONE extra scan, column-pruned to key metadata —
+      // Catalyst prunes text out of it, which is also WHY exchange
+      // reuse can't merge it into the text scan
+      assert(scanLines.size <= 2,
+        s"p14: at most the text scan + one pruned metadata scan " +
+          s"(found ${scanLines.size}):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 

@@ -148,6 +148,58 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${stale.mkString(", ")}")
   }
 
+  /** r15 verdict item 1: a window partitioned ONLY by a low-cardinality
+    * stratum column (source/split/epoch) funnels each stratum through
+    * one task — at 100 TB with ~10 sources the stage runs ~10-wide and
+    * one task sorts a multi-TB stratum. The packing operators now use
+    * stratifiedPrefixSum's (stratum, range-bucket) encoding; this gate
+    * keeps them (and anything new) honest. A stratum-only window IS
+    * legitimate on bounded metadata — i.e. when an aggregate sits
+    * below it in the same plan subtree (the bucket-offset window runs
+    * on ≤ strata×buckets representative rows) — so the gate fails only
+    * on stratum-only windows with NO aggregate or limit beneath them.
+    */
+  test("no per-stratum single-task window on corpus-cardinality input") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+    val strataNames = Set("source", "split", "epoch", "lang")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(sideEffecting).foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.nonEmpty =>
+          val partCols = w.partitionSpec.flatMap(_.references.map(_.name))
+          val strataOnly = partCols.nonEmpty &&
+            partCols.forall(strataNames.contains)
+          val boundedBelow = w.child.exists {
+            case _: BaseAggregateExec => true
+            case _: GlobalLimitExec | _: LocalLimitExec => true
+            case _ => false
+          }
+          // a RANK-PRUNE filter over a prior window also bounds the
+          // input: stratifiedPrefixSum's _rn=1 representative slice
+          // (≤ strata×buckets rows) and p07/q26's two-phase top-k
+          // (≤ buckets·cap rows per stratum after the local ≤cap cut)
+          val repSliceBelow = w.child.exists {
+            case f: org.apache.spark.sql.execution.FilterExec =>
+              f.child.exists(_.isInstanceOf[WindowExec]) && {
+                val c = f.condition.toString
+                c.contains("<=") || c.contains("= 1")
+              }
+            case _ => false
+          }
+          if (strataOnly && !boundedBelow && !repSliceBelow)
+            offenders += s"$name(partitionBy=${partCols.mkString(",")})"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"stratum-only windows on corpus-cardinality input: " +
+        s"${offenders.distinct.mkString(", ")} — one task per stratum; " +
+        "use Corpus.stratifiedPrefixSum's (stratum, bucket) encoding")
+  }
+
   /** r9 verdict item 7: the side-effecting entries were excluded from
     * the sweeps above on the promise their own specs audit plans.
     * This closes the gap directly: each entry is constructed ONCE

@@ -22,7 +22,11 @@ import graft.operators.Similarity
 class RecallArtifactSpec extends AnyFunSuite {
   import TestSpark._
 
-  // measured @ sf0.001, registered defaults (k=5, stride 50).
+  // measured @ sf0.001, the PRODUCTION approximate dials (the method
+  // defaults, k=5, stride 50) — NOT the registered CORRECTNESS dials:
+  // since r16, s02/s04 register their lossless anchors for the hash
+  // gate (r15 verdict #6), and THIS artifact is what keeps the
+  // approximate paths honestly measured.
   // All four re-pinned r13 after the dial sweep (RecallProbe) moved
   // the registered defaults to their cost/recall knees: IVF nprobe
   // 1→3 (0.28→0.72), LSH (nBits, tables) (6,8)→(5,16) (0.24→0.78),

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json out.json]
+
+With --json, also writes a CORRECTNESS_r{N}-style per-query record
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so a
+gate run (e.g. the hostile corpus) persists as a judge-diffable
+artifact instead of scrollback.
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
@@ -30,6 +35,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    rec = {}
+
+    def record(name, rows, schema, hsh, sr, orr, err):
+        rec[name] = {"rows_match": rows, "schema_match": schema,
+                     "hash_match": hsh, "spark_rows": sr,
+                     "oracle_rows": orr, "err": err}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -43,6 +57,7 @@ def main():
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result parquet")
+            record(name, False, False, False, 0, 0, "no spark result")
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in files])
@@ -50,6 +65,8 @@ def main():
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            record(name, len(g) == len(w), False, False, len(g), len(w),
+                   "column mismatch")
             n_fail += 1
             continue
         # dtype parity: the driver hash-compares serialized values, so a
@@ -58,10 +75,13 @@ def main():
               if g[c].dtype.kind != w[c].dtype.kind]
         if dt:
             print(f"FAIL {name}: dtype kind mismatch {dt}")
+            record(name, len(g) == len(w), False, False, len(g), len(w),
+                   f"dtype kind mismatch {dt}")
             n_fail += 1
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            record(name, False, True, False, len(g), len(w), None)
             n_fail += 1
             continue
         bad = []
@@ -87,18 +107,25 @@ def main():
         hard = [x for x in bad if x[1] != "float-close-not-exact"]
         if hard:
             print(f"FAIL {name}: {hard}")
+            record(name, True, True, False, len(g), len(w), str(hard))
             n_fail += 1
         elif bad:
             print(f"WARN {name}: float ulp diffs {bad}")
+            record(name, True, True, True, len(g), len(w), None)
             n_pass += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
+            record(name, True, True, True, len(g), len(w), None)
             n_pass += 1
     rows_only = set(
         os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
         if os.path.isdir(d)) - set(oracle)
     for name in sorted(rows_only):
         print(f"NOTE rows-only (no oracle SQL): {name}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rec, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
