@@ -1181,42 +1181,45 @@ object Dedup {
     * Jaccard sees "the cat sat" vs "the cat sad" as two shingle sets,
     * edit distance sees one typo.
     *
-    * Blocking is a band join on THREE per-document integer features,
-    * each bucketed at width maxDist+1: normalized length, vowel
-    * count ('aeiou'), and a consonant-class count ('nrsth'). Every
-    * single edit (insert/delete/substitute) changes the length by at
-    * most 1 and any FIXED character-class count by at most 1, so
-    * levenshtein(a,b) ≤ maxDist bounds all three deltas by maxDist
-    * and a qualifying pair's buckets differ by at most 1 per
-    * dimension — the blocking is exact and the DuckDB oracle replays
-    * plain brute force and hash-matches. One side replicates to its
-    * 3³ = 27 neighboring bucket triples as SLIM METADATA rows (id +
-    * three longs — round 15 shipped this operator replicating full
-    * TEXT 3×, the r15 verdict's measured scale-killer), the other
-    * probes its own triple; the |Δ| ≤ maxDist bands and the id
-    * ordering ride IN the join condition, so a same-bucket pair
-    * outside any band dies during the hash-join probe before any
-    * output row materializes. Only SURVIVING candidate pairs join
-    * text back (d18's "text moves once per candidate" shape: two
-    * slim equi-joins) and pay Spark's THRESHOLDED levenshtein
-    * (early-exits the DP once the band exceeds maxDist —
-    * O(len·maxDist), the standard banded-DP trick).
+    * Blocking is the band join on length buckets of width
+    * maxDist+1: levenshtein(a,b) ≥ |len(a)−len(b)|, so any
+    * qualifying pair's buckets differ by at most 1 — one side
+    * replicates its FULL (id, normalized text, bands) row to its
+    * three neighboring buckets (3× the corpus text volume shuffled —
+    * the price of losslessness), the other probes its own, and NO
+    * qualifying pair can escape the join: the blocking is exact, so
+    * the DuckDB oracle replays plain brute force and hash-matches.
     *
-    * Why per-doc class counts and not a per-pair bag bound: commit
-    * 10b8a62 measured the per-pair character-bag lower bound SLOWER
-    * than the thresholded DP it tried to skip (the bag itself is
-    * O(len) per PAIR). The class counts here are computed once per
-    * DOCUMENT in the scan projection (two `translate` calls), and
-    * their bands prune at the BLOCKING tier — same-length documents
-    * with different character mixes never pair at all, which is what
-    * collapses the within-bucket quadratic (sf10: the r15
-    * registration aborted >3000 s; this one completes).
+    * Within a bucket the pairing is quadratic, and what the r15
+    * registration paid PER PAIR was the thresholded DP. r16 adds two
+    * per-document CHARACTER-CLASS counts — vowels 'aeiou' and
+    * 'nrsth' — as probe-time conjuncts: a single edit changes any
+    * fixed class count by at most 1, so |Δclass| ≤ maxDist is a
+    * lossless necessary condition, and two integer compares now kill
+    * the vast majority of same-length-bucket pairs BEFORE the DP
+    * (measured at sf10: the DP-per-pair form aborted >3000 s; this
+    * one completes). The counts are computed once per DOCUMENT in
+    * the scan projection (`translate` — a per-char table lookup, no
+    * regex engine); the rejected r15 experiment (commit 10b8a62)
+    * differed exactly here: it computed a character-BAG bound per
+    * PAIR (O(len) each), which cost more than the DP it skipped.
+    * All bands and the id ordering ride IN the join condition (not a
+    * post-filter), so a pair outside any band dies during the
+    * hash-join probe before any output row materializes — nothing
+    * candidate-sized is ever exchanged or sorted (a materialize-
+    * then-join-text-back shape measured 78 GB of spill at sf10; the
+    * quadratic tier must STREAM inside the one join operator).
+    * Survivors pay Spark's THRESHOLDED levenshtein (early-exits the
+    * DP once the band exceeds maxDist — O(len·maxDist), the
+    * standard banded-DP trick).
     *
-    * Scale: the exchange is keyed on the bucket triple; at 100 TB
-    * this still composes with d02's MinHash bands as the coarse tier
-    * (d18) when even the triple under-blocks. NULL text never joins
-    * (both engines drop it at the scan); NULL doc_id pairs die on
-    * the `<` ordering, k12's discipline.
+    * Scale: the exchange is keyed on the length bucket; at 100 TB
+    * the within-bucket population still grows linearly (the class
+    * bands cut the constant ~10-100×, not the exponent), so the
+    * full-corpus tier remains d18 — LSH proposes, this join's
+    * arithmetic disposes. NULL text never joins (both engines drop
+    * it at the scan); NULL doc_id pairs die on the `<` ordering,
+    * k12's discipline.
     */
   def editDistanceJoin(documents: DataFrame,
       maxDist: Int = 8): DataFrame = {
@@ -1225,52 +1228,48 @@ object Dedup {
     val n = documents.filter(col("text").isNotNull)
       .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
       .withColumn("len", length(col("t")).cast("long"))
-      // class counts = len − len(text with the class stripped);
-      // `translate` is a per-char table lookup, no regex engine
+      // class counts = len − len(text with the class stripped)
       .withColumn("nv",
         (col("len") - length(translate(col("t"), "aeiou", "")))
           .cast("long"))
       .withColumn("nc",
         (col("len") - length(translate(col("t"), "nrsth", "")))
           .cast("long"))
-    val slim = n.select(col("doc_id"), col("len"), col("nv"), col("nc"),
-      expr(s"len div $w").as("bl"), // integral division, no FP detour
-      expr(s"nv div $w").as("bv"),
-      expr(s"nc div $w").as("bc"))
-    // probe side keys its own triple; build side replicates SLIM rows
-    // to the 27 neighbor triples
-    val deltas = Seq(-1L, 0L, 1L)
-    val nbrs = array(deltas.flatMap(dl => deltas.flatMap(dv =>
-      deltas.map(dc => struct(
-        (col("bl") + dl).as("bl"), (col("bv") + dv).as("bv"),
-        (col("bc") + dc).as("bc"))))): _*)
-    val left = slim.select(col("doc_id").as("id_a"), col("len").as("la"),
-      col("nv").as("va"), col("nc").as("ca"), explode(nbrs).as("b"))
-      .select(col("id_a"), col("la"), col("va"), col("ca"),
-        col("b.bl").as("bl"), col("b.bv").as("bv"), col("b.bc").as("bc"))
-    val right = slim.select(col("doc_id").as("id_b"), col("len").as("lb"),
-      col("nv").as("vb"), col("nc").as("cb"),
-      col("bl"), col("bv"), col("bc"))
-    // bands + ordering inside the join condition: the equi-key keeps
-    // the hash join, the extra conjuncts run at probe time
-    val cand = left.join(right,
-      Seq("bl", "bv", "bc")).filter(
+    val base = expr(s"len div $w") // integral division, no FP detour
+    val left = n.select(col("doc_id").as("id_a"), col("t").as("ta"),
+      col("len").as("la"), col("nv").as("va"), col("nc").as("ca"),
+      explode(array(base - 1, base, base + 1)).as("bucket"))
+    // The broadcast plan's parallelism is the PROBE side's partition
+    // count — a raw parquet scan gives ~1 task per 128 MB, so the
+    // whole quadratic probe+DP stage ran ~12-wide at sf10 (measured:
+    // the grind). Hash-spreading the probe rows by doc_id sets the
+    // stage width to the session's shuffle partitions AND dissolves
+    // bucket skew at ROW granularity (same-bucket rows land on many
+    // tasks; each probes the broadcast map independently). On a
+    // cluster where the build side outgrows broadcast, the join's own
+    // bucket-key distribution overrides this — harmless either way.
+    val right = n.select(col("doc_id").as("id_b"), col("t").as("tb"),
+      col("len").as("lb"), col("nv").as("vb"), col("nc").as("cb"),
+      base.as("bucket_b"))
+      .repartition(col("id_b"))
+    // The DP rides as the LAST conjunct of the JOIN CONDITION, not a
+    // post-join filter: written as `withColumn(d).filter(d >= 0)`,
+    // Catalyst pushes the filter into the join AHEAD of the cheap
+    // band conjuncts and every same-bucket pair pays the DP
+    // (measured at sf1: 65.3 s vs 9.8 s — the D17Probe numbers).
+    // Condition order short-circuits, so only band survivors reach
+    // the DP; the projection recomputes the distance for the tiny
+    // survivor set (thousands of rows — two DP calls each, both
+    // cheap at that cardinality).
+    val dp = levenshtein(col("ta"), col("tb"), maxDist)
+    left.join(right,
+        col("bucket") === col("bucket_b") &&
         col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist &&
         abs(col("va") - col("vb")) <= maxDist &&
-        abs(col("ca") - col("cb")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-    // text joins back ONLY for band survivors — the corpus text is
-    // shuffled twice by id, never replicated 27×
-    val txt = n.select(col("doc_id"), col("t"))
-    cand
-      .join(txt.select(col("doc_id").as("id_a"), col("t").as("ta")),
-        "id_a")
-      .join(txt.select(col("doc_id").as("id_b"), col("t").as("tb")),
-        "id_b")
-      .withColumn("d", levenshtein(col("ta"), col("tb"), maxDist))
-      .filter(col("d") >= 0) // thresholded form returns -1 past the cap
-      .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+        abs(col("ca") - col("cb")) <= maxDist &&
+        dp >= 0) // thresholded form returns -1 past the cap
+      .select(col("id_a"), col("id_b"), dp.cast("long").as("dist"))
   }
 
   /** d18_edit_distance_blocked — d17's edit-distance join behind

@@ -39,8 +39,15 @@ object StreamOps {
     * not serialize; a production deployment sizes triggers by the
     * same logic — fewer, fuller micro-batches amortize the engine's
     * per-batch floor.
+    *
+    * Env-overridable (GRAFT_HARNESS_FILES_PER_TRIGGER) for the
+    * HarnessFloorProbe ONLY — the probe re-runs st18/st19 at 1 file
+    * per trigger vs all-at-once to split per-trigger fixed cost from
+    * plan cost (r15 verdict #8); every registered/benched run uses
+    * the default 2.
     */
-  private val HarnessFilesPerTrigger = 2
+  private val HarnessFilesPerTrigger =
+    sys.env.getOrElse("GRAFT_HARNESS_FILES_PER_TRIGGER", "2").toInt
 
   /** Event after timestamp normalization (epoch micros). */
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
