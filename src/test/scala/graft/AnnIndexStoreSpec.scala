@@ -44,6 +44,8 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(files("_ann/c1/codebook").nonEmpty)
     assert(files("_ann/c1/codes").nonEmpty)
     assert(files("_ann/c2/codes").nonEmpty)
+    assert(files("_ann/c1/centroids").size === 1)
+    assert(files("_ann/c1/codebook").size === 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/_ann/c2/centroids")),
       "an incremental append must not retrain the quantizer")
@@ -84,6 +86,43 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       .filter(_.contains("/_ann/"))
     assert(v3Files.nonEmpty && v3Files.forall(_.contains("/c3/")),
       s"v3 fetch leaked past its manifest: ${v3Files.toSeq}")
+  }
+
+  test("k31: the codes tree is corpus-partitioned (r15 verdict #2) " +
+      "and a multi-file tree reads identically") {
+    // At the test SF, AQE's partition coalescing correctly shrinks
+    // the tiny encode shuffle to one partition (at 1e9 vectors it
+    // would size ~64 MB chunks instead — the desired behavior); to
+    // pin the WRITE-PATH contract — no coalesce(1) on the O(corpus)
+    // artifact — build once with coalescing off and assert the tree
+    // is multi-file while the broadcast-sized artifacts stay
+    // single-file, then prove the multi-file tree reads the same
+    // rows as the single-file build's.
+    val emb = Tables.embeddings(spark, sf)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    val dir = graft.Staging.dir("graft_k31spec_mf_")
+    try {
+      spark.conf.set(key, "false")
+      AnnIndexStore.buildAndAppend(
+        emb.filter(pmod(col("vec_id"), lit(4L)) =!= 3L),
+        emb.filter(pmod(col("vec_id"), lit(4L)) === 3L), dir)
+    } finally spark.conf.set(key, old)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def nFiles(sub: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles("_ann/c1/codes") > 1,
+      "base codes tree must be corpus-partitioned (multi-file)")
+    assert(nFiles("_ann/c1/centroids") === 1)
+    assert(nFiles("_ann/c1/codebook") === 1)
+    // multi-file ≡ single-file: same fetch rows as the memoized-path
+    // build (the coalesced tree the other tests read)
+    val mf = rows(AnnIndexStore.fetch(spark, emb, dir, 2))
+    val sf1 = rows(AnnIndexStore.fetch(spark, emb,
+      AnnIndexStore.stageIndex(emb, cacheKey = ""), 2))
+    assert(mf === sf1, "multi-file codes tree must read identically")
   }
 
   test("k31: lossless fetch through the incremental v2 index ≡ " +

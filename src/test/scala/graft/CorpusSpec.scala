@@ -565,6 +565,52 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedPrefixSum ≡ the flat per-stratum running sum " +
+      "(null keys, null values, null strata, loose raw bounds)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unique non-null order keys (ties would make BOTH encodings
+    // nondeterministic); exactly one NULL-key row per stratum (the
+    // hostile corpus's shape); scattered NULL values; a NULL stratum
+    val ids = rnd.shuffle((1L to 600L).toVector)
+    val rows: Seq[(java.lang.Long, String, java.lang.Long)] =
+      ids.zipWithIndex.map { case (id, i) =>
+        val src = if (i % 6 == 5) null else s"s${i % 5}"
+        val v: java.lang.Long =
+          if (i % 13 == 0) null else java.lang.Long.valueOf(rnd.nextInt(50))
+        (java.lang.Long.valueOf(id * 7919L % 1000003L), src, v)
+      } ++ Seq(
+        (null, "s0", java.lang.Long.valueOf(9L)),
+        (null, "s1", null),
+        (null, null, java.lang.Long.valueOf(3L)))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.select("doc_id", "source", "n_tok", "start").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted.toSet
+    val flatW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = df.withColumn("start",
+      sum(col("n_tok")).over(flatW) - col("n_tok"))
+    val hier = Corpus.stratifiedPrefixSum(df, Seq("source"), "doc_id",
+      "n_tok", "start", buckets = 8)
+    assert(canon(hier) === canon(flat),
+      "bucket-offset encoding must equal the flat window exactly")
+    assert(hier.count() === df.count(),
+      "null-safe joins: no row may vanish (null source/key rows)")
+    // loose bounds from a RAW superset (extra rows, wider key range,
+    // coarser than the stratum): monotone bucketing only — the
+    // result must not move
+    val raw = df.select(col("source"), col("doc_id"))
+      .unionByName(Seq((java.lang.Long.valueOf(0L), "s0"),
+        (java.lang.Long.valueOf(2000003L), "s1"))
+        .toDF("doc_id", "source").select(col("source"), col("doc_id")))
+    val loose = Corpus.stratifiedPrefixSum(df, Seq("source"), "doc_id",
+      "n_tok", "start", buckets = 8, boundsSrc = Some((raw, Seq("source"))))
+    assert(canon(loose) === canon(flat),
+      "loose superset bounds must not change the prefix sums")
+  }
+
   test("p14: ONE corpus scan feeds clean, dedup, split, mixture, packing") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
