@@ -18,6 +18,12 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ADVICE r16 #2: the files-per-trigger env override is for the
+    // HarnessFloorProbe ONLY — a benched number taken under it would
+    // not be comparable to the pins. Refuse, don't warn.
+    require(!graft.streaming.StreamOps.HarnessFilesPerTriggerOverridden,
+      "GRAFT_HARNESS_FILES_PER_TRIGGER is set (probe-only override) " +
+        "— unset it before running Bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // ADVICE r16 #2: probe-only override must not leak into the
+    // correctness gate's streaming micro-batch counts. Refuse.
+    require(!graft.streaming.StreamOps.HarnessFilesPerTriggerOverridden,
+      "GRAFT_HARNESS_FILES_PER_TRIGGER is set (probe-only override) " +
+        "— unset it before running Verify")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -51,6 +56,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Bounded-error gates for the declared-approximate queries (r16
+    // verdict #2): exact-recompute SQL + per-column tolerance checks.
+    // The check fragments are authored as raw JSON in SparkEntry
+    // (newlines legal between JSON tokens); only the SQL needs escaping.
+    val gates = SparkEntry.toleranceExactSql
+      .map { case (k, sql) =>
+        s"${q(k)}: {${q("exact_sql")}: ${q(sql)}, " +
+          SparkEntry.toleranceChecks(k) + "}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tolerance_gates.json"), gates)
     spark.stop()
   }
 }

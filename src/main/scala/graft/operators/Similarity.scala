@@ -18,6 +18,15 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** The coarse quantizer's default cluster count, shared by annIvf's
+    * `kClusters` default AND annIvfExactDial's nprobe (ADVICE r16 #1:
+    * the lossless anchor is lossless precisely because nprobe =
+    * #clusters — tying both to one constant means a future default
+    * drift cannot silently turn the hash-checked s02 oracle row
+    * approximate).
+    */
+  val IvfKClusters = 10
+
   /** Number of local top-k shards in phase 1. Any value ≥ the
     * cluster's parallelism works; results are identical regardless.
     */
@@ -647,7 +656,7 @@ object Similarity {
     * 4→0.78, 5→0.86, 10(=all)→1.00.
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
-      queryStride: Int = 50, nprobe: Int = 3, kClusters: Int = 10,
+      queryStride: Int = 50, nprobe: Int = 3, kClusters: Int = IvfKClusters,
       lloydIters: Int = 3, cacheKey: String = ""): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
@@ -695,7 +704,8 @@ object Similarity {
     */
   def annIvfExactDial(embeddings: DataFrame,
       cacheKey: String = ""): DataFrame =
-    annIvf(embeddings, nprobe = 10, cacheKey = cacheKey)
+    annIvf(embeddings, nprobe = IvfKClusters, kClusters = IvfKClusters,
+      cacheKey = cacheKey)
       .filter(col("cosine").isNotNull)
       .select(col("q_id"), col("n_id"), col("rnk"), col("cosine"))
 

@@ -46,8 +46,24 @@ object StreamOps {
     * plan cost (r15 verdict #8); every registered/benched run uses
     * the default 2.
     */
+  /** True when the probe-only override is present in the environment
+    * — Verify/Bench REFUSE to run under it (ADVICE r16 #2: a stray
+    * env var must not silently change every registered/benched run's
+    * micro-batch count).
+    */
+  val HarnessFilesPerTriggerOverridden: Boolean =
+    sys.env.contains("GRAFT_HARNESS_FILES_PER_TRIGGER")
+
   private val HarnessFilesPerTrigger =
-    sys.env.getOrElse("GRAFT_HARNESS_FILES_PER_TRIGGER", "2").toInt
+    sys.env.get("GRAFT_HARNESS_FILES_PER_TRIGGER") match {
+      case None => 2
+      case Some(v) => v.toIntOption.filter(_ > 0).getOrElse(
+        // fail fast with a named message instead of an opaque
+        // ExceptionInInitializerError at first StreamOps use
+        throw new IllegalArgumentException(
+          s"GRAFT_HARNESS_FILES_PER_TRIGGER must be a positive " +
+            s"integer (probe-only override), got: '$v'"))
+    }
 
   /** Event after timestamp normalization (epoch micros). */
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double)
@@ -1794,11 +1810,12 @@ object StreamOps {
       .transformWithState(
         new SessionEndProcessor(gapUs),
         TimeMode.EventTime(), OutputMode.Append())
-    val sink = s"st24_mem_${System.nanoTime()}"
+    // the drain's OUTPUT is discarded (the checkpoint is the
+    // artifact) — noop sink, not a memory sink that would collect
+    // every session end into the driver (r16 verdict #3's cousin)
     val q = ends.toDF().writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
+      .format("noop")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1956,9 +1973,10 @@ object StreamOps {
     // full RocksDB snapshots amortize in the background instead of
     // being taken synchronously per store per batch. On the sf10
     // harness it measured NEUTRAL (32.2 vs 32.9 s — the r13 WATCH
-    // item's cost is the per-batch timer sweep + the finite
-    // harness's memory-sink collect, NOT snapshotting), but it is
-    // the production-correct durability mode at this state
+    // item's cost is the per-batch timer sweep, NOT snapshotting;
+    // the memory-sink collect that used to pollute that measurement
+    // was replaced by the file sink below, r16 verdict #3), but it
+    // is the production-correct durability mode at this state
     // cardinality, so it stays on.
     child.conf.set("spark.sql.streaming.stateStore.rocksdb." +
       "changelogCheckpointing.enabled", "true")
@@ -1974,15 +1992,27 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new SessionEndProcessor(gapSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
-    val sink = s"st23_mem_${System.nanoTime()}"
+    // FILE sink + batch read-back, NOT a memory sink (r16 verdict
+    // #3): the memory sink collects every emitted session end into
+    // the DRIVER — ~1M rows at sf10, a literal driver-side collect
+    // sitting on the measured path, and exactly what a 24/7
+    // deployment would never do. The parquet sink commits each
+    // micro-batch's output where it was computed (executor-side,
+    // exactly-once via _spark_metadata), which is the production
+    // shape; the read-back is an ordinary distributed scan.
+    val out = graft.Staging.dir("graft_st23_out_")
     val q = ends.toDF().writeStream
       .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    child.table(sink)
+    // explicit schema: a zero-row drain leaves no data files to infer
+    // from, and inference would cost a footer pass besides
+    child.read.schema("user_id BIGINT, session_end_us BIGINT")
+      .parquet(s"$out/data")
       .filter(col("user_id") >= 0) // drop the sentinel's open session
       .select(col("user_id"), col("session_end_us"))
   }

@@ -180,13 +180,36 @@ class PlanAuditSpec extends AnyFunSuite {
           // a RANK-PRUNE filter over a prior window also bounds the
           // input: stratifiedPrefixSum's _rn=1 representative slice
           // (≤ strata×buckets rows) and p07/q26's two-phase top-k
-          // (≤ buckets·cap rows per stratum after the local ≤cap cut)
+          // (≤ buckets·cap rows per stratum after the local ≤cap cut).
+          // ADVICE r16 #3: the pruning conjunct must compare an
+          // attribute PRODUCED by the window below (row_number/rank
+          // output) against a small integer literal — a mere `<=` in
+          // the condition string (e.g. an unbounded band filter
+          // abs(a-b) <= 8) does NOT bound cardinality and must not
+          // exempt a genuine stratum-only window.
           val repSliceBelow = w.child.exists {
             case f: org.apache.spark.sql.execution.FilterExec =>
-              f.child.exists(_.isInstanceOf[WindowExec]) && {
-                val c = f.condition.toString
-                c.contains("<=") || c.contains("= 1")
+              import org.apache.spark.sql.catalyst.expressions._
+              val winOuts = f.child.collect {
+                case w2: WindowExec =>
+                  w2.windowExpression.map(_.toAttribute.exprId)
+              }.flatten.toSet
+              def smallLit(l: Any): Boolean = l match {
+                case i: Int => i <= 4096
+                case i: Long => i <= 4096L
+                case _ => false
               }
+              def rankPrune(e: Expression): Boolean = e match {
+                case And(l, r) => rankPrune(l) || rankPrune(r)
+                case EqualTo(a: AttributeReference, Literal(v, _)) =>
+                  winOuts.contains(a.exprId) && smallLit(v)
+                case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+                  winOuts.contains(a.exprId) && smallLit(v)
+                case LessThan(a: AttributeReference, Literal(v, _)) =>
+                  winOuts.contains(a.exprId) && smallLit(v)
+                case _ => false
+              }
+              winOuts.nonEmpty && rankPrune(f.condition)
             case _ => false
           }
           if (strataOnly && !boundedBelow && !repSliceBelow)
