@@ -90,8 +90,15 @@ object SparkEntry {
       Dedup.dedupEmbedding(Tables.embeddings(s, d))),
     "d07_dedup_groups" -> ((s, d) =>
       Dedup.dedupGroups(Dedup.ngramJaccard(Tables.documents(s, d)))),
+    // d08 registered at its LOSSLESS dial (r16 verdict #1, the
+    // s02/s04 trick): kClusters=1 puts every vector in one learned
+    // block, so the output ≡ the label-free brute-force cosine pair
+    // join — SQL-replayable, hash-checked. The learned-blocking
+    // production dial (kClusters=10) stays pinned by DedupSpec's
+    // planted-dup property.
     "d08_dedup_embedding_auto" -> ((s, d) =>
-      Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d), cacheKey = d)),
+      Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d), kClusters = 1,
+        cacheKey = d)),
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
@@ -1828,6 +1835,75 @@ object SparkEntry {
     "k18_index_maintenance" -> k18Sql,
     "st16_stream_index" -> k18Sql,
     "t14_bpe_tokenize" -> t14Sql,
+    // t13 (r16 verdict #7): the BPE merge-training loop IS
+    // SQL-replayable — a bounded recursive CTE at VOCAB cardinality
+    // (nMerges=12 iterations over ≤ maxWords rows, never the corpus).
+    // State = each vocab word's current tokenization, encoded as a
+    // separator-wrapped string ␟sym₁␟␟sym₂␟…; the greedy
+    // leftmost-first fuse is then EXACTLY one non-overlapping
+    // left-to-right replace() of ␟a␟␟b␟ with ␟ab␟ (the double
+    // separator makes symbol boundaries unambiguous, so (a, ab)
+    // can never false-match (a, a)b — and replace() resuming AFTER
+    // each substitution is precisely the engine's i += 2 skip, "aaa"
+    // → [aa, a]). Each iteration's best pair re-derives the engine's
+    // (count DESC, left, right) argmax from the working table; the
+    // merge LIST is then recomputed per iteration from the
+    // accumulated recursion. chr(31) is assumed absent from tokens
+    // (verified on the gate corpora; it is not \s, so it would
+    // survive tokenization — a corpus carrying it would need a
+    // different sentinel). Collation caveat: the engine's driver-side
+    // pair tiebreak is java.lang.String order (UTF-16 code units);
+    // DuckDB compares UTF-8 bytes (codepoint order) — the two differ
+    // only when pairs TIE on count and the tied symbols straddle
+    // U+E000/astral, which no gate corpus does.
+    "t13_bpe_merges" ->
+      """WITH RECURSIVE
+         toks AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS w
+           FROM documents),
+         vocab AS (
+           SELECT w, count(*) AS wc FROM toks WHERE w <> ''
+           GROUP BY 1 ORDER BY wc DESC, w LIMIT 50000),
+         enc AS (
+           SELECT chr(31) || array_to_string(string_split_regex(w, ''),
+                    chr(31)||chr(31)) || chr(31) AS s, wc
+           FROM vocab),
+         t(iter, s, wc) AS (
+           SELECT 0, s, wc FROM enc
+           UNION ALL
+           SELECT iter + 1,
+                  replace(s,
+                    chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                    chr(31)||b.l||b.r||chr(31)),
+                  wc
+           FROM t,
+             (SELECT l, r FROM (
+                SELECT pr[1] AS l, pr[2] AS r, sum(wc) AS cnt
+                FROM (SELECT wc, unnest(list_zip(syms, syms[2:])) AS pr
+                      FROM (SELECT wc,
+                              string_split_regex(trim(s, chr(31)),
+                                chr(31)||chr(31)) AS syms FROM t))
+                WHERE pr[2] IS NOT NULL
+                GROUP BY 1, 2)
+              ORDER BY cnt DESC, l, r LIMIT 1) b
+           WHERE iter < 12),
+         pairs AS (
+           SELECT iter, pr[1] AS l, pr[2] AS r, sum(wc) AS cnt
+           FROM (SELECT iter, wc, unnest(list_zip(syms, syms[2:])) AS pr
+                 FROM (SELECT iter, wc,
+                         string_split_regex(trim(s, chr(31)),
+                           chr(31)||chr(31)) AS syms FROM t))
+           WHERE pr[2] IS NOT NULL
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT iter, l, r, cnt,
+                  row_number() OVER (PARTITION BY iter
+                    ORDER BY cnt DESC, l, r) AS rn
+           FROM pairs)
+         SELECT CAST(iter + 1 AS INT) AS rank, l AS "left",
+                r AS "right", CAST(cnt AS BIGINT) AS pair_count
+         FROM best WHERE rn = 1 AND iter < 12 ORDER BY rank""",
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the
     // stream — finite harness ≡ batch q38, one oracle covers both.
@@ -2088,11 +2164,14 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
-    // s02/d08 are non-SQL-expressible (learned k-means blocks / float
-    // centroid summation order) — rows-only + ScalaTest semantics.
-    // d02/d03 WERE on that list under xxhash64 seeding; the portable
-    // md5_60 basis (PortableHash) made their full pipelines
-    // oracle-replayable below.
+    // The APPROXIMATE k-means-blocked dials of s02/d08 are
+    // non-SQL-expressible (learned blocks / float centroid summation
+    // order); both are REGISTERED at lossless dials (s02 nprobe=all,
+    // d08 kClusters=1) where the learned blocking drops out of the
+    // answer and the full code path lands under the hash gate.
+    // d02/d03 WERE on the non-expressible list under xxhash64
+    // seeding; the portable md5_60 basis (PortableHash) made their
+    // full pipelines oracle-replayable below.
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents
@@ -2257,6 +2336,24 @@ object SparkEntry {
                 round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
                   AS cosine
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+    // d08 at the registered LOSSLESS dial (kClusters=1): one learned
+    // block = the label-free all-pairs cosine join — d05's CTE minus
+    // the label equality and the maxBlock QUALIFY (d08 has no block
+    // cap; its scale story is the kClusters dial itself). cluster_id
+    // is deterministically 0 (the single block). Zero-norm vectors
+    // self-exclude on both engines (NULL / NaN cosine fails >= tau).
+    "d08_dedup_embedding_auto" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                CAST(0 AS BIGINT) AS cluster_id,
+                round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                  AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
     "s01_ann_bruteforce" -> s01Sql,
     // s06: the IVF-PQ engine at its LOSSLESS dials (nprobe = all
@@ -3917,4 +4014,169 @@ object SparkEntry {
                GROUP BY 1, 2)
          GROUP BY source""",
   )
+
+  /** Bounded-error driver gates for the DECLARED-approximate queries
+    * (r16 verdict #2): each entry pairs an EXACT DuckDB recompute
+    * with per-column tolerance checks, so the correctness artifact
+    * records a machine-diffed verdict instead of rows>0. Consumed by
+    * tools/check_oracle.py via Verify's tolerance_gates.json dump.
+    *
+    * Declared tolerances:
+    *  - q19/d14: `approx_count_distinct` at rsd=0.02 ⇒ ±4% ≈ 2σ
+    *    (HLL++ error is ~Gaussian; 2σ holds overwhelmingly at these
+    *    cardinalities and the gate is meant to catch wiring bugs —
+    *    an off-by-a-filter readout is off by ≫4%, never <4%).
+    *  - d14's derived columns (inclusion–exclusion, clamped at 0):
+    *    error propagates additively, so the bound is 4% of the SUM
+    *    of the three direct estimands (`abs_scaled`), plus an EXACT
+    *    identity check that the engine's clamp arithmetic holds
+    *    (`clamp_diff` recomputes them from the engine's own ests).
+    *  - q20: Greenwald–Khanna rank error ≤ 1/accuracy (=1e-4) ⇒ the
+    *    returned value must lie between the exact order statistics
+    *    at rank ±max(1, ⌈n·1e-4⌉) (`between`, CorpusSpec's rule).
+    *  - k13/st14: DataSketches HLL at default lgK=12 ⇒ rsd ≈ 1.6%,
+    *    gate at ±4% (2.5σ); exact counters gate at equality.
+    */
+  def toleranceExactSql: Map[String, String] = Map(
+    "q19_approx_distinct" ->
+      """SELECT o_orderstatus, count(*) AS exact_n_orders,
+                count(DISTINCT o_custkey) AS exact_customers
+         FROM orders GROUP BY 1""",
+    "q20_approx_quantiles" ->
+      """WITH s AS (
+           SELECT lang, count(*) AS exact_n_docs, count(*) AS n,
+                  list_sort(list(n_chars)) AS xs
+           FROM documents GROUP BY lang)
+         SELECT lang, exact_n_docs,
+           xs[greatest(1, CAST(floor((n-1)*0.5) AS INT) + 1
+               - greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p50_lo,
+           xs[least(n, CAST(floor((n-1)*0.5) AS INT) + 1
+               + greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p50_hi,
+           xs[greatest(1, CAST(floor((n-1)*0.9) AS INT) + 1
+               - greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p90_lo,
+           xs[least(n, CAST(floor((n-1)*0.9) AS INT) + 1
+               + greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p90_hi,
+           xs[greatest(1, CAST(floor((n-1)*0.99) AS INT) + 1
+               - greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p99_lo,
+           xs[least(n, CAST(floor((n-1)*0.99) AS INT) + 1
+               + greatest(1, CAST(ceil(n*0.0001) AS INT)))] AS p99_hi
+         FROM s""",
+    // d11's exact snapshot cuts replayed (same normText as d01's
+    // oracle); the engine keys on (doc_id, xxhash64(normText)) — the
+    // exact recompute keys on (doc_id, normText) itself, the
+    // collision-free ideal the hash approximates.
+    "d14_snapshot_overlap" ->
+      """WITH o AS (
+           SELECT DISTINCT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents WHERE doc_id % 11 <> 3),
+         n AS (
+           SELECT DISTINCT doc_id,
+             regexp_replace(lower(trim(CASE WHEN doc_id % 7 = 0
+               THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g')
+               AS nt
+           FROM documents WHERE doc_id % 13 <> 5),
+         c AS (
+           SELECT
+             (SELECT count(*) FROM o) AS exact_old,
+             (SELECT count(*) FROM n) AS exact_new,
+             (SELECT count(*) FROM
+               (SELECT * FROM o UNION SELECT * FROM n)) AS exact_union)
+         SELECT exact_old, exact_new, exact_union,
+                exact_old + exact_new - exact_union AS exact_common,
+                exact_union - exact_new AS exact_only_old,
+                exact_union - exact_old AS exact_only_new,
+                exact_old + exact_new + exact_union AS exact_scale
+         FROM c""",
+    "k13_sketch_ledger" -> ledgerExactSql,
+    "st14_stream_ledger" -> ledgerExactSql,
+  )
+
+  /** k13/st14 share one exact recompute (the two ledgers are
+    * interchangeable by construction — sketch mergeability): per
+    * (day, event_type), exact daily/rolling-7-day event and distinct-
+    * user counts, with the loader's null hygiene replayed.
+    */
+  private val ledgerExactSql: String =
+    """WITH ev AS (
+         SELECT CAST(ts AS DATE) AS day, event_type, user_id
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       d AS (
+         SELECT day, event_type, count(*) AS exact_n_events,
+                count(DISTINCT user_id) AS exact_uniques_day
+         FROM ev GROUP BY 1, 2),
+       r AS (
+         SELECT a.day, a.event_type,
+                sum(b.exact_n_events) AS exact_n_events_roll
+         FROM d a JOIN d b ON b.event_type = a.event_type
+           AND b.day BETWEEN a.day - 6 AND a.day
+         GROUP BY 1, 2),
+       ru AS (
+         SELECT a.day, a.event_type,
+                count(DISTINCT b.user_id) AS exact_uniques_roll
+         FROM d a JOIN ev b ON b.event_type = a.event_type
+           AND b.day BETWEEN a.day - 6 AND a.day
+         GROUP BY 1, 2)
+       SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type,
+              d.exact_n_events, d.exact_uniques_day,
+              r.exact_n_events_roll, ru.exact_uniques_roll
+       FROM d
+       JOIN r ON r.day = d.day AND r.event_type = d.event_type
+       JOIN ru ON ru.day = d.day AND ru.event_type = d.event_type"""
+
+  /** Per-query check lists for toleranceExactSql, as raw JSON
+    * fragments (`"keys": ..., "checks": ...`) Verify splices into
+    * tolerance_gates.json. Kinds: `equal` (exact counter), `rel`
+    * (|est−exact| ≤ tol·max(exact,1)), `between` (lo ≤ est ≤ hi),
+    * `abs_scaled` (|est−exact| ≤ tol·scale column), `clamp_diff`
+    * (est == max(0, Σplus − Σminus) over the ENGINE's own columns).
+    */
+  def toleranceChecks: Map[String, String] = Map(
+    "q19_approx_distinct" ->
+      """"keys": ["o_orderstatus"], "checks": [
+        {"est": "n_orders", "exact": "exact_n_orders", "kind": "equal"},
+        {"est": "approx_customers", "exact": "exact_customers",
+         "kind": "rel", "tol": 0.04}]""",
+    "q20_approx_quantiles" ->
+      """"keys": ["lang"], "checks": [
+        {"est": "n_docs", "exact": "exact_n_docs", "kind": "equal"},
+        {"est": "p50_chars", "lo": "p50_lo", "hi": "p50_hi",
+         "kind": "between"},
+        {"est": "p90_chars", "lo": "p90_lo", "hi": "p90_hi",
+         "kind": "between"},
+        {"est": "p99_chars", "lo": "p99_lo", "hi": "p99_hi",
+         "kind": "between"}]""",
+    "d14_snapshot_overlap" ->
+      """"keys": [], "checks": [
+        {"est": "est_old", "exact": "exact_old", "kind": "rel",
+         "tol": 0.04},
+        {"est": "est_new", "exact": "exact_new", "kind": "rel",
+         "tol": 0.04},
+        {"est": "est_union", "exact": "exact_union", "kind": "rel",
+         "tol": 0.04},
+        {"est": "est_common", "exact": "exact_common",
+         "kind": "abs_scaled", "tol": 0.04, "scale": "exact_scale"},
+        {"est": "est_only_old", "exact": "exact_only_old",
+         "kind": "abs_scaled", "tol": 0.04, "scale": "exact_scale"},
+        {"est": "est_only_new", "exact": "exact_only_new",
+         "kind": "abs_scaled", "tol": 0.04, "scale": "exact_scale"},
+        {"est": "est_common", "kind": "clamp_diff",
+         "plus": ["est_old", "est_new"], "minus": ["est_union"]},
+        {"est": "est_only_old", "kind": "clamp_diff",
+         "plus": ["est_union"], "minus": ["est_new"]},
+        {"est": "est_only_new", "kind": "clamp_diff",
+         "plus": ["est_union"], "minus": ["est_old"]}]""",
+    "k13_sketch_ledger" -> ledgerChecks,
+    "st14_stream_ledger" -> ledgerChecks,
+  )
+
+  private val ledgerChecks: String =
+    """"keys": ["day", "event_type"], "checks": [
+      {"est": "n_events", "exact": "exact_n_events", "kind": "equal"},
+      {"est": "uniques_day", "exact": "exact_uniques_day",
+       "kind": "rel", "tol": 0.04},
+      {"est": "n_events_roll", "exact": "exact_n_events_roll",
+       "kind": "equal"},
+      {"est": "uniques_roll", "exact": "exact_uniques_roll",
+       "kind": "rel", "tol": 0.04}]"""
 }

@@ -1066,6 +1066,16 @@ object Dedup {
     * is the recall-tunable alternative); the spec plants
     * near-identical vectors and checks they are found with computed
     * blocks only.
+    *
+    * Registered at the LOSSLESS dial kClusters=1 (r16 verdict #1,
+    * the s02/s04 anchor trick): one block means the output is
+    * exactly the label-free all-pairs cosine join, which DuckDB
+    * replays — so the full code path (Lloyd quantizer → assignment
+    * join → within-block self-join → DotProduct scoring) sits under
+    * the hash-checked oracle gate. The PRODUCTION dial is kClusters
+    * sized so pair space Σ cluster² fits the pair budget — learned
+    * blocks ARE the scale story — and stays pinned by the
+    * planted-dup spec at kClusters=10.
     */
   def dedupEmbeddingAuto(embeddings: DataFrame, tau: Double = 0.4,
       kClusters: Int = 10, iters: Int = 3,

@@ -273,6 +273,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d08: kClusters=1 is the LOSSLESS dial — ≡ label-free all-pairs") {
+    // The registered anchor identity (r16 verdict #1): one learned
+    // block puts every pair in scope, so the output must equal the
+    // brute-force cosine pair join bit-for-bit, rounded cosines
+    // included — the same identity the d08 oracle SQL hash-checks.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val one = Dedup.dedupEmbeddingAuto(emb, kClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    import org.apache.spark.sql.functions._
+    val e = emb.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+    val brute = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", graft.functions.VectorOps.cosineFrom(
+        graft.functions.VectorOps.dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"), lit(0L),
+        round(col("cosine"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(one === brute, "kClusters=1 must reproduce all-pairs exactly")
+  }
+
   test("d09: maximal spans with exact positions on a planted pair") {
     import spark.implicits._
     def run(from: Int, until: Int, tag: String) =
