@@ -60,6 +60,34 @@ class RecallArtifactSpec extends AnyFunSuite {
     val body = measured.map { case (name, r) =>
       f"""    "$name": {"recall_at_5": ${math.rint(r * 1e4) / 1e4}%s, "pin": ${pins(name)}%s}"""
     }.mkString(",\n")
+
+    // CLUSTERED-corpus section (r16 verdict #4): the pins above live
+    // on the driver's near-random corpus, where hyperplane buckets
+    // barely prune and s03 measured SLOWER than brute force at sf10.
+    // Real embeddings cluster; PlantedClusters plants that geometry
+    // deterministically (10 Gaussian anchors, within-cluster cosine
+    // ≈ 0.8), and the same registered dials are re-measured on it so
+    // the artifact shows what the structure buys. Pins from the r17
+    // measurement (hash-derived corpus ⇒ constants, like the above).
+    val clusteredPins = Map(
+      "s02_ann_ivf" -> 1.0,
+      "s03_ann_lsh" -> 1.0)
+    val ec = tools.PlantedClusters.generate(spark, 500L)
+      .localCheckpoint(true)
+    val exactC = Similarity.annBruteForce(ec).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallC(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exactC.count(got.contains).toDouble / exactC.size
+    }
+    val measuredC = List(
+      "s02_ann_ivf" -> recallC(Similarity.annIvf(ec)),
+      "s03_ann_lsh" -> recallC(Similarity.annLsh(ec)))
+    val bodyC = measuredC.map { case (name, r) =>
+      f"""      "$name": {"recall_at_5": ${math.rint(r * 1e4) / 1e4}%s, "pin": ${clusteredPins(name)}%s}"""
+    }.mkString(",\n")
+
     val json =
       s"""{
          |  "sf": "$sf",
@@ -68,6 +96,12 @@ class RecallArtifactSpec extends AnyFunSuite {
          |  "tolerance": $tolerance,
          |  "queries": {
          |$body
+         |  },
+         |  "clustered": {
+         |    "corpus": "PlantedClusters n=500 dim=64 kAnchors=10 sigma=0.5",
+         |    "queries": {
+         |$bodyC
+         |    }
          |  }
          |}
          |""".stripMargin
@@ -77,6 +111,11 @@ class RecallArtifactSpec extends AnyFunSuite {
     measured.foreach { case (name, r) =>
       assert(r >= pins(name) - tolerance,
         s"$name recall@5 $r dropped > $tolerance below pin ${pins(name)}")
+    }
+    measuredC.foreach { case (name, r) =>
+      assert(r >= clusteredPins(name) - tolerance,
+        s"$name CLUSTERED recall@5 $r dropped > $tolerance below " +
+          s"pin ${clusteredPins(name)}")
     }
   }
 }
