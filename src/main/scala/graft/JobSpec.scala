@@ -264,6 +264,22 @@ object JobSpec {
     // st18: the attribution horizon, the out-of-orderness allowance,
     // and the stateful operator's partition sizing — the three
     // numbers a deployment actually tunes.
+    //
+    // statePartitions SIZING RULE (r16 verdict #8; measured by
+    // St18Probe at sf10: 8→18.6 s, 16→11.1 s, 32→20.2 s — the
+    // crossover is real and cuts BOTH ways): the symmetric join
+    // keeps FOUR state stores per shuffle partition and commits a
+    // delta file per store per micro-batch, so the per-batch cost is
+    //   max(state-commit floor ∝ statePartitions,
+    //       join work / min(statePartitions, cores)).
+    // Size it to the PER-BATCH core need, not the cluster:
+    //   statePartitions ≈ clamp(batchRows / targetRowsPerTask,
+    //                           cores it should occupy, ~2×cores)
+    // — undersizing serializes join work, oversizing pays a commit
+    // floor per idle store. The default 8 prices the sf0.1 harness
+    // (2-file micro-batches); the sf10 harness measured its optimum
+    // at 16. The same dial (and rule) applies to st19's outer join
+    // and st23's timer sessionizer below.
     "st18_stream_join" -> ((s, d, j) =>
       checked(j, "horizonHours", "delay", "statePartitions")(
         streaming.StreamOps.streamStreamJoin(s, d,
