@@ -226,6 +226,20 @@ object Similarity {
     * registered default — candidates ≈ tables·bucket ≈ half the
     * corpus here, a ratio that FALLS with corpus size at fixed
     * bucket target), (4,16)→0.92, (4,24)→0.98.
+    *
+    * WHERE LSH PAYS (r16 verdict #4, measured — S03ClusteredProbe,
+    * 200k planted-clustered corpus, s01 brute force 177 s): on
+    * CLUSTERED embeddings the sizing rule above delivers — (8,16)
+    * recall 0.99 at 35 s, (11,16) 0.90 at 17 s — because co-bucketing
+    * tracks genuine angular proximity. On the NEAR-RANDOM driver
+    * corpus no dial beats brute force (sf10: 93 vs 76 s at recall
+    * 0.78): neighbors sit at ~90°, so p ≈ 1/2 per bit and the
+    * recall/candidate tradeoff has no knee to find — that corpus is
+    * the adversarial case for every bucketing method, and s02's
+    * learned quantizer degrades more gracefully there. Mis-sizing
+    * cost is also measured: (5,16) at 200k still reads recall 1.0
+    * but pays 147 s — coarse buckets balloon the candidate set, so
+    * nBits MUST grow with the corpus.
     */
   def annLsh(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
       nBits: Int = 5, tables: Int = 16): DataFrame = {
