@@ -103,8 +103,12 @@ object SparkEntry {
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
       Similarity.annIvfExactDial(Tables.embeddings(s, d), cacheKey = d)),
+    // s03 registered at its LOSSLESS dial (round 17, the s02/s04/d08
+    // trick): nBits=0 × 1 table = the degenerate single bucket, so
+    // the full LSH path reproduces s01 bit-for-bit and carries s01's
+    // oracle. Approximate dials stay RECALL-pinned on both corpora.
     "s03_ann_lsh" -> ((s, d) =>
-      Similarity.annLsh(Tables.embeddings(s, d))),
+      Similarity.annLshExactDial(Tables.embeddings(s, d))),
     "s04_ann_pq" -> ((s, d) =>
       Similarity.annPqExactDial(Tables.embeddings(s, d), cacheKey = d)),
     "s05_ann_ivfpq" -> ((s, d) =>
@@ -2356,6 +2360,13 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
     "s01_ann_bruteforce" -> s01Sql,
+    // s03 at the registered lossless dial (nBits=0, 1 table) emits
+    // every pair through the bucket join, so its output ≡ s01 —
+    // NULL-cosine degenerates included (zero-norm vectors co-bucket
+    // in the single bucket and both paths share topK's NULLS-LAST
+    // ordering), hence s01's oracle VERBATIM, not the
+    // defined-queries-restricted annExactSql the IVF family needs.
+    "s03_ann_lsh" -> s01Sql,
     // s06: the IVF-PQ engine at its LOSSLESS dials (nprobe = all
     // clusters, rerankDepth ≥ corpus) — the identity the specs pin
     // bit-for-bit against s01, registered so the ANN family carries
@@ -2739,7 +2750,9 @@ object SparkEntry {
          SELECT s.doc_id, c.cluster_rep
          FROM survivors s LEFT JOIN comp c USING (doc_id)
          WHERE c.doc_id IS NULL OR c.cluster_rep = s.doc_id""",
-    // q19 is sketch-based (HLL++) — rows-only; spec bounds rel. error.
+    // q19 is sketch-based (HLL++) — rows-only + r17 tolerance gate
+    // (toleranceExactSql/toleranceChecks below bound it vs the exact
+    // recompute in the driver artifact; the spec bound is retained).
     "p01_corpus_clean" ->
       """WITH b AS (
            SELECT doc_id, lang, source, text, lower(trim(text)) AS t,

@@ -130,7 +130,11 @@ object DotProduct {
 case class HyperplaneSig(vec: Expression, seed: Expression, nBits: Int)
   extends BinaryExpression {
 
-  require(nBits > 0 && nBits <= 64, "1 <= nBits <= 64")
+  // nBits=0 is the DEGENERATE single-bucket signature (sig ≡ 0):
+  // every vector co-buckets, so an LSH built on it is lossless — the
+  // s03 exact-anchor dial (round 17), same role as nprobe=#clusters
+  // for IVF or rerankDepth=∞ for PQ.
+  require(nBits >= 0 && nBits <= 64, "0 <= nBits <= 64")
 
   override def left: Expression = vec
   override def right: Expression = seed

@@ -271,6 +271,23 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** s03's registered LOSSLESS dial (round 17, the s02/s04/d08
+    * anchor trick — the LSH family was the last ANN path without a
+    * hash-checked exact anchor): nBits=0 makes every signature the
+    * degenerate single bucket, so ONE table's bucket join emits every
+    * (query, vector) pair and the exact-cosine rerank + top-k then
+    * reproduce s01 bit-for-bit — NULL-cosine degenerates included
+    * (zero-norm vectors co-bucket and score NULL on both paths, and
+    * topK's NULLS-LAST ordering is shared), so the oracle is s01's
+    * verbatim. This puts the full LSH code path (signature kernel →
+    * bucket join → candidate dedup → vector rejoin → rerank → topK)
+    * under the hard gate; the production approximate dials stay
+    * measured by RECALL_r{N}.json on BOTH corpora (near-random 0.78,
+    * clustered 1.0) and costed by S03ClusteredProbe.
+    */
+  def annLshExactDial(embeddings: DataFrame): DataFrame =
+    annLsh(embeddings, nBits = 0, tables = 1)
+
   /** (vec_id, nrm, sub_id, sv): each vector cut into `subspaces`
     * contiguous `subDim`-wide subvectors — the PQ decomposition.
     */

@@ -205,6 +205,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("s03: nBits=0 × 1 table is the LOSSLESS dial — ≡ s01 bit-for-bit") {
+    // The registered anchor identity (round 17): the degenerate
+    // single-bucket signature puts every pair through the bucket
+    // join, so the full LSH path must reproduce brute force exactly —
+    // including NULL-cosine degenerates (zero-norm vectors co-bucket
+    // and both paths share topK's NULLS-LAST ordering), which is why
+    // s03's oracle is s01's verbatim, unrestricted.
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+    // plant a zero vector ON the query stride so the degenerate
+    // branch is exercised here, not just on the hostile corpus
+    val dim = 64 // the corpus dim — planted rows score against it
+    val planted = Seq(
+      (100000L, Array.fill(dim)(0f), 0),
+      (100050L, Array.tabulate(dim)(_.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = base.select("vec_id", "embedding", "label")
+      .unionByName(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.annLshExactDial(e)) ===
+      rows(Similarity.annBruteForce(e)),
+      "nBits=0 x tables=1 must equal s01, NULL degenerates included")
+    // and the registered wiring (s06's discipline)
+    assert(rows(SparkEntry.queries("s03_ann_lsh")(spark, sf)) ===
+      rows(SparkEntry.queries("s01_ann_bruteforce")(spark, sf)),
+      "registered s03 must equal registered s01")
+  }
+
   test("s06: zero-norm query is undefined — IVF drops it, s01 degenerately ranks") {
     import spark.implicits._
     // id 50 sits on the query stride and is the zero vector: cosine
