@@ -4103,6 +4103,20 @@ object SparkEntry {
          FROM c""",
     "k13_sketch_ledger" -> ledgerExactSql,
     "st14_stream_ledger" -> ledgerExactSql,
+    // t16 (round 17, late addition): no SQL engine exposes deflate,
+    // but the DRIVER's python has zlib — and canonical zlib raw
+    // DEFLATE at a pinned level is byte-identical between the
+    // python binding and java.util.zip (verified: all flag rows
+    // byte-equal at sf0.01 and hostile). The "exact SQL" here only
+    // FETCHES the operator's input slice; check_oracle.py's
+    // deflate_replay check recomputes the full flag set (sizes,
+    // integer-bp ratio, band, reason) independently and compares
+    // row-for-row — an equality gate from a second implementation.
+    // The kernel's semantic pin (≡ java.util.zip reference, RFC 1951
+    // determinism, planted tails) remains the ScalaTest spec.
+    "t16_compress_filter" ->
+      """SELECT doc_id, text FROM documents
+         WHERE text IS NOT NULL AND strlen(text) > 0""",
   )
 
   /** k13/st14 share one exact recompute (the two ledgers are
@@ -4181,6 +4195,14 @@ object SparkEntry {
          "plus": ["est_union"], "minus": ["est_old"]}]""",
     "k13_sketch_ledger" -> ledgerChecks,
     "st14_stream_ledger" -> ledgerChecks,
+    // dials spliced from the REGISTERED constants so the gate can
+    // never drift from the engine's band or compression level
+    "t16_compress_filter" ->
+      s""""keys": [], "checks": [
+        {"kind": "deflate_replay",
+         "level": ${graft.functions.CompressExprs.DeflateLevel},
+         "min_bp": ${graft.operators.TextAnalysis.CompressMinBp},
+         "max_bp": ${graft.operators.TextAnalysis.CompressMaxBp}}]""",
   )
 
   private val ledgerChecks: String =

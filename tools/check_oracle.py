@@ -171,6 +171,50 @@ def main():
         g = gates[name]
         try:
             want = con.execute(g["exact_sql"]).fetchdf()
+            # deflate_replay: the driver recomputes the t16 flag set
+            # INDEPENDENTLY (python zlib raw DEFLATE at the registered
+            # level is byte-identical to java.util.zip) and compares
+            # the full row set — an equality gate, not a tolerance.
+            if any(c["kind"] == "deflate_replay" for c in g["checks"]):
+                import zlib
+                chk = next(c for c in g["checks"]
+                           if c["kind"] == "deflate_replay")
+                lvl, lo, hi = chk["level"], chk["min_bp"], chk["max_bp"]
+
+                def dsize(t):
+                    c = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+                    return len(c.compress(t.encode("utf-8")) + c.flush())
+                docs = want.copy()
+                docs["n_bytes"] = docs["text"].str.encode("utf-8").str.len()
+                docs["deflate_bytes"] = docs["text"].map(dsize)
+                docs["ratio_bp"] = \
+                    docs["deflate_bytes"] * 10000 // docs["n_bytes"]
+                rep = docs[(docs.ratio_bp < lo) | (docs.ratio_bp > hi)].copy()
+                rep["reason"] = (rep.ratio_bp < lo).map(
+                    {True: "repetitive", False: "incompressible"})
+                rep = rep[["doc_id", "n_bytes", "deflate_bytes",
+                           "ratio_bp", "reason"]]
+                # nullable Int64: the hostile corpus plants a NULL
+                # doc_id row whose text still flags — both engines
+                # emit it, and plain int64 would choke on the NaN
+                a = norm(got.astype({"doc_id": "Int64"}))
+                b = norm(rep.astype({"doc_id": "Int64"}))
+                same = len(a) == len(b) and \
+                    (a.astype(str).values == b.astype(str).values).all()
+                entry["tolerance_pass"] = bool(same)
+                entry["tolerance"] = {"deflate_replay": {
+                    "kind": "deflate_replay", "pass": bool(same),
+                    "replay_rows": len(b), "spark_rows": len(a)}}
+                if same:
+                    print(f"PASS {name} (rows-only, deflate replay: "
+                          f"{len(a)} rows byte-equal)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name} (deflate replay): "
+                          f"{len(a)} spark vs {len(b)} replay rows")
+                    n_fail += 1
+                rec[name] = entry
+                continue
             keys = g.get("keys", [])
             if keys:
                 m = got.merge(want, on=keys, how="outer", indicator=True)
