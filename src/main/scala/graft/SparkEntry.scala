@@ -1861,14 +1861,15 @@ object SparkEntry {
     // only when pairs TIE on count and the tied symbols straddle
     // U+E000/astral, which no gate corpus does.
     "t13_bpe_merges" ->
-      """WITH RECURSIVE
+      raw"""WITH RECURSIVE
          toks AS (
            SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
              AS w
            FROM documents),
          vocab AS (
            SELECT w, count(*) AS wc FROM toks WHERE w <> ''
-           GROUP BY 1 ORDER BY wc DESC, w LIMIT 50000),
+           GROUP BY 1 ORDER BY wc DESC, w
+           LIMIT ${graft.operators.TextAnalysis.BpeMaxWords}),
          enc AS (
            SELECT chr(31) || array_to_string(string_split_regex(w, ''),
                     chr(31)||chr(31)) || chr(31) AS s, wc
@@ -1891,7 +1892,7 @@ object SparkEntry {
                 WHERE pr[2] IS NOT NULL
                 GROUP BY 1, 2)
               ORDER BY cnt DESC, l, r LIMIT 1) b
-           WHERE iter < 12),
+           WHERE iter < ${graft.operators.TextAnalysis.BpeMerges}),
          pairs AS (
            SELECT iter, pr[1] AS l, pr[2] AS r, sum(wc) AS cnt
            FROM (SELECT iter, wc, unnest(list_zip(syms, syms[2:])) AS pr
@@ -1907,7 +1908,9 @@ object SparkEntry {
            FROM pairs)
          SELECT CAST(iter + 1 AS INT) AS rank, l AS "left",
                 r AS "right", CAST(cnt AS BIGINT) AS pair_count
-         FROM best WHERE rn = 1 AND iter < 12 ORDER BY rank""",
+         FROM best WHERE rn = 1
+           AND iter < ${graft.operators.TextAnalysis.BpeMerges}
+         ORDER BY rank""",
     "q38_sliding_window" -> slidingSql,
     // st10 runs the identical window(ts, w, s) semantics on the
     // stream — finite harness ≡ batch q38, one oracle covers both.

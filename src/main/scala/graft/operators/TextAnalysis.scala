@@ -119,15 +119,25 @@ object TextAnalysis {
     * by a ScalaCheck property against an independent in-memory
     * naive-recount reference, tiebreaks and all.
     */
-  def bpeMerges(documents: DataFrame, nMerges: Int = 12,
-      maxWords: Int = 50000): DataFrame =
+  /** t13 registered defaults, shared with the SQL oracle (the
+    * IvfKClusters discipline, ADVICE r16 #1's lesson applied here
+    * preemptively: the oracle's recursion depth and vocab cut splice
+    * from THESE constants, so a default drift cannot desync the two
+    * — it would surface as an edit in one place, not a silent
+    * mismatch hunt).
+    */
+  val BpeMerges: Int = 12
+  val BpeMaxWords: Int = 50000
+
+  def bpeMerges(documents: DataFrame, nMerges: Int = BpeMerges,
+      maxWords: Int = BpeMaxWords): DataFrame =
     bpeMergesCounted(documents, nMerges, maxWords)._1
 
   /** bpeMerges + the number of Spark jobs the training loop ran (the
     * r9 gate: exactly one — the word-frequency aggregation).
     */
   private[graft] def bpeMergesCounted(documents: DataFrame, nMerges: Int,
-      maxWords: Int = 50000): (DataFrame, Int) = {
+      maxWords: Int = BpeMaxWords): (DataFrame, Int) = {
     val spark = documents.sparkSession
     import spark.implicits._
     // tier 1 (distributed, the only part that scales with the
@@ -223,7 +233,7 @@ object TextAnalysis {
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), DataFrame]
 
-  def bpeMergesCached(documents: DataFrame, nMerges: Int = 12,
+  def bpeMergesCached(documents: DataFrame, nMerges: Int = BpeMerges,
       cacheKey: String = ""): DataFrame =
     if (cacheKey.isEmpty) bpeMerges(documents, nMerges)
     // a DataFrame is bound to its session — keying by session too
