@@ -109,42 +109,69 @@ object JobSpec {
           stepPermille = j.int("stepPermille", 100),
           salt = j.long("salt", 577L)))),
     "s01_ann_bruteforce" -> ((s, d, j) =>
-      checked(j, "k", "queryStride")(operators.Similarity.annBruteForce(
-        Tables.embeddings(s, d),
-        k = j.int("k", 5), queryStride = j.int("queryStride", 50)))),
+      checked(j, "k", "queryStride", "maxQueries")(
+        operators.Similarity.annBruteForce(
+          Tables.embeddings(s, d),
+          k = j.int("k", 5), queryStride = j.int("queryStride", 50),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
     // ANN recall/cost dials — the RecallProbe sweep's axes made
     // caller-settable: a deployment picks its own knee. cacheKey is
     // dial-scoped (see dialKey) so a re-run at new dials never reuses
     // another config's memoized centroids/codebooks.
     "s02_ann_ivf" -> ((s, d, j) =>
-      checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters")(
+      checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters",
+        "maxQueries")(
         operators.Similarity.annIvf(Tables.embeddings(s, d),
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
           nprobe = j.int("nprobe", 3), kClusters = j.int("kClusters", 10),
-          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j)))),
+          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
     "s03_ann_lsh" -> ((s, d, j) =>
-      checked(j, "k", "queryStride", "nBits", "tables")(
+      checked(j, "k", "queryStride", "nBits", "tables", "maxQueries")(
         operators.Similarity.annLsh(Tables.embeddings(s, d),
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
-          nBits = j.int("nBits", 5), tables = j.int("tables", 16)))),
+          // nBits -1 = auto-size from a corpus count (r18 default)
+          nBits = j.int("nBits", -1), tables = j.int("tables", 16),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
     "s04_ann_pq" -> ((s, d, j) =>
       checked(j, "k", "queryStride", "subspaces", "subDim", "ks",
-        "iters", "rerankDepth")(
+        "iters", "rerankDepth", "maxQueries")(
         operators.Similarity.annPq(Tables.embeddings(s, d),
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), iters = j.int("iters", 2),
-          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
+          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
+    // d08: kClusters <= 0 (default) auto-sizes the learned block
+    // count from a corpus count (VERDICT r17 #2) — the fixed dial
+    // stays reachable by passing kClusters explicitly.
+    "d08_dedup_embedding_auto" -> ((s, d, j) =>
+      checked(j, "tau", "kClusters", "iters", "blockTarget",
+        "aStride", "aMax")(
+        operators.Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d),
+          tau = j.double("tau", 0.4), kClusters = j.int("kClusters", 0),
+          iters = j.int("iters", 3), cacheKey = dialKey(d, j),
+          blockTarget = j.int("blockTarget",
+            operators.Dedup.D08BlockTarget),
+          aStride = j.int("aStride", 1),
+          aMax = j.int("aMax", operators.Similarity.AnnMaxQueries)))),
     "s05_ann_ivfpq" -> ((s, d, j) =>
       checked(j, "k", "queryStride", "nprobe", "kClusters", "lloydIters",
-        "subspaces", "subDim", "ks", "pqIters", "rerankDepth")(
+        "subspaces", "subDim", "ks", "pqIters", "rerankDepth",
+        "maxQueries")(
         operators.Similarity.annIvfPq(Tables.embeddings(s, d),
           k = j.int("k", 5), queryStride = j.int("queryStride", 50),
           nprobe = j.int("nprobe", 5), kClusters = j.int("kClusters", 10),
           lloydIters = j.int("lloydIters", 3),
           subspaces = j.int("subspaces", 8), subDim = j.int("subDim", 8),
           ks = j.int("ks", 16), pqIters = j.int("pqIters", 2),
-          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j)))),
+          rerankDepth = j.int("rerankDepth", 64), cacheKey = dialKey(d, j),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
     "d17_edit_distance_join" -> ((s, d, j) =>
       checked(j, "maxDist")(operators.Dedup.editDistanceJoin(
         Tables.documents(s, d), maxDist = j.int("maxDist", 8)))),
@@ -181,11 +208,14 @@ object JobSpec {
           maxBulletRatio = j.double("maxBulletRatio", 0.5),
           minStopHits = j.int("minStopHits", 1)))),
     "s07_range_search" -> ((s, d, j) =>
-      checked(j, "tau", "queryStride", "kClusters", "lloydIters")(
+      checked(j, "tau", "queryStride", "kClusters", "lloydIters",
+        "maxQueries")(
         operators.Similarity.rangeSearch(Tables.embeddings(s, d),
           tau = j.double("tau", 0.3), queryStride = j.int("queryStride", 50),
           kClusters = j.int("kClusters", 10),
-          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j)))),
+          lloydIters = j.int("lloydIters", 3), cacheKey = dialKey(d, j),
+          maxQueries = j.int("maxQueries",
+            operators.Similarity.AnnMaxQueries)))),
     "d03_dedup_simhash" -> ((s, d, j) =>
       checked(j, "maxHamming", "chunks")(operators.Dedup.dedupSimhash(
         Tables.documents(s, d),

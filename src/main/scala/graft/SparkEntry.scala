@@ -93,12 +93,16 @@ object SparkEntry {
     // d08 registered at its LOSSLESS dial (r16 verdict #1, the
     // s02/s04 trick): kClusters=1 puts every vector in one learned
     // block, so the output ≡ the label-free brute-force cosine pair
-    // join — SQL-replayable, hash-checked. The learned-blocking
-    // production dial (kClusters=10) stays pinned by DedupSpec's
-    // planted-dup property.
+    // join — SQL-replayable, hash-checked. r18 (VERDICT r17 #1): the
+    // anchor's a-side is STRIDE-BOUNDED (aStride=5, capped at
+    // AnnMaxQueries ids — the ANN anchor family's query-budget
+    // contract), so the registered plan is O(400·n), not O(n²); the
+    // oracle CTE mirrors the same slice. The learned-blocking
+    // production dial (kClusters auto-sized from the corpus) stays
+    // pinned by DedupSpec's planted-dup property.
     "d08_dedup_embedding_auto" -> ((s, d) =>
       Dedup.dedupEmbeddingAuto(Tables.embeddings(s, d), kClusters = 1,
-        cacheKey = d)),
+        cacheKey = d, aStride = Dedup.D08AnchorStride)),
     "s01_ann_bruteforce" -> ((s, d) =>
       Similarity.annBruteForce(Tables.embeddings(s, d))),
     "s02_ann_ivf" -> ((s, d) =>
@@ -493,14 +497,14 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 10000000, source, text,
                 CAST(NULL AS VARCHAR) AS lang
-         FROM documents WHERE doc_id % 13 = 7),
+         FROM documents WHERE ((doc_id % 13) + 13) % 13 = 7),
        latest AS (
          SELECT doc_id, lang,
-                CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                CASE WHEN ((doc_id % 11) + 11) % 11 = 4 THEN 'delete'
                      ELSE 'upsert' END AS op
          FROM base
          WHERE (lang IN ('en', 'de') OR lang IS NULL)
-           AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+           AND (doc_id % 3 = 0 OR ((doc_id % 11) + 11) % 11 = 4)),
        merged AS (
          SELECT b.doc_id, b.lang,
                 CASE WHEN l.op = 'upsert' THEN b.text || ' v2'
@@ -548,7 +552,7 @@ object SparkEntry {
        SELECT doc_id, lang,
               CAST(length(text) AS BIGINT) AS n_chars
        FROM merged
-       WHERE doc_id % 97 = 7"""
+       WHERE ((doc_id % 97) + 97) % 97 = 7"""
 
   private val k12Sql: String =
     s"""WITH $k12Ctes
@@ -608,6 +612,18 @@ object SparkEntry {
     * exactly that; the hostile corpus (which plants zero vectors on
     * the query stride) is what forced the distinction.
     */
+  /** The registered stride+cap query predicate (VERDICT r17 #4),
+    * spliced from Similarity.AnnMaxQueries so the oracle can never
+    * drift from the engine's capped query set: every 50th vec_id
+    * below 50·AnnMaxQueries. On the gate corpora (≤2000 vectors) the
+    * cap clause is vacuous — outputs are bit-identical to the
+    * uncapped predicate — but at sf1+ it bounds the anchors' exact
+    * work at a fixed query budget (cost O(corpus), not O(corpus²)).
+    */
+  private val annQueryPred: String =
+    s"vec_id % 50 = 0 AND vec_id < ${50L *
+      graft.operators.Similarity.AnnMaxQueries}"
+
   private def annExactSql(queryPred: String): String =
     s"""WITH e AS (
          SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -628,7 +644,7 @@ object SparkEntry {
        SELECT q_id, n_id, rnk, round(c, 4) AS cosine
        FROM ranked WHERE rnk <= 5"""
 
-  private val s01Sql: String = annExactSql("vec_id % 50 = 0")
+  private val s01Sql: String = annExactSql(annQueryPred)
 
   /** DuckDB Luhn checksum mod 10 of a digit-string expression —
     * the exact doubling-map sum the engine's `aggregate` computes.
@@ -660,12 +676,12 @@ object SparkEntry {
                   '${graft.operators.TextAnalysis.CardRe}') AS cards,
                 regexp_extract_all(coalesce(text, ''),
                   '${graft.operators.TextAnalysis.IbanRe}') AS ibans,
-                lpad(CAST(((coalesce(doc_id, 0) % 1000000000)
+                lpad(CAST(((((coalesce(doc_id, 0) % 1000000000) + 1000000000) % 1000000000)
                     * 2654435761)
                   % 1000000000000000 AS VARCHAR), 16, '0') AS cd,
-                'DE' || lpad(CAST(coalesce(doc_id, 0) % 97 AS VARCHAR),
+                'DE' || lpad(CAST(((coalesce(doc_id, 0) % 97) + 97) % 97 AS VARCHAR),
                     2, '0') ||
-                  lpad(CAST(((coalesce(doc_id, 0) % 1000000000) * 48271)
+                  lpad(CAST(((((coalesce(doc_id, 0) % 1000000000) + 1000000000) % 1000000000) * 48271)
                     % 10000000000
                     AS VARCHAR), 10, '0') AS ibd
          FROM documents)
@@ -744,11 +760,11 @@ object SparkEntry {
     s"""WITH $k12Ctes,
          latest2 AS (
            SELECT doc_id, lang,
-                  CASE WHEN doc_id % 13 = 1 THEN 'delete'
+                  CASE WHEN ((doc_id % 13) + 13) % 13 = 1 THEN 'delete'
                        ELSE 'upsert' END AS op
            FROM merged
            WHERE (lang IN ('en', 'fr') OR lang IS NULL)
-             AND (doc_id % 7 = 2 OR doc_id % 13 = 1)),
+             AND (((doc_id % 7) + 7) % 7 = 2 OR ((doc_id % 13) + 13) % 13 = 1)),
          merged2 AS (
            SELECT m.doc_id, m.lang,
                   CASE WHEN l.op = 'upsert' THEN m.text || ' v3'
@@ -779,11 +795,11 @@ object SparkEntry {
     s"""WITH $k12Ctes,
          latest2 AS (
            SELECT doc_id, lang,
-                  CASE WHEN doc_id % 13 = 1 THEN 'delete'
+                  CASE WHEN ((doc_id % 13) + 13) % 13 = 1 THEN 'delete'
                        ELSE 'upsert' END AS op
            FROM merged
            WHERE (lang IN ('en', 'fr') OR lang IS NULL)
-             AND (doc_id % 7 = 2 OR doc_id % 13 = 1)),
+             AND (((doc_id % 7) + 7) % 7 = 2 OR ((doc_id % 13) + 13) % 13 = 1)),
          merged2 AS (
            SELECT m.doc_id, m.lang,
                   CASE WHEN l.op = 'upsert' THEN m.text || ' v3'
@@ -810,17 +826,17 @@ object SparkEntry {
     s"""WITH $k12Ctes,
          a_latest AS (
            SELECT doc_id, lang,
-                  CASE WHEN doc_id % 11 = 4 THEN 'delete'
+                  CASE WHEN ((doc_id % 11) + 11) % 11 = 4 THEN 'delete'
                        ELSE 'upsert' END AS op
            FROM base
            WHERE (lang = 'en' OR lang IS NULL)
-             AND (doc_id % 3 = 0 OR doc_id % 11 = 4)),
+             AND (doc_id % 3 = 0 OR ((doc_id % 11) + 11) % 11 = 4)),
          b_latest AS (
            SELECT doc_id, lang,
-                  CASE WHEN doc_id % 9 = 2 THEN 'delete'
+                  CASE WHEN ((doc_id % 9) + 9) % 9 = 2 THEN 'delete'
                        ELSE 'upsert' END AS op
            FROM base
-           WHERE lang = 'de' AND (doc_id % 4 = 1 OR doc_id % 9 = 2)),
+           WHERE lang = 'de' AND (((doc_id % 4) + 4) % 4 = 1 OR ((doc_id % 9) + 9) % 9 = 2)),
          applied AS (
            SELECT b.doc_id, b.lang,
                   CASE WHEN al.op = 'upsert' THEN b.text || ' vA'
@@ -856,11 +872,11 @@ object SparkEntry {
     s"""WITH $k12Ctes,
          latest3 AS (
            SELECT doc_id, lang,
-                  CASE WHEN doc_id % 17 = 3 THEN 'delete'
+                  CASE WHEN ((doc_id % 17) + 17) % 17 = 3 THEN 'delete'
                        ELSE 'upsert' END AS op
            FROM merged
            WHERE lang IN ('es', 'zh')
-             AND (doc_id % 6 = 5 OR doc_id % 17 = 3)),
+             AND (((doc_id % 6) + 6) % 6 = 5 OR ((doc_id % 17) + 17) % 17 = 3)),
          merged3 AS (
            SELECT m.doc_id, m.lang,
                   CASE WHEN l.op = 'upsert' THEN m.text || ' v4'
@@ -974,7 +990,7 @@ object SparkEntry {
     val tcap = graft.operators.Corpus.BudgetTCap
     s"""WITH tok AS (
          SELECT doc_id, source,
-                len(string_split_regex(lower(trim(text)), '\\s+')) AS nt
+                len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS nt
          FROM documents),
        src AS (
          SELECT source, CAST(sum(nt) AS BIGINT) AS toks
@@ -1014,7 +1030,7 @@ object SparkEntry {
                 list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
                                for i in range(1, len(t) - ${n - 2})]) AS sh
          FROM (SELECT doc_id,
-                      string_split_regex(lower(trim(text)), '\\s+') AS t
+                      string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
                FROM documents)
          WHERE len(t) >= $n),
        bench AS (
@@ -1043,7 +1059,7 @@ object SparkEntry {
     val target = graft.operators.Corpus.ImportanceTargetSource
     s"""WITH tok AS (
          SELECT doc_id, source,
-                unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
                   AS tok
          FROM documents),
        tb AS (
@@ -1114,7 +1130,7 @@ object SparkEntry {
         s"* 2654435761 % 1000000007) * 2654435761 % 1000"
     s"""WITH RECURSIVE b AS (
            SELECT doc_id, source, text, lower(trim(text)) AS t,
-                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
            FROM documents),
          scored AS (
            SELECT doc_id, source, text, len(toks) AS n_tokens,
@@ -1132,7 +1148,7 @@ object SparkEntry {
          survivors AS (
            SELECT min(doc_id) AS doc_id
            FROM qual
-           GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+           GROUP BY regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
          docs AS (
            SELECT q.doc_id, q.source, q.n_tokens, q.text
            FROM qual q JOIN survivors s USING (doc_id)),
@@ -1141,7 +1157,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
                  FROM docs)
            WHERE len(t) >= 3),
          pairs AS (
@@ -1226,7 +1242,7 @@ object SparkEntry {
                 list_distinct([array_to_string(t[i:i+2], ' ')
                                for i in range(1, len(t) - 1)]) AS sh
          FROM (SELECT doc_id,
-                      string_split_regex(lower(trim(text)), '\s+') AS t
+                      string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                FROM documents)
          WHERE len(t) >= 3),
        pairs AS (
@@ -1253,7 +1269,7 @@ object SparkEntry {
     }
     s"""WITH n AS (
          SELECT doc_id, lang,
-                regexp_replace(lower(trim(text)), '\\s+', chr(31), 'g') AS nm
+                regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', chr(31), 'g') AS nm
          FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) > 0),
        s AS (
@@ -1405,7 +1421,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3 AND doc_id IS NOT NULL),
          pm AS (
@@ -1449,7 +1465,7 @@ object SparkEntry {
     s"""WITH $minhashCandCtes,
          nt AS (
            SELECT doc_id,
-                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                  regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS t
            FROM documents WHERE text IS NOT NULL)
        SELECT da AS id_a, db AS id_b,
               CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
@@ -1469,7 +1485,7 @@ object SparkEntry {
     val denom = graft.operators.TextAnalysis.HeavyShareDenom
     s"""WITH tok AS (
          SELECT lang,
-                unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
                   AS token
          FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
        t2 AS (SELECT lang, token FROM tok WHERE token <> ''),
@@ -1489,7 +1505,7 @@ object SparkEntry {
     val maxRep = graft.operators.Dedup.ScrubMaxRep
     s"""WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS tk
            FROM documents),
          p AS (
            SELECT doc_id, tk, unnest(range(1, len(tk) - $span + 2)) AS i
@@ -1597,7 +1613,7 @@ object SparkEntry {
     val mdf = graft.operators.Dedup.BoilerMinDf
     s"""WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS tk
            FROM documents WHERE text IS NOT NULL),
          p AS (
            SELECT doc_id, tk,
@@ -1635,7 +1651,7 @@ object SparkEntry {
     val n = graft.operators.TextAnalysis.PplBuckets
     s"""WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS tk
            FROM documents),
          p AS (
            SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
@@ -1827,7 +1843,7 @@ object SparkEntry {
     "k17_bloom_point_lookup" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents
-         WHERE doc_id IS NOT NULL AND doc_id % 97 = 7""",
+         WHERE doc_id IS NOT NULL AND ((doc_id % 97) + 97) % 97 = 7""",
     // k18: the refreshed index has no false negatives against the
     // POST-MERGE store and the fetch post-filters exactly, so the
     // indexed answer must equal k12's relational merge replay under
@@ -1852,10 +1868,15 @@ object SparkEntry {
     // → [aa, a]). Each iteration's best pair re-derives the engine's
     // (count DESC, left, right) argmax from the working table; the
     // merge LIST is then recomputed per iteration from the
-    // accumulated recursion. chr(31) is assumed absent from tokens
-    // (verified on the gate corpora; it is not \s, so it would
-    // survive tokenization — a corpus carrying it would need a
-    // different sentinel). Collation caveat: the engine's driver-side
+    // accumulated recursion. Symbols are HEX-ARMORED (ADVICE r17
+    // #2's sentinel-collision caveat, closed): each symbol is stored
+    // as the hex of its UTF-8 bytes, so the chr(31) sentinel can
+    // never collide with symbol content ([0-9A-F] only) — a token
+    // CONTAINING chr(31) is now handled exactly, and hex
+    // concatenation IS symbol concatenation (hex(a)||hex(b) =
+    // hex(a||b)), so the fuse stays one replace(). Tiebreak order is
+    // unchanged: fixed-width uppercase hex compares identically to
+    // the UTF-8 bytes it encodes. Collation caveat: the engine's driver-side
     // pair tiebreak is java.lang.String order (UTF-16 code units);
     // DuckDB compares UTF-8 bytes (codepoint order) — the two differ
     // only when pairs TIE on count and the tied symbols straddle
@@ -1863,7 +1884,7 @@ object SparkEntry {
     "t13_bpe_merges" ->
       raw"""WITH RECURSIVE
          toks AS (
-           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+           SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'))
              AS w
            FROM documents),
          vocab AS (
@@ -1871,7 +1892,8 @@ object SparkEntry {
            GROUP BY 1 ORDER BY wc DESC, w
            LIMIT ${graft.operators.TextAnalysis.BpeMaxWords}),
          enc AS (
-           SELECT chr(31) || array_to_string(string_split_regex(w, ''),
+           SELECT chr(31) || array_to_string(
+                    list_transform(string_split_regex(w, ''), c -> hex(c)),
                     chr(31)||chr(31)) || chr(31) AS s, wc
            FROM vocab),
          t(iter, s, wc) AS (
@@ -1906,8 +1928,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY iter
                     ORDER BY cnt DESC, l, r) AS rn
            FROM pairs)
-         SELECT CAST(iter + 1 AS INT) AS rank, l AS "left",
-                r AS "right", CAST(cnt AS BIGINT) AS pair_count
+         SELECT CAST(iter + 1 AS INT) AS rank, decode(unhex(l)) AS "left",
+                decode(unhex(r)) AS "right", CAST(cnt AS BIGINT) AS pair_count
          FROM best WHERE rn = 1
            AND iter < ${graft.operators.TextAnalysis.BpeMerges}
          ORDER BY rank""",
@@ -2182,7 +2204,7 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents
-         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""",
+         GROUP BY regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')""",
     // d02: the ENTIRE MinHash+LSH pipeline (minhashCandCtes) + exact
     // string-set Jaccard verify (engine intersects 60-bit digest
     // sets: d01's probabilistic-gap contract).
@@ -2206,7 +2228,7 @@ object SparkEntry {
       s"""WITH tok AS (
            SELECT doc_id, unnest(t) AS w
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
                  FROM documents WHERE text IS NOT NULL)),
          th AS (SELECT doc_id, md5(w) AS h FROM tok),
          votes AS (
@@ -2245,7 +2267,7 @@ object SparkEntry {
     "d17_edit_distance_join" ->
       """WITH n AS (
            SELECT doc_id,
-                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
            FROM documents WHERE text IS NOT NULL)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
@@ -2259,7 +2281,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          pairs AS (
@@ -2280,7 +2302,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          pairs AS (
@@ -2304,7 +2326,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          pairs AS (
@@ -2350,8 +2372,12 @@ object SparkEntry {
     // cap; its scale story is the kClusters dial itself). cluster_id
     // is deterministically 0 (the single block). Zero-norm vectors
     // self-exclude on both engines (NULL / NaN cosine fails >= tau).
+    // r18: the a-side stride slice mirrors the engine's registered
+    // aStride/aMax bound (VERDICT r17 #1) — constants spliced from
+    // the registration so they cannot drift. `% = 0` is pmod-safe
+    // (both engines agree at remainder 0 for any sign).
     "d08_dedup_embedding_auto" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_inner_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[])) AS nrm
@@ -2361,7 +2387,10 @@ object SparkEntry {
                 round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
                   AS cosine
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+         WHERE a.vec_id % ${graft.operators.Dedup.D08AnchorStride} = 0
+           AND a.vec_id < ${graft.operators.Dedup.D08AnchorStride.toLong *
+             graft.operators.Similarity.AnnMaxQueries}
+           AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
     "s01_ann_bruteforce" -> s01Sql,
     // s03 at the registered lossless dial (nBits=0, 1 table) emits
     // every pair through the bucket join, so its output ≡ s01 —
@@ -2377,25 +2406,25 @@ object SparkEntry {
     // path (probe → ADC → exact rerank), not just the brute-force
     // baseline. The oracle is s01's restricted to DEFINED
     // (positive-norm) queries — see annExactSql.
-    "s06_ann_exact" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    "s06_ann_exact" -> annExactSql(s"$annQueryPred AND nrm > 0"),
     // s02/s04 (r15 verdict #6): registered at their LOSSLESS dials —
     // s02 probes all clusters (candidate set = the defined corpus),
     // s04 reranks every ADC candidate exactly — so the pure-IVF and
     // pure-PQ paths carry the same hash-checked anchor oracle as s06,
     // and the rows-only set shrinks to 10. The approximate production
     // dials stay pinned by RECALL_r{N}.json's machine-diffed sweep.
-    "s02_ann_ivf" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
-    "s04_ann_pq" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    "s02_ann_ivf" -> annExactSql(s"$annQueryPred AND nrm > 0"),
+    "s04_ann_pq" -> annExactSql(s"$annQueryPred AND nrm > 0"),
     // k31: the lossless-dial anchor again, but the engine path runs
     // through the LANDED two-version index (manifest → artifact
     // trees → probe → ADC → rerank) instead of the session memos —
     // the exactness identity makes the durable read path a
     // hash-checked row despite the learned artifacts.
-    "k31_ann_index" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    "k31_ann_index" -> annExactSql(s"$annQueryPred AND nrm > 0"),
     // st27: the same anchor through the STREAMED index — per-batch
     // appends land identical codes (same landed quantizer), so the
     // lossless-dial fetch must still equal exact brute force
-    "st27_stream_ann_ingest" -> annExactSql("vec_id % 50 = 0 AND nrm > 0"),
+    "st27_stream_ann_ingest" -> annExactSql(s"$annQueryPred AND nrm > 0"),
     // st26: the engine reads buffered join state off the checkpoint;
     // the oracle replays the held set from the St26Probe-pinned
     // watermark arithmetic: W = floor(min(side maxima)/1000)*1000 −
@@ -2438,13 +2467,13 @@ object SparkEntry {
     // join; the engine's cluster pruning is provably lossless (the
     // angular triangle-inequality bound), so the sets hash-match.
     "s07_range_search" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_inner_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[])) AS nrm
            FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
-               FROM e WHERE vec_id % 50 = 0)
+               FROM e WHERE $annQueryPred)
          SELECT q_id, e.vec_id AS n_id,
                 round(list_inner_product(qv, e.v) / (qn * e.nrm), 4)
                   AS cosine
@@ -2453,15 +2482,15 @@ object SparkEntry {
     "t01_lang_id" ->
       """WITH h AS (
            SELECT doc_id, lang,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS hits_de,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['el','la','los','de','y','es','un'], x))) AS hits_es,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['le','la','les','de','et','est','un'], x))) AS hits_fr,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['的','是','在','了','不','和'], x))) AS hits_zh
            FROM documents)
          SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr, hits_zh,
@@ -2480,15 +2509,15 @@ object SparkEntry {
     "t12_lang_mismatch" ->
       """WITH h AS (
            SELECT doc_id, lang,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['der','die','das','und','ist','ein','nicht'], x))) AS hits_de,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['el','la','los','de','y','es','un'], x))) AS hits_es,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['le','la','les','de','et','est','un'], x))) AS hits_fr,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['的','是','在','了','不','和'], x))) AS hits_zh
            FROM documents),
          p AS (
@@ -2510,7 +2539,7 @@ object SparkEntry {
     "t02_quality_score" ->
       """WITH b AS (
            SELECT doc_id, lower(trim(text)) AS t,
-                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
            FROM documents),
          c AS (
            SELECT doc_id,
@@ -2518,7 +2547,7 @@ object SparkEntry {
              len(toks) AS n_tokens,
              length(regexp_replace(t, '[^a-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
-             length(t) - length(regexp_replace(t, '\s', '', 'g')) AS n_space,
+             length(t) - length(regexp_replace(t, '[ \t\n\x0B\f\r]', '', 'g')) AS n_space,
              len(list_filter(toks,
                x -> list_contains(['the','a','of','and','to','in','is'], x)))
                AS n_stop
@@ -2535,12 +2564,12 @@ object SparkEntry {
          FROM c""",
     "t03_token_count" ->
       """SELECT doc_id,
-           len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
              AS n_bpe_tokens,
            round(length(trim(text)) * 1.0 /
              nullif(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0),
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')), 0),
              4) AS chars_per_token
          FROM documents""",
     "t05_repetition" ->
@@ -2550,7 +2579,7 @@ object SparkEntry {
                         unnest([array_to_string(t[i:i+1], ' ')
                                 for i in range(1, len(t))]) AS g
                  FROM (SELECT doc_id,
-                              string_split_regex(lower(trim(text)), '\s+') AS t
+                              string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                        FROM documents)
                  WHERE len(t) >= 2)
            GROUP BY 1, 2)
@@ -2575,7 +2604,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          bench AS (
@@ -2720,7 +2749,7 @@ object SparkEntry {
       """WITH RECURSIVE survivors AS (
            SELECT min(doc_id) AS doc_id
            FROM documents
-           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+           GROUP BY regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')),
          docs AS (
            SELECT d.doc_id, d.text
            FROM documents d JOIN survivors s USING (doc_id)),
@@ -2729,7 +2758,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM docs)
            WHERE len(t) >= 3),
          pairs AS (
@@ -2759,7 +2788,7 @@ object SparkEntry {
     "p01_corpus_clean" ->
       """WITH b AS (
            SELECT doc_id, lang, source, text, lower(trim(text)) AS t,
-                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
            FROM documents),
          scored AS (
            SELECT doc_id, lang, source, text,
@@ -2773,7 +2802,7 @@ object SparkEntry {
                    4) AS quality_score
            FROM b),
          kept AS (
-           SELECT *, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+           SELECT *, regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS k
            FROM scored WHERE quality_score >= 0.5),
          reps AS (
            SELECT lang, source, n_tokens, quality_score
@@ -2844,7 +2873,7 @@ object SparkEntry {
     "t07_seq_packing" ->
       """WITH t AS (
            SELECT doc_id, source,
-                  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+                  len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS n_tok
            FROM documents),
          c AS (
            SELECT doc_id, source, n_tok,
@@ -2889,7 +2918,7 @@ object SparkEntry {
     "d09_dup_spans" ->
       """WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS tk
            FROM documents),
          p AS (
            SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS i
@@ -2968,7 +2997,7 @@ object SparkEntry {
     // round trip through 4-line text and the positional reassembly.
     "k04_fastq_ingest" ->
       """WITH d AS (
-           SELECT doc_id, n_chars % 80 + 20 AS len FROM documents
+           SELECT doc_id, ((n_chars % 80) + 80) % 80 + 20 AS len FROM documents
            WHERE doc_id IS NOT NULL),
          pos AS (
            SELECT doc_id, len, unnest(range(len)) AS p FROM d)
@@ -2992,14 +3021,14 @@ object SparkEntry {
     "d11_snapshot_diff" ->
       """WITH oldsnap AS (
            SELECT doc_id,
-                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
-           FROM documents WHERE doc_id % 11 <> 3),
+                  regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS k
+           FROM documents WHERE ((doc_id % 11) + 11) % 11 <> 3),
          newsnap AS (
            SELECT doc_id,
                   regexp_replace(lower(trim(
                     CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
-                         ELSE text END)), '\s+', ' ', 'g') AS k
-           FROM documents WHERE doc_id % 13 <> 5)
+                         ELSE text END)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS k
+           FROM documents WHERE ((doc_id % 13) + 13) % 13 <> 5)
          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                 CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
@@ -3011,13 +3040,13 @@ object SparkEntry {
     // skipped (both engines' arg-max ignore null ARGUMENTS only).
     "q28_changelog_merge" ->
       """WITH base AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+           SELECT doc_id, text FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 7),
          changes AS (
            SELECT doc_id, 1 AS seq, 'upsert' AS op, text || ' v2' AS nt
            FROM documents WHERE doc_id % 3 = 0
            UNION ALL
            SELECT doc_id, 2 AS seq, 'delete' AS op, NULL AS nt
-           FROM documents WHERE doc_id % 11 = 4),
+           FROM documents WHERE ((doc_id % 11) + 11) % 11 = 4),
          latest AS (
            SELECT doc_id,
                   arg_max(struct_pack(o := op, t := nt), seq) AS c
@@ -3095,7 +3124,7 @@ object SparkEntry {
     // engines); the top-100 boundary is totally ordered.
     "t08_vocab" ->
       """WITH toks AS (
-           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+           SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'))
              AS token
            FROM documents),
          counts AS (
@@ -3125,7 +3154,7 @@ object SparkEntry {
     "d12_span_scrub" ->
       """WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS tk
            FROM documents),
          p AS (
            SELECT doc_id, tk, unnest(range(1, len(tk) - 10 + 2)) AS i
@@ -3201,7 +3230,7 @@ object SparkEntry {
     "t09_bigram_lm" ->
       """WITH t AS (
            SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS tk
            FROM documents),
          p AS (
            SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
@@ -3278,7 +3307,7 @@ object SparkEntry {
     "t10_oov_rate" ->
       """WITH toks AS (
            SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'))
              AS token
            FROM documents),
          tt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -3630,7 +3659,7 @@ object SparkEntry {
     "p09_quality_sample" ->
       """WITH b AS (
            SELECT doc_id, lang, source, lower(trim(text)) AS t,
-                  string_split_regex(lower(trim(text)), '\s+') AS toks
+                  string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS toks
            FROM documents),
          c AS (
            SELECT doc_id, lang, source,
@@ -3702,7 +3731,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          pairs AS (
@@ -3752,7 +3781,7 @@ object SparkEntry {
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS sh
            FROM (SELECT doc_id,
-                        string_split_regex(lower(trim(text)), '\s+') AS t
+                        string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
                  FROM documents)
            WHERE len(t) >= 3),
          pairs AS (
@@ -3812,7 +3841,7 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars
          FROM documents
          WHERE doc_id IS NULL
-            OR NOT (doc_id % 97 = 11 OR doc_id % 101 = 13)""",
+            OR NOT (((doc_id % 97) + 97) % 97 = 11 OR ((doc_id % 101) + 101) % 101 = 13)""",
     // p16: the deterministic permutation is pure integer arithmetic
     // (the salted multiply chain plus one quadratic mixing round —
     // see Corpus.mixedHash), so the oracle replays shard assignment
@@ -3907,7 +3936,7 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars
          FROM documents
          WHERE doc_id IS NULL
-            OR NOT (doc_id % 97 = 11 OR doc_id % 101 = 13)""",
+            OR NOT (((doc_id % 97) + 97) % 97 = 11 OR ((doc_id % 101) + 101) % 101 = 13)""",
     // st21: shares k27's oracle — the gate is row-local, so any
     // batching of the feed folds to the same table ∪ quarantine.
     "st21_stream_constraints" ->
@@ -3939,11 +3968,11 @@ object SparkEntry {
     "t19_quality_rules" ->
       """WITH m AS (
            SELECT
-             len(string_split_regex(lower(trim(text)), '\s+'))
+             len(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'))
                AS n_words,
-             length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+             length(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]', '', 'g'))
                AS n_wchars,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
              length(lower(trim(text)))
                - length(replace(lower(trim(text)), '#', ''))
@@ -3951,8 +3980,8 @@ object SparkEntry {
                AS n_symbols,
              len(string_split(text, chr(10))) AS n_lines,
              len(list_filter(string_split(text, chr(10)),
-               l -> regexp_matches(l, '^\s*[-*•]'))) AS n_bullet,
-             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               l -> regexp_matches(l, '^[ \t\n\x0B\f\r]*[-*•]'))) AS n_bullet,
+             len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                x -> list_contains(['the','a','of','and','to','in','is'], x)))
                AS n_stop
            FROM documents),
@@ -4084,14 +4113,14 @@ object SparkEntry {
     "d14_snapshot_overlap" ->
       """WITH o AS (
            SELECT DISTINCT doc_id,
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-           FROM documents WHERE doc_id % 11 <> 3),
+             regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nt
+           FROM documents WHERE ((doc_id % 11) + 11) % 11 <> 3),
          n AS (
            SELECT DISTINCT doc_id,
              regexp_replace(lower(trim(CASE WHEN doc_id % 7 = 0
-               THEN text || ' rev2' ELSE text END)), '\s+', ' ', 'g')
+               THEN text || ' rev2' ELSE text END)), '[ \t\n\x0B\f\r]+', ' ', 'g')
                AS nt
-           FROM documents WHERE doc_id % 13 <> 5),
+           FROM documents WHERE ((doc_id % 13) + 13) % 13 <> 5),
          c AS (
            SELECT
              (SELECT count(*) FROM o) AS exact_old,
@@ -4120,6 +4149,13 @@ object SparkEntry {
     "t16_compress_filter" ->
       """SELECT doc_id, text FROM documents
          WHERE text IS NOT NULL AND strlen(text) > 0""",
+    // s05 (VERDICT r17 #7, the last pure rows-only row): the
+    // reference is not SQL but ANOTHER REGISTERED QUERY — s06, the
+    // same IVF-PQ engine at lossless dials, itself under the hash
+    // gate — so check_oracle.py's ref_query branch never executes
+    // this SQL (inert placeholder; the check reads s06's parquet
+    // from the same verify dir).
+    "s05_ann_ivfpq" -> "SELECT 1",
   )
 
   /** k13/st14 share one exact recompute (the two ledgers are
@@ -4206,6 +4242,18 @@ object SparkEntry {
          "level": ${graft.functions.CompressExprs.DeflateLevel},
          "min_bp": ${graft.operators.TextAnalysis.CompressMinBp},
          "max_bp": ${graft.operators.TextAnalysis.CompressMaxBp}}]""",
+    // s05's composed tolerance gate (VERDICT r17 #7): mean top-5
+    // overlap vs s06's exact anchor, computed from the two
+    // registered outputs. The registered dials are deterministic
+    // given the landed quantizer/codebook, so the recall is a FIXED
+    // number per corpus — measured 0.74 at sf0.01 and 0.74 on the
+    // hostile corpus (r18); the 0.70 floor is the wiring-bug
+    // detector (a mis-probed cluster or wrong index version craters
+    // it), not a statistical band. The sf0.1 recall stays pinned at
+    // 0.76 by RECALL_r{N}.json.
+    "s05_ann_ivfpq" ->
+      """"ref_query": "s06_ann_exact", "keys": [], "checks": [
+        {"kind": "topk_recall", "k": 5, "min_recall": 0.70}]""",
   )
 
   private val ledgerChecks: String =

@@ -1055,6 +1055,25 @@ object Dedup {
         col("a.label").as("label"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** d08's auto-sizing block target (VERDICT r17 #2): the default
+    * learned-block count is max(1, ⌈n / D08BlockTarget⌉), keeping
+    * expected block occupancy ≈ blockTarget so pair space Σ block²
+    * ≈ n·blockTarget grows LINEARLY with the corpus. 2000 reproduces
+    * D08Probe's measured-healthy dial at sf10 (200k vectors → k=100,
+    * 14.2 s) and lands the old production dial at sf1 (20k → k=10).
+    */
+  val D08BlockTarget: Int = 2000
+
+  /** The registered d08 anchor's a-side stride (VERDICT r17 #1),
+    * shared with the oracle CTE: the hash-checked slice keeps pairs
+    * whose smaller vec_id is on this stride (below stride ·
+    * Similarity.AnnMaxQueries), bounding the anchor's pair space at
+    * O(AnnMaxQueries · n). 5 keeps the sf0.1 slice identical to the
+    * uncapped stride (2000 vectors = exactly 400 stride ids) and
+    * leaves 17 hash-checked rows at oracle scale.
+    */
+  val D08AnchorStride: Int = 5
+
   /** d08_dedup_embedding_auto — embedding near-duplicates with
     * LEARNED blocks: the blocking key is a spherical-k-means cluster
     * id (Similarity.kmeansAssignments), not a pre-existing label —
@@ -1072,22 +1091,42 @@ object Dedup {
     * exactly the label-free all-pairs cosine join, which DuckDB
     * replays — so the full code path (Lloyd quantizer → assignment
     * join → within-block self-join → DotProduct scoring) sits under
-    * the hash-checked oracle gate. The PRODUCTION dial is kClusters
-    * sized so pair space Σ cluster² fits the pair budget — learned
-    * blocks ARE the scale story — and stays pinned by the
-    * planted-dup spec at kClusters=10.
+    * the hash-checked oracle gate. The registered anchor additionally
+    * STRIDE-BOUNDS one side of the pair join (VERDICT r17 #1,
+    * `aStride`/`aMax` ≡ the ANN family's query-budget contract,
+    * mirrored in the oracle CTE): pairs whose SMALLER vec_id sits on
+    * the capped stride — the hash check stays exact over that slice
+    * while the registered plan's cost contract drops from O(n²) to
+    * O(aMax·n), the same bounded shape as the s06/k31 anchors.
+    *
+    * The PRODUCTION dial sizes kClusters from the corpus (VERDICT
+    * r17 #2 — kClusters ≤ 0 = auto = max(1, ⌈n / blockTarget⌉) off
+    * a cheap count): D08Probe measured the mis-sizing cliff at sf10
+    * (fixed k=10 reads 216 s, corpus-sized k=100 reads 14.2 s), so
+    * the sizing rule is now the DEFAULT, not scaladoc prose. The
+    * fixed dial stays reachable (explicit kClusters / JobSpec), and
+    * the planted-dup spec pins the auto dial.
     */
   def dedupEmbeddingAuto(embeddings: DataFrame, tau: Double = 0.4,
-      kClusters: Int = 10, iters: Int = 3,
-      cacheKey: String = ""): DataFrame = {
+      kClusters: Int = 0, iters: Int = 3,
+      cacheKey: String = "", blockTarget: Int = D08BlockTarget,
+      aStride: Int = 1,
+      aMax: Int = Similarity.AnnMaxQueries): DataFrame = {
+    val k = if (kClusters > 0) kClusters
+      else math.max(1, math.ceil(
+        embeddings.count().toDouble / blockTarget).toInt)
     val e = embeddings.select(
       col("vec_id"),
       VectorOps.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.l2norm(col("v")))
       .join(
-        Similarity.kmeansAssignments(embeddings, kClusters, iters, cacheKey),
+        Similarity.kmeansAssignments(embeddings, k, iters, cacheKey),
         "vec_id")
-    e.as("a")
+    val aSide =
+      if (aStride <= 1) e.as("a")
+      else e.filter(col("vec_id") % aStride === 0 &&
+        col("vec_id") < aStride.toLong * aMax).as("a")
+    aSide
       .join(e.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))

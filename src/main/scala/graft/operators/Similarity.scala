@@ -27,6 +27,43 @@ object Similarity {
     */
   val IvfKClusters = 10
 
+  /** Absolute cap on the stride-derived query set, shared by the
+    * whole ANN family (VERDICT r17 #4): queries are the vec_ids on
+    * the stride BELOW `queryStride · AnnMaxQueries` — on a dense-id
+    * corpus that is min(⌈n/queryStride⌉, AnnMaxQueries) queries, so
+    * the family's cost contract is O(corpus) once the corpus
+    * outgrows stride·cap: the exact-anchor registrations
+    * (s02/s03/s04/s06/k31/st27) stop growing their quadratic term
+    * with the corpus and scale linearly past 20k vectors. 400 is
+    * the sf1 stride count — below it the cap binds nowhere the
+    * oracle gate or the sf0.1 pins look (≤40 queries there, outputs
+    * bit-identical to the uncapped registration), at and above it
+    * every scale leg pays a FIXED verification budget. A JobSpec
+    * `maxQueries` dial overrides per job; the oracle mirrors the
+    * same bound (SparkEntry.annQueryPred).
+    */
+  val AnnMaxQueries = 400
+
+  /** s03's auto-sizing bucket target (VERDICT r17 #3): when `nBits`
+    * is not given, annLsh derives nBits = max(1, ⌈log2(n /
+    * LshBucketTarget)⌉) from a count of the corpus — expected bucket
+    * occupancy ≈ LshBucketTarget per table. 1024 reproduces the
+    * CLUSTERED_PROBE-measured sweet spot at 200k vectors (nBits=8,
+    * recall 0.99 at 5× brute-force speed on clustered embeddings)
+    * and grows the bit count with the corpus, which is the part
+    * callers forgot (mis-sized coarse buckets balloon the candidate
+    * set quadratically — the measured 147 s vs 35 s cliff).
+    */
+  val LshBucketTarget = 1024
+
+  /** The shared stride-and-cap query set: every `queryStride`-th
+    * vec_id below `queryStride · maxQueries`.
+    */
+  private[graft] def strideQueries(e: DataFrame, queryStride: Int,
+      maxQueries: Int = AnnMaxQueries): DataFrame =
+    e.filter(col("vec_id") % queryStride === 0 &&
+      col("vec_id") < queryStride.toLong * maxQueries)
+
   /** Number of local top-k shards in phase 1. Any value ≥ the
     * cluster's parallelism works; results are identical regardless.
     */
@@ -71,9 +108,10 @@ object Similarity {
     * vector (broadcast); corpus scanned once.
     */
   def annBruteForce(embeddings: DataFrame, k: Int = 5,
-      queryStride: Int = 50): DataFrame = {
+      queryStride: Int = 50,
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     val e = normed(embeddings)
-    val q = e.filter(col("vec_id") % queryStride === 0)
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     topK(scored(e, q), k)
@@ -214,7 +252,10 @@ object Similarity {
     * Recall < 1 by design, rising with `tables`; the spec measures it
     * against s01 ground truth.
     *
-    * Tune `nBits` ≈ log2(corpus / target bucket size): signatures
+    * `nBits` < 0 (the DEFAULT since r18) derives the bit count from
+    * a corpus count via `LshBucketTarget` — the rule below made
+    * executable, so a caller cannot forget it. Explicitly:
+    * tune `nBits` ≈ log2(corpus / target bucket size): signatures
     * partition the corpus into ~2^nBits buckets per table. Target
     * buckets of ~2-3× k (the top-k must co-bucket somewhere for a
     * hit): 5 bits suits the 500-vector test corpus (~16/bucket),
@@ -242,23 +283,37 @@ object Similarity {
     * nBits MUST grow with the corpus.
     */
   def annLsh(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
-      nBits: Int = 5, tables: Int = 16): DataFrame = {
+      nBits: Int = -1, tables: Int = 16,
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     val e = normed(embeddings)
+    // VERDICT r17 #3: the sizing rule nBits ≈ log2(corpus / bucket
+    // target) was scaladoc prose a caller had to remember, and
+    // CLUSTERED_PROBE_r17 measured the forgetting cost (the fixed
+    // (5,16) dial pays 147 s at 200k where sized (8,16) pays 35 s at
+    // recall 0.99). nBits < 0 (the default) now derives it from a
+    // count of the corpus — at 200k vectors this lands exactly the
+    // probe's sized dial (ceil(log2(200k/1024)) = 8); explicit
+    // values (the spec sweeps, the nBits=0 lossless anchor) still
+    // pin their dials.
+    val nb = if (nBits >= 0) nBits
+      else math.max(1, math.ceil(math.log(
+        math.max(1.0, e.count().toDouble / LshBucketTarget)) /
+          math.log(2.0)).toInt)
     val sigsOf = (df: DataFrame, idOut: String) =>
       df.select(col("vec_id").as(idOut),
         posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => VectorOps.hyperplaneSig(col("v"), t, nBits))))
+          t => VectorOps.hyperplaneSig(col("v"), t, nb))))
         .withColumnRenamed("pos", "table_id")
         .withColumnRenamed("col", "sig")
     val corpusSigs = sigsOf(e, "vec_id")
-    val querySigs = sigsOf(e.filter(col("vec_id") % queryStride === 0), "q_id")
+    val querySigs = sigsOf(strideQueries(e, queryStride, maxQueries), "q_id")
     val candidates = corpusSigs
       .join(broadcast(querySigs),
         Seq("table_id", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id") // same pair, several tables
-    val q = e.filter(col("vec_id") % queryStride === 0)
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val scoredCand = candidates
@@ -429,10 +484,11 @@ object Similarity {
   def annPq(embeddings: DataFrame, k: Int = 5, queryStride: Int = 50,
       subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
       iters: Int = 2, rerankDepth: Int = 64,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = "",
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val (cb, codes) = pqIndex(e, subspaces, subDim, ks, iters, cacheKey)
-    val q = e.filter(col("vec_id") % queryStride === 0)
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     // per-query LUT: dot(query subvector m, codeword j) at slot m·ks+j
@@ -586,13 +642,14 @@ object Similarity {
       nprobe: Int = 5, kClusters: Int = 10, lloydIters: Int = 3,
       subspaces: Int = 8, subDim: Int = 8, ks: Int = 16,
       pqIters: Int = 2, rerankDepth: Int = 64,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = "",
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
     val (cb, indexed) = residualPqIndex(e, cent, subspaces, subDim, ks,
       pqIters, cacheKey, kClusters, lloydIters)
     ivfPqScan(e, cent, cb, indexed, k, queryStride, nprobe,
-      subspaces, subDim, ks, rerankDepth)
+      subspaces, subDim, ks, rerankDepth, maxQueries)
   }
 
   /** The IVF-PQ QUERY path over given index artifacts (centroids,
@@ -607,8 +664,9 @@ object Similarity {
   private[graft] def ivfPqScan(e: DataFrame, cent: DataFrame,
       cb: DataFrame, indexed: DataFrame, k: Int, queryStride: Int,
       nprobe: Int, subspaces: Int, subDim: Int, ks: Int,
-      rerankDepth: Int): DataFrame = {
-    val q = e.filter(col("vec_id") % queryStride === 0)
+      rerankDepth: Int,
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
@@ -688,11 +746,12 @@ object Similarity {
     */
   def annIvf(embeddings: DataFrame, k: Int = 5,
       queryStride: Int = 50, nprobe: Int = 3, kClusters: Int = IvfKClusters,
-      lloydIters: Int = 3, cacheKey: String = ""): DataFrame = {
+      lloydIters: Int = 3, cacheKey: String = "",
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, cacheKey)
     val assigned = assignTo(e, cent)
-    val q = e.filter(col("vec_id") % queryStride === 0)
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
@@ -789,7 +848,8 @@ object Similarity {
     */
   def rangeSearch(embeddings: DataFrame, tau: Double = 0.3,
       queryStride: Int = 50, kClusters: Int = 10, lloydIters: Int = 3,
-      cacheKey: String = ""): DataFrame = {
+      cacheKey: String = "",
+      maxQueries: Int = AnnMaxQueries): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1): $tau")
     val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
     val e = normed(embeddings).repartition(col("vec_id"))
@@ -803,7 +863,7 @@ object Similarity {
         VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
       .groupBy(col("cluster_id"))
       .agg(max(acos(clamp1(col("m_cos")))).as("theta_max"))
-    val q = e.filter(col("vec_id") % queryStride === 0)
+    val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
     // admission: #queries × #clusters candidate pairs, filtered by
@@ -832,7 +892,7 @@ object Similarity {
     */
   private[graft] def rangeAdmitted(embeddings: DataFrame, tau: Double,
       queryStride: Int = 50, kClusters: Int = 10,
-      lloydIters: Int = 3): Long = {
+      lloydIters: Int = 3, maxQueries: Int = AnnMaxQueries): Long = {
     val clamp1 = (c: Column) => least(greatest(c, lit(-1.0)), lit(1.0))
     val e = normed(embeddings).repartition(col("vec_id"))
     val cent = learnedCentroids(e, kClusters, lloydIters, "")
@@ -842,7 +902,7 @@ object Similarity {
         VectorOps.dot(col("v"), col("cv")), col("nrm"), col("cn")))
       .groupBy(col("cluster_id"))
       .agg(max(acos(clamp1(col("m_cos")))).as("theta_max"))
-    e.filter(col("vec_id") % queryStride === 0)
+    strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
       .crossJoin(broadcast(cent))

@@ -174,7 +174,8 @@ object AnnIndexStore {
     */
   def fetch(spark: SparkSession, embeddings: DataFrame, dir: String,
       version: Int, k: Int = 5, queryStride: Int = 50,
-      nprobe: Int = 5, rerankDepth: Int = 64): DataFrame = {
+      nprobe: Int = 5, rerankDepth: Int = 64,
+      maxQueries: Int = Similarity.AnnMaxQueries): DataFrame = {
     val m = spark.read.parquet(manifestPath(dir, version)).collect()
       .map(r => r.getString(0) -> r.getString(1))
     def trees(artifact: String): Seq[String] =
@@ -185,7 +186,7 @@ object AnnIndexStore {
     val codes = spark.read.parquet(trees("codes"): _*)
     val e = Similarity.normed(embeddings).repartition(col("vec_id"))
     Similarity.ivfPqScan(e, cent, cb, codes, k, queryStride, nprobe,
-      Subspaces, SubDim, Ks, rerankDepth)
+      Subspaces, SubDim, Ks, rerankDepth, maxQueries)
   }
 
   /** Stage the two-version demo index for `embeddings`: v1 trains on

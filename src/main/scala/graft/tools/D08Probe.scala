@@ -13,12 +13,13 @@ import graft.operators.Dedup
   * measured number for the tier a deployment actually runs — the
   * d17/d18 split, inside one operator's dial.
   *
-  * Usage: runMain graft.tools.D08Probe <sfDir> [kClusters=10] [reps=2]
+  * Usage: runMain graft.tools.D08Probe <sfDir> [kClusters=auto] [reps=2]
+  * (kClusters "auto" or 0 = the r18 corpus-sized default dial)
   */
 object D08Probe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val k = if (args.length > 1) args(1).toInt else 10
+    val k = if (args.length > 1 && args(1) != "auto") args(1).toInt else 0
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -53,7 +53,13 @@ object S03ClusteredProbe {
     val (r02, t02) = recallOf(Similarity.annIvf(e, nprobe = 3,
       cacheKey = dir))
     println(f"CLUSTEREDPROBE n=$n s02 nprobe=3 recall=$r02 sec=$t02%.2f")
-    // s03 dial grid around the registered (5,16) default; nBits
+    // the r18 AUTO dial first (nBits=-1 ⇒ ⌈log2(n/LshBucketTarget)⌉
+    // from a corpus count — VERDICT r17 #3): the default a caller
+    // gets without remembering the sizing rule
+    val (rAuto, tAuto) = recallOf(Similarity.annLsh(e))
+    println(f"CLUSTEREDPROBE n=$n s03 nBits=auto tables=16 " +
+      f"recall=$rAuto sec=$tAuto%.2f")
+    // s03 dial grid around the old fixed (5,16) default; nBits
     // should track log2(corpus/bucket-target), so include larger
     // bits at larger n
     for (bits <- Seq(5, 8, 11, 14); tables <- Seq(4, 8, 16)) {

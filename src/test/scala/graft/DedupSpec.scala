@@ -271,6 +271,38 @@ class DedupSpec extends AnyFunSuite {
       assert(out.contains((i, i + 1000L)),
         s"planted dup pair ($i, ${i + 1000L}) must be found with computed blocks")
     }
+    // VERDICT r17 #2: the AUTO dial (kClusters ≤ 0 ⇒ sized from a
+    // corpus count) is the new DEFAULT — pin it with the same planted
+    // guarantee. blockTarget=8 forces genuine multi-block blocking on
+    // the 43-vector corpus (k = ⌈43/8⌉ = 6 > 1), so this is not the
+    // degenerate lossless dial in disguise.
+    val auto = Dedup.dedupEmbeddingAuto(emb, tau = 0.99, blockTarget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(5L, 17L, 29L).foreach { i =>
+      assert(auto.contains((i, i + 1000L)),
+        s"planted dup pair ($i, ${i + 1000L}) must be found at the AUTO dial")
+    }
+  }
+
+  test("d08: the stride-bounded anchor is the full slice, exactly") {
+    // VERDICT r17 #1: the registered anchor stride-bounds the a-side
+    // (pairs whose smaller vec_id is on the capped stride). The
+    // sliced output must equal the UNSLICED lossless output filtered
+    // to that predicate — the slice is a restriction, never an
+    // approximation.
+    val emb = graft.Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val stride = Dedup.D08AnchorStride
+    val cap = stride.toLong * graft.operators.Similarity.AnnMaxQueries
+    val sliced = rows(Dedup.dedupEmbeddingAuto(emb, kClusters = 1,
+      aStride = stride))
+    val full = rows(Dedup.dedupEmbeddingAuto(emb, kClusters = 1))
+      .filter(t => t._1 % stride == 0 && t._1 < cap)
+    assert(sliced === full,
+      "stride-bounded anchor must equal the filtered lossless output")
+    assert(sliced.nonEmpty, "anchor slice must be non-empty at spec SF")
   }
 
   test("d08: kClusters=1 is the LOSSLESS dial — ≡ label-free all-pairs") {

@@ -199,14 +199,30 @@ class PlanAuditSpec extends AnyFunSuite {
                 case i: Long => i <= 4096L
                 case _ => false
               }
+              // ADVICE r17 #5: also accept the commuted comparison
+              // forms (lit OP attr) and strip Cast around the window
+              // attribute — a future plan change flipping the
+              // conjunct or casting the rank column is the same
+              // semantic prune and must not false-fail the audit.
+              def winAttr(e: Expression): Boolean = e match {
+                case a: AttributeReference => winOuts.contains(a.exprId)
+                case c: Cast => winAttr(c.child)
+                case _ => false
+              }
               def rankPrune(e: Expression): Boolean = e match {
                 case And(l, r) => rankPrune(l) || rankPrune(r)
-                case EqualTo(a: AttributeReference, Literal(v, _)) =>
-                  winOuts.contains(a.exprId) && smallLit(v)
-                case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-                  winOuts.contains(a.exprId) && smallLit(v)
-                case LessThan(a: AttributeReference, Literal(v, _)) =>
-                  winOuts.contains(a.exprId) && smallLit(v)
+                case EqualTo(a, Literal(v, _)) =>
+                  winAttr(a) && smallLit(v)
+                case EqualTo(Literal(v, _), a) =>
+                  winAttr(a) && smallLit(v)
+                case LessThanOrEqual(a, Literal(v, _)) =>
+                  winAttr(a) && smallLit(v)
+                case GreaterThanOrEqual(Literal(v, _), a) =>
+                  winAttr(a) && smallLit(v)
+                case LessThan(a, Literal(v, _)) =>
+                  winAttr(a) && smallLit(v)
+                case GreaterThan(Literal(v, _), a) =>
+                  winAttr(a) && smallLit(v)
                 case _ => false
               }
               winOuts.nonEmpty && rankPrune(f.condition)

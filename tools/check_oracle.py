@@ -138,7 +138,11 @@ def main():
             return bad == 0, {"kind": kind, "mismatches": bad}
         if kind == "rel":
             exact = m[chk["exact"]].astype(float)
-            err = ((est - exact).abs() / exact.clip(lower=1)).max()
+            # ADVICE r17 #4: .max() over an empty merge is NaN and
+            # bool(NaN <= tol) is False — a legitimately empty result
+            # set must pass, consistent with the `equal` kind.
+            err = ((est - exact).abs() / exact.clip(lower=1)).max() \
+                if len(m) else 0.0
             return bool(err <= chk["tol"]), {"kind": kind, "tol": chk["tol"],
                                              "max_rel_err": round(float(err), 6)}
         if kind == "between":
@@ -148,7 +152,8 @@ def main():
         if kind == "abs_scaled":
             exact = m[chk["exact"]].astype(float)
             scale = m[chk["scale"]].astype(float)
-            err = ((est - exact).abs() / scale.clip(lower=1)).max()
+            err = ((est - exact).abs() / scale.clip(lower=1)).max() \
+                if len(m) else 0.0
             return bool(err <= chk["tol"]), {"kind": kind, "tol": chk["tol"],
                                              "max_scaled_err": round(float(err), 6)}
         if kind == "clamp_diff":
@@ -170,6 +175,44 @@ def main():
             continue
         g = gates[name]
         try:
+            # ref_query gates (VERDICT r17 #7, s05): the reference is
+            # another REGISTERED query's output in this same verify
+            # dir (itself under the hash gate), not a SQL recompute —
+            # the composed-anchor pattern (s05's ADC ordering judged
+            # against s06's exact top-k).
+            if "ref_query" in g:
+                ref_files = glob.glob(
+                    os.path.join(out_dir, g["ref_query"], "*.parquet"))
+                want = pd.concat([pd.read_parquet(f) for f in ref_files])
+                chk = next(c for c in g["checks"]
+                           if c["kind"] == "topk_recall")
+                k = chk["k"]
+                def sets(df):
+                    d = df[df["rnk"] <= k]
+                    return d.groupby("q_id")["n_id"].agg(set)
+                ref, est = sets(want), sets(got)
+                per_q = [len(est.get(q, set()) & ref[q]) / len(ref[q])
+                         for q in ref.index]
+                recall = sum(per_q) / len(per_q) if per_q else 1.0
+                ok = bool(recall >= chk["min_recall"])
+                entry["tolerance_pass"] = ok
+                entry["tolerance"] = {"topk_recall": {
+                    "kind": "topk_recall", "pass": ok,
+                    "ref_query": g["ref_query"], "k": k,
+                    "min_recall": chk["min_recall"],
+                    "recall": round(float(recall), 4),
+                    "queries": len(per_q)}}
+                if ok:
+                    print(f"PASS {name} (rows-only, top-{k} recall "
+                          f"{recall:.4f} >= {chk['min_recall']} vs "
+                          f"{g['ref_query']}, {len(per_q)} queries)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name} (top-{k} recall {recall:.4f} < "
+                          f"{chk['min_recall']} vs {g['ref_query']})")
+                    n_fail += 1
+                rec[name] = entry
+                continue
             want = con.execute(g["exact_sql"]).fetchdf()
             # deflate_replay: the driver recomputes the t16 flag set
             # INDEPENDENTLY (python zlib raw DEFLATE at the registered
@@ -251,6 +294,22 @@ def main():
         with open(json_out, "w") as f:
             json.dump(rec, f, indent=2, sort_keys=True)
         print(f"wrote {json_out}")
+    # VERDICT r17 #5: surface the bounded-error verdicts for the
+    # rows-only keys in ONE top-level artifact per round
+    # (--verification-out VERIFICATION_r{N}.json --corpus-label
+    # sf0.01|hostile) — merged across corpus runs so a reader (or the
+    # driver) finds every tolerance/recall verdict without knowing
+    # the local-artifact convention.
+    if "--verification-out" in sys.argv:
+        vpath = sys.argv[sys.argv.index("--verification-out") + 1]
+        label = sys.argv[sys.argv.index("--corpus-label") + 1] \
+            if "--corpus-label" in sys.argv else sf_dir
+        merged = json.load(open(vpath)) if os.path.exists(vpath) else {}
+        merged[label] = {k: v for k, v in rec.items()
+                         if v.get("rows_only")}
+        with open(vpath, "w") as f:
+            json.dump(merged, f, indent=2, sort_keys=True)
+        print(f"wrote {vpath} [{label}]")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

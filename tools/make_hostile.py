@@ -33,11 +33,14 @@ HOSTILE = [
      "hostile", 46),
 ]
 
-# Zero vectors = failed/padding embeddings. 90050 is divisible by the
-# ANN queryStride (50), so it also exercises a zero-norm QUERY vector.
+# Zero vectors = failed/padding embeddings. 19950 is divisible by the
+# ANN queryStride (50) AND below the r18 query cap (50 · AnnMaxQueries
+# = 20000), so it still exercises a zero-norm QUERY vector under the
+# capped stride (90050 would silently fall outside the query set and
+# turn the scenario vacuous).
 HOSTILE_EMB = [
-    (90050, [0.0] * 64, 0),
-    (90051, [0.0] * 64, 1),
+    (19950, [0.0] * 64, 0),
+    (19951, [0.0] * 64, 1),
 ]
 
 # (event_id, ts literal or None, user_id, event_type, value)

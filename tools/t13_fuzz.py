@@ -14,7 +14,9 @@ def engine_ref(texts, n_merges=12, max_words=50000):
     freq = {}
     for t in texts:
         if t is None: continue
-        for w in re.split(r'[ \t\n\x0b\f\r]+', t.strip().lower()):
+        # strip(' ') mirrors Spark/DuckDB trim() (SPACE only — python's
+        # bare strip() also eats \x1c-\x1f, which the engine keeps)
+        for w in re.split(r'[ \t\n\x0b\f\r]+', t.strip(' ').lower()):
             if w: freq[w] = freq.get(w, 0) + 1
     vocab = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
     words = [([c for c in w], wc) for w, wc in vocab]
@@ -50,8 +52,13 @@ fails = 0
 for trial in range(120):
     # adversarial shapes: tiny alphabets (forces aaa-run fuse edges and
     # count ties), repeated words, empty/whitespace docs, multi-char
-    # runs, unicode incl. CJK
-    alpha = random.choice(['ab', 'abc', 'a', 'xyz', 'ab1', '日本語', 'aá'])
+    # runs, unicode incl. CJK. ADVICE r17 #2: separators cover the
+    # full Java-\s class (\x0b vertical tab, \f, \r\n — the RE2-\s
+    # mismatch the round-18 oracle class fix closed), and alphabets
+    # occasionally include chr(31) — the oracle's symbol sentinel,
+    # which the hex-armored encoding must survive inside tokens.
+    alpha = random.choice(['ab', 'abc', 'a', 'xyz', 'ab1', '日本語', 'aá',
+                           'a\x1f', '\x1fb'])
     docs = []
     for d in range(random.randint(1, 12)):
         n = random.randint(0, 9)
@@ -59,7 +66,9 @@ for trial in range(120):
         for _ in range(n):
             L = random.randint(1, 7)
             words.append(''.join(random.choice(alpha) for _ in range(L)))
-        docs.append('  '.join(words) + random.choice(['', ' ', '\t']))
+        sep = random.choice(['  ', ' ', '\t', '\x0b', '\f', '\r\n'])
+        docs.append(sep.join(words)
+                    + random.choice(['', ' ', '\t', '\x0b', '\f']))
     if random.random() < 0.15: docs.append(None)
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(text VARCHAR)")
