@@ -307,12 +307,20 @@ object Similarity {
         .withColumnRenamed("col", "sig")
     val corpusSigs = sigsOf(e, "vec_id")
     val querySigs = sigsOf(strideQueries(e, queryStride, maxQueries), "q_id")
-    val candidates = corpusSigs
+    // Cross-TABLE repeats are the only duplicate source (one
+    // signature per (vector, table)), so the dedup exchange is a
+    // semantic no-op at tables=1 — the registered lossless anchor's
+    // dial — and skipping it there removes the one corpus-volume
+    // shuffle the anchor paid (r18: sf10 candidate set is
+    // cap×corpus = 80M pairs; the exchange was the slope).
+    val rawCandidates = corpusSigs
       .join(broadcast(querySigs),
         Seq("table_id", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-      .dropDuplicates("q_id", "vec_id") // same pair, several tables
+    val candidates =
+      if (tables == 1) rawCandidates
+      else rawCandidates.dropDuplicates("q_id", "vec_id")
     val q = strideQueries(e, queryStride, maxQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
