@@ -125,21 +125,13 @@ object StreamOps {
     * plan runs in append mode and the watermark evicts closed windows.
     */
   def streamWindow(spark: SparkSession, dir: String,
-      windowSeconds: Long = 21600L): DataFrame = {
-    val agg = eventStream(spark, dir)
+      windowSeconds: Long = 21600L, statePartitions: Int = 8): DataFrame = {
+    runSizedStream(spark, s => eventStream(s, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
-    val sink = s"st01_mem_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).select(
+        round(sum(col("value")), 4).as("sum_value")),
+      "st01_mem", OutputMode.Complete(), statePartitions).select(
       expr(s"unix_micros(window.start) DIV ${windowSeconds * 1000000L}")
         .as("bin_id"),
       col("event_type"), col("n_events"), col("sum_value"))
@@ -162,22 +154,15 @@ object StreamOps {
     */
   def streamSliding(spark: SparkSession, dir: String,
       windowSeconds: Long = graft.operators.Pipeline.SlidingWindowSeconds,
-      slideSeconds: Long = graft.operators.Pipeline.SlidingSlideSeconds): DataFrame = {
-    val agg = eventStream(spark, dir)
+      slideSeconds: Long = graft.operators.Pipeline.SlidingSlideSeconds,
+      statePartitions: Int = 8): DataFrame = {
+    runSizedStream(spark, s => eventStream(s, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), s"$windowSeconds seconds",
         s"$slideSeconds seconds").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
-    val sink = s"st10_mem_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).select(
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents")),
+      "st10_mem", OutputMode.Complete(), statePartitions).select(
       unix_micros(col("w.start")).as("ws_us"),
       col("event_type"), col("n_events"), col("value_cents"))
   }
@@ -200,26 +185,19 @@ object StreamOps {
     * (values are 2-decimal), so the oracle is hash-exact.
     */
   def streamEnrich(spark: SparkSession, dir: String,
-      windowSeconds: Long = 21600L): DataFrame = {
-    val dim = broadcast(graft.Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment")))
-    val agg = eventStream(spark, dir)
-      .join(dim, col("user_id") === col("c_custkey"))
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), s"$windowSeconds seconds"),
-        col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
-          .as("sum_value"))
-    val sink = s"st04_mem_${System.nanoTime()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink).select(
+      windowSeconds: Long = 21600L, statePartitions: Int = 8): DataFrame = {
+    runSizedStream(spark, { s =>
+      val dim = broadcast(graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      eventStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), s"$windowSeconds seconds"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+            .as("sum_value"))
+    }, "st04_mem", OutputMode.Complete(), statePartitions).select(
       expr(s"unix_micros(window.start) DIV ${windowSeconds * 1000000L}")
         .as("bin_id"),
       col("c_mktsegment"), col("n_events"), col("sum_value"))
@@ -244,9 +222,10 @@ object StreamOps {
     * share the oracle).
     */
   def streamAsof(spark: SparkSession, dir: String,
-      anchorType: String = "signup"): DataFrame = {
+      anchorType: String = "signup", statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val src = eventStream(spark, dir)
+    runSizedStream(spark, { s =>
+    val src = eventStream(s, dir)
       .select(col("user_id"), col("event_id"),
         graft.Tables.epochUs(col("ts")).as("ts_us"), col("event_type"))
       .as[EvA]
@@ -272,15 +251,8 @@ object StreamOps {
           anchor.foreach(state.update)
           out.result().iterator
       }
-    val sink = s"st05_mem_${System.nanoTime()}"
-    val q = attributed.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    attributed.toDF()
+    }, "st05_mem", OutputMode.Append(), statePartitions)
   }
 
   /** st07_stream_funnel — q29's conversion funnel as a STATEFUL
@@ -300,15 +272,17 @@ object StreamOps {
     */
   def streamFunnel(spark: SparkSession, dir: String,
       steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
-      windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+      windowUs: Long = 7L * 24 * 3600 * 1000000L,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val UNSET = Long.MinValue
     val nSteps = steps.length
-    val src = eventStream(spark, dir)
+    val table = runSizedStream(spark, { s =>
+    val src = eventStream(s, dir)
       .select(col("user_id"),
         graft.Tables.epochUs(col("ts")).as("ts_us"), col("event_type"))
       .as[EvF]
-    val depths = src
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
@@ -331,20 +305,13 @@ object StreamOps {
           }
           if (depth == 0) Iterator.empty
           else Iterator.single(FunnelDepth(uid, depth.toLong))
-      }
-    val sink = s"st07_mem_${System.nanoTime()}"
-    val q = depths.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      }.toDF()
+    }, "st07_mem", OutputMode.Append(), statePartitions)
     val names = steps.zipWithIndex.foldLeft(lit(steps.head)) {
       case (els, (s, i)) => when(col("step_reached") === i + 1, lit(s))
         .otherwise(els)
     }
-    spark.table(sink)
+    table
       .groupBy(col("user_id"))
       .agg(max(col("step_reached")).as("step_reached"))
       .groupBy(col("step_reached"))
@@ -374,15 +341,16 @@ object StreamOps {
     * bounds reordering with a watermark.
     */
   def streamOutliers(spark: SparkSession, dir: String,
-      minPrior: Long = 10L): DataFrame = {
+      minPrior: Long = 10L, statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
-    val src = eventStream(spark, dir)
+    runSizedStream(spark, { s =>
+    val src = eventStream(s, dir)
       .filter(col("value").isNotNull)
       .select(col("user_id"), col("event_id"),
         graft.Tables.epochUs(col("ts")).as("ts_us"),
         round(col("value") * 100, 0).cast("long").as("cents"))
       .as[EvO]
-    val flags = src
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
@@ -405,16 +373,8 @@ object StreamOps {
           }
           state.update((n, s, q))
           out.result().iterator
-      }
-    val sink = s"st08_mem_${System.nanoTime()}"
-    val query = flags.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sink)
+      }.toDF()
+    }, "st08_mem", OutputMode.Append(), statePartitions)
       .select(col("user_id"), col("event_id"), col("cents"),
         col("n_prior"))
   }
@@ -485,22 +445,14 @@ object StreamOps {
     * per-type key count — equal to batch count(DISTINCT user_id) —
     * not the representative rows themselves.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = eventStream(spark, dir)
+  def streamDedup(spark: SparkSession, dir: String,
+      statePartitions: Int = 8): DataFrame =
+    runSizedStream(spark, s => eventStream(s, dir)
       .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-    val sink = s"st03_mem_${System.nanoTime()}"
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+      .dropDuplicates("user_id", "event_type"),
+      "st03_mem", OutputMode.Append(), statePartitions)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   /** Gap-session logic shared with the q16 batch oracle: fold the
     * user's events (sorted by ts_us, event_id) into gap-delimited
@@ -574,7 +526,7 @@ object StreamOps {
     * active user — O(active users), not O(events).
     */
   def streamSessions(spark: SparkSession, dir: String,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L, statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
 
@@ -602,25 +554,17 @@ object StreamOps {
       s
     })
 
-    val src = spark.readStream
+    runSizedStream(spark, s => s.readStream
       .schema(batch.schema)
       .parquet(stage)
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[Ev]
-    val sessions = src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(sessionFn(gapUs))
-    val sink = s"st02_mem_${System.nanoTime()}"
-    val q = sessions.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+      .toDF(),
+      "st02_mem", OutputMode.Append(), statePartitions)
       .filter(col("user_id") >= 0) // drop the sentinel's own session
       .select(col("user_id"), col("session_idx"), col("n_events"),
         col("session_start_us"), col("session_end_us"), col("sum_value"))
@@ -1122,7 +1066,8 @@ object StreamOps {
     */
   def streamHeavyHitters(spark: SparkSession, dir: String,
       shareDenom: Int = graft.operators.TextAnalysis.HeavyShareDenom,
-      k: Int = graft.operators.TextAnalysis.HeavyK): DataFrame = {
+      k: Int = graft.operators.TextAnalysis.HeavyK,
+      statePartitions: Int = 8): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
     val stage = stagedHhDocs.getOrElseUpdate(dir, {
@@ -1132,7 +1077,15 @@ object StreamOps {
         .write.mode("overwrite").parquet(s)
       s
     })
-    val src = spark.readStream
+    // Sized state partitioning (runSizedStream's rationale): the MG
+    // fold is keyed by lang, so only ≤ #langs stores are ever
+    // non-empty — the inherited 32 paid 32 state commits per batch
+    // for ≤ 5 working stores. The heavy tokenize/explode runs BEFORE
+    // the keyed shuffle at spread() width, so this dial does not
+    // bound batch CPU.
+    val child = childSession(spark)
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val src = child.readStream
       .schema("doc_id BIGINT, lang STRING, text STRING")
       .option("maxFilesPerTrigger", HarnessFilesPerTrigger)
       .parquet(stage)
@@ -1172,7 +1125,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val snaps = spark.table(sink)
+    val snaps = child.table(sink)
     // final board per lang = the max-version snapshot (metadata-scale:
     // ≤ batches·k rows per lang ever landed in the sink; a window
     // instead of a groupBy self-join — the memory view resolves to
@@ -1190,7 +1143,7 @@ object StreamOps {
     val candidates = {
       import scala.jdk.CollectionConverters._
       val rows = candView.collect().toSeq
-      spark.catalog.dropTempView(sink)
+      child.catalog.dropTempView(sink)
       spark.createDataFrame(rows.asJava, candView.schema)
     }
     // q43's exact closing pass over the landed corpus
@@ -1264,15 +1217,38 @@ object StreamOps {
     * session's default parallelism shuffles exactly the arrival
     * slice (bounded per trigger — this is NOT a corpus-scale text
     * exchange) and buys cluster-wide execution of everything after.
+    *
+    * r18 (optimization round, guide §2 "make partitioning
+    * scale-adaptive"): the width is derived from the BATCH'S OWN
+    * SIZE instead of unconditionally `defaultParallelism` — a few-KB
+    * arrival slice was paying a 32-way round-robin exchange (plus an
+    * AQE stage) whose only effect was re-splitting rows that one
+    * task chews through faster than the shuffle costs (measured:
+    * st14's per-batch body 0.574 s spread-to-32 vs 0.238 s unspread
+    * at sf0.1). Width = ceil(stats.sizeInBytes / SpreadTargetBytes)
+    * clamped to [1, defaultParallelism]: the sf10 single-file
+    * pathology still widens to full parallelism (125k-doc batches
+    * are tens of MB), while bench-scale slices skip the exchange
+    * entirely. Unknown/absent statistics (sizeInBytes defaults to
+    * Long.MaxValue-ish values) fall back to full widening — the
+    * pre-r18 behavior.
     */
+  private[graft] val SpreadTargetBytes: Long = 4L << 20
+
   private def spread(batch: DataFrame): DataFrame = {
     val par = batch.sparkSession.sparkContext.defaultParallelism
+    // A streaming DF (st13's continuous path) can't inspect its
+    // partitioning or stats, so it always takes the full widening.
+    if (batch.isStreaming) return batch.repartition(par)
+    val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width =
+      if (!bytes.isValidLong || bytes.toLong <= 0L) par
+      else math.min(par.toLong, math.max(1L,
+        (bytes.toLong + SpreadTargetBytes - 1L) / SpreadTargetBytes)).toInt
     // only widen: a batch that already arrived well-split (many
-    // files) must not be squeezed down to `par`. A streaming DF
-    // (st13's continuous path) can't inspect its partitioning, so it
-    // always takes the repartition.
-    if (!batch.isStreaming && batch.rdd.getNumPartitions >= par) batch
-    else batch.repartition(par)
+    // files) must not be squeezed down.
+    if (batch.rdd.getNumPartitions >= width) batch
+    else batch.repartition(width)
   }
 
   /** One micro-batch scored under the fixed weight model, written
@@ -1395,12 +1371,35 @@ object StreamOps {
     */
   private def runJoinStream(spark: SparkSession,
       mkJoined: SparkSession => DataFrame,
-      sinkPrefix: String, statePartitions: Int): DataFrame = {
+      sinkPrefix: String, statePartitions: Int): DataFrame =
+    runSizedStream(spark, mkJoined, sinkPrefix, OutputMode.Append(),
+      statePartitions)
+
+  /** runJoinStream's recipe generalized to EVERY stateful memory-sink
+    * stream (r18 optimization round): run the stream on a child
+    * session whose shuffle partitioning — which for a stateful
+    * operator is the STATE STORE COUNT, baked into the checkpoint at
+    * first start — is a sized dial rather than the inherited session
+    * default. The JobSpec sizing rule (JobSpec.scala statePartitions
+    * note) applies: per-batch floor ∝ stores × batches, so size to
+    * per-batch core need, not to the session's scan parallelism.
+    * Measured this round (BatchBodyProbe, sf0.1): the st01-shaped
+    * windowed aggregation reads 2.72 s at the inherited 32 vs 1.71 s
+    * at 8 — pure state-commit floor, the same 3× per-store effect
+    * the r13 St18Probe measured for the join twins. The dial stays a
+    * parameter with the st18/st19 default (8); a 100 TB deployment
+    * sizes it to its executor cores (the St18Probe sf10 crossover:
+    * 8→18.6 s, 16→11.1 s, 32→20.2 s — undersizing punishes large
+    * scale, oversizing punishes the floor).
+    */
+  private def runSizedStream(spark: SparkSession,
+      mk: SparkSession => DataFrame, sinkPrefix: String,
+      mode: OutputMode, statePartitions: Int): DataFrame = {
     val sink = s"${sinkPrefix}_${System.nanoTime()}"
     val child = childSession(spark)
     child.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    val q = mkJoined(child).writeStream
-      .outputMode(OutputMode.Append())
+    val q = mk(child).writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
