@@ -943,9 +943,16 @@ object Dedup {
     *
     * Algorithm: min-label propagation with pointer jumping, pure
     * DataFrame ops. labels(x) starts at min(x, neighbors(x)); each
-    * round does (1) label ← min(label, min over neighbors' labels)
-    * — one join + groupBy — then (2) label ← label(label) (pointer
-    * jump, one self-join). The jump halves the depth of every label
+    * round does (1) label ← min over the CLOSED neighborhood's labels
+    * — one join + groupBy over the edge list augmented with self-loop
+    * rows (x, x), so the own-label `least` needs no second join (r18
+    * optimization round; the self-loop arm is a projection of the
+    * materialized init labels — one row per node, no distinct, no
+    * extra pass) — then (2) label ← label(label) (pointer jump, one
+    * self-join). Two joins per round where the pre-r18 shape paid
+    * three; output proven row-identical on the corpus and on a
+    * planted diameter-2047 chain (11 rounds) before the switch.
+    * The jump halves the depth of every label
     * chain, so convergence takes O(log2(diameter)) rounds, not
     * O(diameter): `maxIters` = 16 covers diameters to ~64k, far past
     * any real near-dup component (dup clusters are dense — boilerplate
@@ -976,16 +983,25 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("lbl"))
       .select(col("src").as("node"), col("lbl"))
       .localCheckpoint(true)
+    // self-loop arm: exactly one (x, x) row per node, projected from
+    // the materialized init labels (labels never changes identity —
+    // both union arms stay checkpointed, so this plan re-evaluates
+    // for free each round). With it, the propagate agg's min runs
+    // over the CLOSED neighborhood and the own-label least-join of
+    // the pre-r18 shape disappears.
+    val closedEdges = edges.union(
+      labels.select(col("node").as("src"), col("node").as("dst")))
     var prevSum = sumOf(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      // every node has >= 1 neighbor (it came from a pair), so the
-      // propagation join is inner; labels only ever DECREASE.
-      val prop = labels.join(nbrMin, labels("node") === nbrMin("src"))
-        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // every node has >= 1 neighbor (it came from a pair) plus its
+      // self-loop, so the propagation join is inner and total;
+      // labels only ever DECREASE.
+      val prop = closedEdges
+        .join(labels, closedEdges("dst") === labels("node"))
+        .groupBy(closedEdges("src")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
       // pointer jump: label values are themselves node ids (mins over
       // node ids), so label(label) is total — the inner self-join
       // drops nothing.
