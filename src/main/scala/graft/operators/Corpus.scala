@@ -994,10 +994,24 @@ object Corpus {
       .join(dropped, Seq("doc_id"), "left_anti")
     // split: p08's salted hash on doc_id (≡ rep_id after hard dedup)
     val h = saltedBucket(col("doc_id"), BuildSplitSalt, 1000L)
+    // One materialization of the cleaned/deduped/split doc table
+    // (doc_id, source, n_tokens, split — narrow rows, corpus
+    // cardinality). Everything downstream consumes it FOUR ways
+    // (per-source token mass, the rate table's grand total, the
+    // train replication, the held-out arm), and each DataFrame reuse
+    // duplicates the whole scan→quality→dedup subtree in the plan —
+    // the pre-r18 physical plan carried 8 copies of the anti-join
+    // and 10 corpus scans, re-sorting the corpus-cardinality rows
+    // per copy even where ReuseExchange fed them from one shuffle.
+    // The checkpoint truncates all of it to one computation (r18
+    // optimization round, guide §3 "materialising an intermediate
+    // result truncates the plan"); recomputed per run, never cached
+    // across runs.
     val withSplit = kept.withColumn("split",
       when(h < BuildTestPermille, lit("test"))
         .when(h < BuildTestPermille + BuildValPermille, lit("val"))
         .otherwise(lit("train")))
+      .localCheckpoint(true)
     // mixture (train slice only): p13's integer rate derivation from
     // the CLEANED, DEDUPED train token mass — metadata-scale agg,
     // broadcast back
