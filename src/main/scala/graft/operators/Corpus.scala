@@ -965,6 +965,33 @@ object Corpus {
     * is two algebraic hash aggregates on post-window cardinality.
     */
   def trainingBuild(documents: DataFrame): DataFrame = {
+    // One materialization of the cleaned/deduped/split doc table
+    // (doc_id, source, n_tokens, split — narrow rows, corpus
+    // cardinality). Everything downstream consumes it FOUR ways
+    // (per-source token mass, the rate table's grand total, the
+    // train replication, the held-out arm), and each DataFrame reuse
+    // duplicates the whole scan→quality→dedup subtree in the plan —
+    // the pre-r18 physical plan carried 8 copies of the anti-join
+    // and 10 corpus scans, re-sorting the corpus-cardinality rows
+    // per copy even where ReuseExchange fed them from one shuffle.
+    // The checkpoint truncates all of it to one computation (r18
+    // optimization round, guide §3 "materialising an intermediate
+    // result truncates the plan"); recomputed per run, never cached
+    // across runs. The ONE-text-scan claim is spec-asserted on
+    // buildSplitTable's own plan (where the text pipeline now
+    // lives); the registered plan is spec-asserted to carry ZERO
+    // text scans (truncation landed).
+    val withSplit = buildSplitTable(documents).localCheckpoint(true)
+    trainingBuildFrom(withSplit, documents)
+  }
+
+  /** The cleaned → exact-deduped → fuzzy-deduped → split doc table
+    * (doc_id, source, n_tokens, split), UN-materialized: one corpus
+    * text scan feeds quality, hash, shingles and token count, then
+    * text is dropped (spec-asserted on this plan). Exposed for the
+    * p14 one-scan spec.
+    */
+  private[graft] def buildSplitTable(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{ShingleExprs, TextOps}
     val minQ = BuildMinQualityBp / 10000.0
@@ -994,24 +1021,19 @@ object Corpus {
       .join(dropped, Seq("doc_id"), "left_anti")
     // split: p08's salted hash on doc_id (≡ rep_id after hard dedup)
     val h = saltedBucket(col("doc_id"), BuildSplitSalt, 1000L)
-    // One materialization of the cleaned/deduped/split doc table
-    // (doc_id, source, n_tokens, split — narrow rows, corpus
-    // cardinality). Everything downstream consumes it FOUR ways
-    // (per-source token mass, the rate table's grand total, the
-    // train replication, the held-out arm), and each DataFrame reuse
-    // duplicates the whole scan→quality→dedup subtree in the plan —
-    // the pre-r18 physical plan carried 8 copies of the anti-join
-    // and 10 corpus scans, re-sorting the corpus-cardinality rows
-    // per copy even where ReuseExchange fed them from one shuffle.
-    // The checkpoint truncates all of it to one computation (r18
-    // optimization round, guide §3 "materialising an intermediate
-    // result truncates the plan"); recomputed per run, never cached
-    // across runs.
-    val withSplit = kept.withColumn("split",
+    kept.withColumn("split",
       when(h < BuildTestPermille, lit("test"))
         .when(h < BuildTestPermille + BuildValPermille, lit("val"))
         .otherwise(lit("train")))
-      .localCheckpoint(true)
+  }
+
+  /** Everything downstream of the materialized split table: mixture,
+    * replication, packing, manifest rollup. `documents` supplies
+    * only the packing stage's LOOSE key bounds (a text-free
+    * (source, doc_id) scan).
+    */
+  private def trainingBuildFrom(withSplit: DataFrame,
+      documents: DataFrame): DataFrame = {
     // mixture (train slice only): p13's integer rate derivation from
     // the CLEANED, DEDUPED train token mass — metadata-scale agg,
     // broadcast back

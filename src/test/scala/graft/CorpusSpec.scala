@@ -615,26 +615,42 @@ class CorpusSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      def docScans(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        plan.linesIterator
+          .filter(l => l.contains("Scan parquet") && l.contains("documents"))
+          .toSeq
+      }
+      // the EXPENSIVE claim, asserted where the text pipeline now
+      // lives (r18: the split table materializes ONCE via
+      // localCheckpoint and the registered plan consumes the
+      // checkpoint): the split table's own plan reads text exactly
+      // once — quality, hash, shingles and token count all hang off
+      // that one scan
+      val split = Corpus.buildSplitTable(Tables.documents(spark, sf))
+      split.collect() // AQE reuse is decided at stage materialization
+      val sScans = docScans(split)
+      assert(sScans.count(_.contains("text")) === 1 && sScans.size === 1,
+        s"p14: the corpus TEXT pipeline must run exactly once in the " +
+          s"split-table build (found ${sScans.size} documents scans, " +
+          s"${sScans.count(_.contains("text"))} reading text):\n" +
+          split.queryExecution.executedPlan)
+      // and the registered plan is TRUNCATED: downstream re-reads the
+      // checkpoint, never the corpus text; the packing stage's
+      // bucket-bound branch keeps at most one scan, column-pruned to
+      // (source, doc_id) key metadata
       val df = Corpus.trainingBuild(Tables.documents(spark, sf))
-      df.collect() // AQE reuse is decided at stage materialization
-      val plan = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      val scanLines = plan.linesIterator
-        .filter(l => l.contains("Scan parquet") && l.contains("documents"))
-        .toSeq
-      // the EXPENSIVE claim: the text pipeline (quality, hash,
-      // shingles, token count) runs exactly once — one scan reads text
-      val textScans = scanLines.count(_.contains("text"))
-      assert(textScans === 1,
-        s"p14: the corpus TEXT pipeline must run exactly once " +
-          s"(found $textScans text-reading documents scans):\n$plan")
-      // the packing stage's bucket-bound branch (stratifiedPrefixSum)
-      // is allowed ONE extra scan, column-pruned to key metadata —
-      // Catalyst prunes text out of it, which is also WHY exchange
-      // reuse can't merge it into the text scan
-      assert(scanLines.size <= 2,
-        s"p14: at most the text scan + one pruned metadata scan " +
-          s"(found ${scanLines.size}):\n$plan")
+      df.collect()
+      val scanLines = docScans(df)
+      assert(scanLines.count(_.contains("text")) === 0,
+        s"p14: the registered plan must never re-read corpus text " +
+          s"(the split table is checkpointed):\n" +
+          df.queryExecution.executedPlan)
+      assert(scanLines.size <= 1,
+        s"p14: at most one pruned metadata scan downstream of the " +
+          s"checkpoint (found ${scanLines.size}):\n" +
+          df.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
