@@ -15,6 +15,32 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
   *     sbt 'runMain graft.tools.TriggerProbe st18,st14'
   */
+/** Conf-registered listener (spark.sql.streaming.streamingQueryListeners)
+  * so it attaches to EVERY session's StreamingQueryManager — the harness
+  * runs its streams on child sessions (runSizedStream), which a listener
+  * added to the parent's `spark.streams` never sees.
+  */
+class TriggerPrintListener extends StreamingQueryListener {
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit =
+    println(s"TRIGGER: started name=${e.name}")
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val dur = p.durationMs
+    import scala.jdk.CollectionConverters._
+    val parts = dur.asScala.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"$k=$v" }.mkString(" ")
+    val state = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+      .map(s => s"op rows=${s.numRowsTotal} commit=${s.commitTimeMs}ms")
+      .mkString("; ")
+    println(s"TRIGGER: batch=${p.batchId} rows=${p.numInputRows} " +
+      s"$parts  [$state]")
+  }
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}
+
 object TriggerProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,29 +53,10 @@ object TriggerProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.tools.TriggerPrintListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit =
-        println(s"TRIGGER: started name=${e.name}")
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        val dur = p.durationMs
-        import scala.jdk.CollectionConverters._
-        val parts = dur.asScala.toSeq.sortBy(-_._2)
-          .map { case (k, v) => s"$k=$v" }.mkString(" ")
-        val state = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
-          .map(s => s"op rows=${s.numRowsTotal} commit=${s.commitTimeMs}ms")
-          .mkString("; ")
-        println(s"TRIGGER: batch=${p.batchId} rows=${p.numInputRows} " +
-          s"$parts  [$state]")
-      }
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
 
     val fns: Map[String, () => Unit] = Map(
       "st18" -> (() => { graft.streaming.StreamOps
