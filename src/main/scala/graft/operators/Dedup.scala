@@ -984,13 +984,21 @@ object Dedup {
       .select(col("src").as("node"), col("lbl"))
       .localCheckpoint(true)
     // self-loop arm: exactly one (x, x) row per node, projected from
-    // the materialized init labels (labels never changes identity —
-    // both union arms stay checkpointed, so this plan re-evaluates
-    // for free each round). With it, the propagate agg's min runs
-    // over the CLOSED neighborhood and the own-label least-join of
-    // the pre-r18 shape disappears.
+    // the materialized init labels. With it, the propagate agg's min
+    // runs over the CLOSED neighborhood and the own-label least-join
+    // of the pre-r18 shape disappears. The union is materialized
+    // PRE-PARTITIONED on dst (r18 optimization round, guide §2.4
+    // "two operations keyed the same way can share one exchange"):
+    // localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD, so every round's propagate join consumes the
+    // edge side WITHOUT re-exchanging it — only the (node, label)
+    // side (node cardinality, 16 bytes/row) shuffles per round.
+    // One extra up-front exchange+checkpoint of edge-cardinality
+    // rows buys rounds × (edge-cardinality exchange + sort) back.
     val closedEdges = edges.union(
       labels.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(true)
     var prevSum = sumOf(labels)
     var converged = false
     var iter = 0
@@ -1005,11 +1013,19 @@ object Dedup {
       // pointer jump: label values are themselves node ids (mins over
       // node ids), so label(label) is total — the inner self-join
       // drops nothing.
+      // Convergence probe rides the checkpoint's own job via
+      // observe() (r18: one action per round, not two) — labels only
+      // ever decrease, so an unchanged sum ⟺ a fixed point, exactly
+      // the old separate aggregate, now collected as a side metric
+      // of the materializing pass.
+      val obs = new org.apache.spark.sql.Observation()
       val jumped = prop.as("m").join(prop.as("p"),
           col("m.lbl") === col("p.node"))
         .select(col("m.node").as("node"), col("p.lbl").as("lbl"))
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .localCheckpoint(true)
-      val s = sumOf(jumped)
+      val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = jumped

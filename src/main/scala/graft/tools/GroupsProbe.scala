@@ -193,6 +193,47 @@ object GroupsProbe {
       labels
     }
 
+    // the r18.2 shipped round: closedEdges materialized PRE-PARTITIONED
+    // on dst (no edge-side exchange per round) + observe()-folded
+    // convergence sum (one action per round, not two)
+    def loopNew(edgesNoSelf: DataFrame): DataFrame = {
+      var labels = time("  init labels") {
+        edgesNoSelf.groupBy(col("src"))
+          .agg(least(col("src"), min(col("dst"))).as("lbl"))
+          .select(col("src").as("node"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      val edges = time("  closed-edges dst-part chk") {
+        edgesNoSelf.union(
+          labels.select(col("node").as("src"), col("node").as("dst")))
+          .repartition(col("dst"))
+          .localCheckpoint(true)
+      }
+      var prevSum = sumOf(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 16) {
+        val obs = new org.apache.spark.sql.Observation()
+        val jumped = time(f"  round $iter chk+sum") {
+          val prop = edges.join(labels, edges("dst") === labels("node"))
+            .groupBy(edges("src")).agg(min(col("lbl")).as("lbl"))
+            .select(col("src").as("node"), col("lbl"))
+          prop.as("m").join(prop.as("p"), col("m.lbl") === col("p.node"))
+            .select(col("m.node").as("node"), col("p.lbl").as("lbl"))
+            .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"))
+            .localCheckpoint(true)
+        }
+        val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = jumped
+        iter += 1
+      }
+      println(s"GP:   rounds=$iter")
+      labels
+    }
+
     (0 until reps).foreach { r =>
       println(s"GP: === rep $r ===")
       val pairs = time("pairs localCheckpoint (pair gen)") {
@@ -209,13 +250,16 @@ object GroupsProbe {
       val b = time("loop total (self-loop)") { loopSelfLoop(edges) }
       println("GP: -- lazy-self-loop variant --")
       val c = time("loop total (lazy-self)") { loopLazySelf(edges) }
+      println("GP: -- r18.2 shipped (dst-part + observe) --")
+      val d = time("loop total (new)") { loopNew(edges) }
       def diffOf(x: DataFrame, y: DataFrame): Long =
         x.select(col("node"), col("lbl"))
           .exceptAll(y.select(col("node"), col("lbl"))).count() +
           y.select(col("node"), col("lbl"))
             .exceptAll(x.select(col("node"), col("lbl"))).count()
       println(s"GP: diff(asis,selfloop)=${diffOf(a, b)} " +
-        s"diff(asis,unionfold)=${diffOf(a, c)} (must be 0); " +
+        s"diff(asis,unionfold)=${diffOf(a, c)} " +
+        s"diff(asis,new)=${diffOf(a, d)} (must be 0); " +
         s"nodes=${a.count()}")
 
       // multi-round equivalence on a planted deep graph: a 2048-node
@@ -234,7 +278,10 @@ object GroupsProbe {
         val ca = loopAsIs(ce)
         println("GP: -- planted chain: lazy-self-loop --")
         val cc = loopLazySelf(ce)
+        println("GP: -- planted chain: r18.2 shipped --")
+        val cd = loopNew(ce)
         println(s"GP: chain diff(asis,unionfold)=${diffOf(ca, cc)} " +
+          s"diff(asis,new)=${diffOf(ca, cd)} " +
           s"(must be 0); nodes=${ca.count()}")
       }
     }
