@@ -286,7 +286,7 @@ object Dedup {
     * shingle sets for another purpose feed the candidate join
     * without a second corpus scan.
     */
-  private[operators] def ngramJaccardFromSets(sets: DataFrame,
+  private[graft] def ngramJaccardFromSets(sets: DataFrame,
       tau: Double = 0.6, maxDf: Int = 128,
       lengthPrune: Boolean = true): DataFrame = {
     // ONE exchange on gh that every consumer reuses: the df filter,
