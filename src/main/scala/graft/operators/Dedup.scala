@@ -585,7 +585,14 @@ object Dedup {
       .drop("df")
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
-    capped.as("a")
+    // MERGE hint (r18): at bench SF, AQE's runtime stats flip this
+    // self-join to broadcast, and the broadcast side re-runs the
+    // scan→shingle pipeline instead of reusing the posting exchange
+    // — the hint pins the at-scale SMJ shape (what the d04/d09 spec
+    // asserts with broadcast off) at EVERY scale, so the pipeline
+    // materializes exactly once and both sides + the df guard ride
+    // one ReusedExchange (guide §3.1: strategy chosen deliberately).
+    capped.as("a").hint("merge")
       .join(capped.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -696,7 +703,10 @@ object Dedup {
       .filter(col("rep") <= maxRep)
       .drop("rep")
     val w = Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))
-    val removed = capped.as("a")
+    // MERGE hint: same rationale as dupSpans — keep the posting
+    // exchange reused (pipeline once) at every scale, not just with
+    // broadcast off (the t15 plan spec's at-scale shape).
+    val removed = capped.as("a").hint("merge")
       .join(capped.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.gh") === col("b.gh") &&
           col("a.pos") < col("b.pos"))
