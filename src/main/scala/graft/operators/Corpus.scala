@@ -286,8 +286,16 @@ object Corpus {
           coalesce(col("_btot"), lit(0L)))
       .select(strata.map(k => col(k).as(s"_o_$k")) ++
         Seq(col("_bkt").as("_o_bkt"), col("_off")): _*)
+    // _bkt is never NULL (the CASE lands every row in a bucket), but
+    // <=> keeps InferFilters from planting an isnotnull(_bkt) into
+    // ONLY this branch — the predicate pushed into the main branch's
+    // bounds-join residual while the offsets branch kept it above
+    // its windows, making the two (strata, _bkt) exchange subtrees
+    // non-identical, so runtime reuse never fired and the upstream
+    // pipeline (t07's tokenize, p14's pack input) ran TWICE (r18;
+    // q44 documents the same trick on its slice key).
     val oCond = strata.map(k => col(k) <=> col(s"_o_$k"))
-      .reduce(_ && _) && col("_bkt") === col("_o_bkt")
+      .reduce(_ && _) && col("_bkt") <=> col("_o_bkt")
     windowed.join(broadcast(offsets), oCond)
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("long"))
@@ -451,11 +459,17 @@ object Corpus {
       defaultTargetPermille: Int = BudgetDefaultTargetPermille,
       betaPermille: Int = BudgetBetaPermille,
       salt: Long = BudgetSalt): DataFrame = {
+    // ONE token-mass pass (r18): without the checkpoint the `total`
+    // branch collapses to a direct global sum over nt — a second
+    // full tokenize scan the per-source subtree can't be reused for
+    // (the executed plan carried two text scans). perSrc is one row
+    // per source (metadata-sized at any scale), recomputed per run.
     val perSrc = documents
       .select(col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(sum(col("nt")).as("toks"))
+      .localCheckpoint(true)
     val total = perSrc.agg(sum(col("toks")).as("t_corpus"))
     val w = targets.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultTargetPermille)) { case (acc, (s, v)) =>

@@ -179,11 +179,20 @@ object Pipeline {
     * q41 (overlap join).
     */
   private def perTypePeaks(events: DataFrame,
-      binSeconds: Long): DataFrame = {
+      binSeconds: Long): DataFrame =
+    perTypePeaksFromBins(typedBins(events, binSeconds))
+
+  /** perTypePeaks over a PRE-BUILT (event_type, bin_id, n) bin table
+    * — lets q40 feed its three consumers (domain, gap construction,
+    * tail row) from ONE materialized bin pass instead of re-running
+    * the raw-event scan+aggregate per branch (r18, guide §3:
+    * materializing an intermediate truncates the lineage).
+    */
+  private def perTypePeaksFromBins(bins: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     val ordered = Window.partitionBy(col("event_type"))
       .orderBy(col("bin_id"))
-    typedBins(events, binSeconds)
+    bins
       .withColumn("thresh",
         avg(col("n")).over(byType) +
           lit(2) * stddev_pop(col("n")).over(byType))
@@ -196,8 +205,15 @@ object Pipeline {
 
   def intervalComplement(events: DataFrame,
       binSeconds: Long = 3600L): DataFrame = {
-    val bins = typedBins(events, binSeconds)
-    val peaks = perTypePeaks(events, binSeconds)
+    // ONE bin pass for all three consumers (r18): the executed plan
+    // carried THREE raw-event scan→aggregate subtrees — domain and
+    // the peak pipeline each re-derived the bin table, and pruning
+    // made the subtrees non-identical so runtime exchange reuse
+    // could not collapse them. The bin table is post-aggregation
+    // cardinality (#types × #time-bins) — a metadata-sized
+    // localCheckpoint at any corpus scale, recomputed per run.
+    val bins = typedBins(events, binSeconds).localCheckpoint(true)
+    val peaks = perTypePeaksFromBins(bins)
     val domain = bins.groupBy(col("event_type"))
       .agg(min(col("bin_id")).as("dom_start"),
         max(col("bin_id")).as("dom_end"))
